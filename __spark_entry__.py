@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` is the judged operator inventory (SURVEY.md §2): every entry
+has a DuckDB oracle in ``oracle_sql()`` except the iterative graph
+algorithms (PageRank/PPR — not SQL-expressible; the driver records the
+weaker rows-only check for those, per the contract).
+
+Cross-engine determinism strategy (so order-insensitive value hashes match):
+- money-like double aggregates go through exact DECIMAL(12,2) intermediates
+  (lossless for the ≤2-dp corpus data) and come back as DOUBLE;
+- vector cosines run on integer-quantized embeddings (exact 64-bit dot and
+  norms, one IEEE division at the end);
+- hashes are md5-derived (bit-identical hex in both engines);
+- every LIMIT carries a deterministic total order.
 """
 
 from __future__ import annotations
@@ -13,26 +20,561 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from graphdb_td2_spark.session import configure_existing
+from graphdb_td2_spark.recs import queries as recs
+from graphdb_td2_spark.graph import queries as gq
+from graphdb_td2_spark.operators import relational as rel
+from graphdb_td2_spark.operators import windows as win
+from graphdb_td2_spark.functions import json_props, text
+from graphdb_td2_spark.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup_stats,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_docs,
+)
+from graphdb_td2_spark.similarity import ann_topk_bruteforce, ann_topk_lsh
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: basket co-occurrence recommendations (the reference's
+    primary ``/recs?product_id=…`` strategy, app/main.py:51-60) at sf0.001."""
+    configure_existing(spark)
+    return recs.product_cooccurrence(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # --- reference parity: recommendation strategies (§2.C/D/F, §3) ---
+        "recs_product_cooccurrence": recs.product_cooccurrence,
+        "recs_product_same_brand": recs.product_same_brand,
+        "recs_customer_cf": recs.customer_cooccurrence,
+        "recs_customer_brand_fallback": recs.customer_brand_fallback,
+        "purchased_products": recs.purchased_products,
+        # --- reference parity: graph construction (§2.E) ---
+        "graph_vertex_counts": gq.graph_vertex_counts,
+        "graph_edge_counts": gq.graph_edge_counts,
+        "event_edge_dedup_counts": gq.event_edge_dedup_counts,
+        # --- graph algorithms (§2.L; rows-only checks) ---
+        "pagerank_top20": gq.pagerank_top20,
+        "ppr_top20": gq.ppr_top20,
+        # --- relational analytics (§2.B/C/D/F/G) ---
+        "pricing_summary": rel.pricing_summary,
+        "brand_revenue": rel.brand_revenue,
+        "region_sales": rel.region_sales,
+        "top_customers": rel.top_customers,
+        "order_priority_rollup": rel.order_priority_rollup,
+        "market_segment_stats": rel.market_segment_stats,
+        "customer_activity_setops": rel.customer_activity_setops,
+        # --- window functions (§2.I) ---
+        "sessionize": win.sessionize,
+        "top_events_per_user": win.top_events_per_user,
+        "user_running_value": win.user_running_value,
+        # --- JSON functions (§2.H) ---
+        "props_key_histogram": json_props.props_key_histogram,
+        "event_type_stats": json_props.event_type_stats,
+        # --- text analysis (Stage 5) ---
+        "token_stats": text.token_stats,
+        "text_quality": text.text_quality,
+        "language_id": text.language_id,
+        "doc_fingerprints": text.doc_fingerprints,
+        # --- deduplication (Stage 5) ---
+        "exact_dedup_stats": exact_dedup_stats,
+        "minhash_lsh_pairs": minhash_lsh_pairs,
+        "simhash_docs": simhash_docs,
+        "ngram_jaccard_pairs": ngram_jaccard_pairs,
+        "embedding_neardup_pairs": embedding_neardup_pairs,
+        # --- similarity search (Stage 5) ---
+        "ann_topk_bruteforce": ann_topk_bruteforce,
+        "ann_topk_lsh": ann_topk_lsh,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB dialect). Shared fragments are built programmatically so
+# the Spark expression and the SQL stay in lock-step.
+# ---------------------------------------------------------------------------
+
+_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+_SHINGLES = f"""
+    CASE WHEN len({_TOKS}) >= 3
+         THEN list_distinct(list_transform(range(1, len({_TOKS}) - 1),
+                i -> array_to_string(list_slice({_TOKS}, i, i + 2), ' ')))
+         ELSE [array_to_string({_TOKS}, ' ')]
+    END
+"""
+
+_DISC_PRICE = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "CAST(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2)) "
+    "AS DECIMAL(18,4))"
+)
+_CHARGE = (
+    f"CAST({_DISC_PRICE} * "
+    "CAST(CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(5,2)) "
+    "AS DECIMAL(24,6))"
+)
+
+_EVENT_REL = (
+    "CASE lower(event_type) WHEN 'view' THEN 'VIEWED' WHEN 'click' THEN 'CLICKED' "
+    "WHEN 'add_to_cart' THEN 'ADDED_TO_CART' END"
+)
+
+_CONTAINS = "SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id FROM lineitem"
+
+_CUST_CF_PREFIX = f"""
+WITH contains AS ({_CONTAINS}),
+my_orders AS (SELECT o_orderkey AS order_id FROM orders WHERE o_custkey = 1),
+c1 AS (SELECT c.order_id, c.product_id FROM contains c JOIN my_orders m ON c.order_id = m.order_id),
+purchased AS (SELECT DISTINCT product_id FROM c1)
+"""
+
+# quantized embeddings + deterministic cosine
+_QE = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i])) AS DOUBLE)"
+        f" / (sqrt(CAST(list_sum(list_transform({a}, x -> x * x)) AS DOUBLE))"
+        f" * sqrt(CAST(list_sum(list_transform({b}, x -> x * x)) AS DOUBLE)))"
+    )
+
+
+def _minhash_sig_sql(n_hashes: int = 16) -> str:
+    cols = ", ".join(
+        "list_min(list_transform(sh, s -> CAST(('0x' || substr(md5(s || ':%d'), 1, 15)) AS BIGINT))) AS sig_%d"
+        % (j, j)
+        for j in range(n_hashes)
+    )
+    return f"SELECT doc_id, {cols} FROM (SELECT doc_id, {_SHINGLES} AS sh FROM documents)"
+
+
+def _band_buckets_sql(n_hashes: int = 16, n_bands: int = 4) -> str:
+    rows = n_hashes // n_bands
+    selects = []
+    for b in range(n_bands):
+        concat = ", ".join(
+            f"CAST(sig_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        selects.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {concat})) AS bucket FROM sigs"
+        )
+    return " UNION ALL ".join(selects)
+
+
+def _simhash_sql() -> str:
+    votes = ", ".join(
+        f"CAST(SUM((h >> {b}) & 1) AS BIGINT) AS ones_{b}" for b in range(32)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN ones_{b} * 2 > n THEN {1 << b} ELSE 0 END)" for b in range(32)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+), h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS h FROM tok
+), votes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n, {votes} FROM h GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
+)
+SELECT doc_id, simhash, CAST(COUNT(*) OVER (PARTITION BY simhash) AS BIGINT) AS group_size
+FROM fp ORDER BY doc_id
+"""
+
+
+def _lang_id_sql() -> str:
+    from graphdb_td2_spark.functions.text import LANG_LEXICONS, LANG_ORDER
+
+    hit_cols = []
+    for lang in LANG_ORDER:
+        lex = ", ".join(f"'{w}'" for w in LANG_LEXICONS[lang])
+        hit_cols.append(
+            f"len(list_filter({_TOKS}, t -> list_contains([{lex}], t))) AS hits_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in LANG_ORDER) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {best} > 0 AND hits_{lang} = {best} THEN '{lang}'" for lang in LANG_ORDER
+    ) + " ELSE 'unknown' END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, {', '.join(hit_cols)} FROM documents
+)
+SELECT lang, {case} AS predicted_lang, COUNT(*) AS n_docs
+FROM scored GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sqls: dict[str, str] = {}
+
+    sqls["recs_product_cooccurrence"] = f"""
+WITH contains AS ({_CONTAINS})
+SELECT c2.product_id AS product_id, CAST(COUNT(*) AS DOUBLE) AS score,
+       'co-occurrence' AS reason
+FROM contains c1 JOIN contains c2 ON c1.order_id = c2.order_id
+WHERE c1.product_id = 1 AND c2.product_id <> 1
+GROUP BY c2.product_id
+ORDER BY score DESC, product_id ASC
+LIMIT 10
+"""
+
+    sqls["recs_product_same_brand"] = """
+SELECT p2.p_partkey AS product_id, CAST(1.0 AS DOUBLE) AS score,
+       'same-category' AS reason
+FROM part p1 JOIN part p2 ON p1.p_brand = p2.p_brand
+WHERE p1.p_partkey = 1 AND p2.p_partkey <> 1
+ORDER BY product_id ASC
+LIMIT 10
+"""
+
+    sqls["recs_customer_cf"] = f"""
+{_CUST_CF_PREFIX},
+c2 AS (SELECT c.order_id, c.product_id FROM contains c
+       JOIN purchased p ON c.product_id = p.product_id),
+paths AS (
+  SELECT c3.product_id
+  FROM c1 a
+  JOIN c2 b ON a.product_id = b.product_id
+  JOIN contains c3 ON c3.order_id = b.order_id
+  WHERE c3.product_id <> a.product_id
+)
+SELECT product_id, CAST(COUNT(*) AS DOUBLE) AS score, 'co-occurrence' AS reason
+FROM paths
+WHERE product_id NOT IN (SELECT product_id FROM purchased)
+GROUP BY product_id
+ORDER BY score DESC, product_id ASC
+LIMIT 10
+"""
+
+    sqls["recs_customer_brand_fallback"] = f"""
+{_CUST_CF_PREFIX},
+cats AS (SELECT DISTINCT p.p_brand FROM part p
+         JOIN purchased pu ON p.p_partkey = pu.product_id),
+cand AS (
+  SELECT DISTINCT p.p_partkey AS product_id
+  FROM part p JOIN cats c ON p.p_brand = c.p_brand
+  WHERE p.p_partkey NOT IN (SELECT product_id FROM purchased)
+)
+SELECT product_id, CAST(1.0 AS DOUBLE) AS score, 'same-category' AS reason
+FROM cand ORDER BY product_id ASC LIMIT 10
+"""
+
+    sqls["purchased_products"] = f"""
+{_CUST_CF_PREFIX}
+SELECT product_id FROM purchased ORDER BY product_id
+"""
+
+    sqls["graph_vertex_counts"] = """
+SELECT label, n FROM (
+  SELECT 'Category' AS label, CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n FROM part
+  UNION ALL SELECT 'Customer', CAST(COUNT(*) AS BIGINT) FROM customer
+  UNION ALL SELECT 'Order', CAST(COUNT(*) AS BIGINT) FROM orders
+  UNION ALL SELECT 'Product', CAST(COUNT(*) AS BIGINT) FROM part
+) ORDER BY label
+"""
+
+    sqls["graph_edge_counts"] = f"""
+WITH contains AS (
+  SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+),
+ev AS (
+  SELECT DISTINCT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         {_EVENT_REL} AS rel_type
+  FROM events WHERE lower(event_type) IN ('view', 'click', 'add_to_cart')
+),
+ev_resolved AS (
+  SELECT rel_type FROM ev
+  JOIN customer ON ev.user_id = c_custkey
+  JOIN part ON ev.k = p_partkey
+)
+SELECT rel_type, n FROM (
+  SELECT 'CONTAINS' AS rel_type, CAST(COUNT(*) AS BIGINT) AS n FROM contains
+  UNION ALL SELECT 'IN_CATEGORY', CAST(COUNT(*) AS BIGINT) FROM part
+  UNION ALL SELECT 'PLACED', CAST(COUNT(*) AS BIGINT)
+    FROM orders JOIN customer ON o_custkey = c_custkey
+  UNION ALL SELECT rel_type, CAST(COUNT(*) AS BIGINT) FROM ev_resolved GROUP BY rel_type
+) ORDER BY rel_type
+"""
+
+    sqls["event_edge_dedup_counts"] = f"""
+SELECT rel_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT DISTINCT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         {_EVENT_REL} AS rel_type
+  FROM events WHERE lower(event_type) IN ('view', 'click', 'add_to_cart')
+) GROUP BY rel_type ORDER BY rel_type
+"""
+
+    sqls["pricing_summary"] = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM({_CHARGE}) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+    sqls["brand_revenue"] = f"""
+SELECT p_brand, CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY revenue DESC, p_brand ASC
+"""
+
+    sqls["region_sales"] = """
+SELECT r_name,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_sales,
+  COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+    sqls["top_customers"] = """
+SELECT c_custkey AS custkey, c_name AS name, c_mktsegment AS mktsegment,
+       total_spent, n_orders
+FROM (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+) JOIN customer ON o_custkey = c_custkey
+ORDER BY total_spent DESC, custkey ASC
+LIMIT 10
+"""
+
+    sqls["order_priority_rollup"] = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+    sqls["market_segment_stats"] = """
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_acctbal
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+    sqls["customer_activity_setops"] = """
+WITH oc AS (SELECT DISTINCT o_custkey AS key FROM orders),
+eu AS (SELECT DISTINCT user_id AS key FROM events),
+tagged AS (
+  SELECT 'both' AS cohort, key FROM (SELECT key FROM oc INTERSECT SELECT key FROM eu)
+  UNION ALL
+  SELECT 'orders_only', key FROM (SELECT key FROM oc EXCEPT SELECT key FROM eu)
+  UNION ALL
+  SELECT 'events_only', key FROM (SELECT key FROM eu EXCEPT SELECT key FROM oc)
+)
+SELECT cohort, COUNT(*) AS n_keys FROM tagged GROUP BY cohort ORDER BY cohort
+"""
+
+    sqls["sessionize"] = """
+WITH x AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM x
+)
+SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events,
+       CAST(COUNT(*) AS DOUBLE) / CAST(MAX(session_id) AS BIGINT) AS avg_events_per_session
+FROM s GROUP BY user_id ORDER BY user_id
+"""
+
+    sqls["top_events_per_user"] = """
+SELECT user_id, rn, event_id, event_type, value FROM (
+  SELECT user_id, event_id, event_type, value,
+    CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS BIGINT) AS rn
+  FROM events
+) WHERE rn <= 3 ORDER BY user_id, rn
+"""
+
+    sqls["user_running_value"] = """
+SELECT user_id, event_id, value,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS DOUBLE) AS running_value
+FROM events ORDER BY user_id, event_id
+"""
+
+    sqls["props_key_histogram"] = """
+SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10) * 10 AS BIGINT) AS k_bucket,
+       COUNT(*) AS n_events
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY k_bucket ORDER BY k_bucket
+"""
+
+    sqls["event_type_stats"] = """
+SELECT event_type, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+  MIN(value) AS min_value, MAX(value) AS max_value,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+    sqls["token_stats"] = f"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+  CAST(list_sum(list_transform(
+        regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'),
+        r -> CAST(ceil(length(r) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords,
+  CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct_tokens
+FROM documents ORDER BY doc_id
+"""
+
+    _en = ", ".join(f"'{w}'" for w in ("the", "a", "of", "and", "to", "in", "is", "it"))
+    sqls["text_quality"] = f"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+  CAST(list_sum(list_transform({_TOKS}, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+    / CAST(len({_TOKS}) AS DOUBLE) AS mean_token_len,
+  CAST(len(list_filter({_TOKS}, t -> list_contains([{_en}], t))) AS DOUBLE)
+    / CAST(len({_TOKS}) AS DOUBLE) AS stopword_ratio,
+  CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+    / CAST(len({_TOKS}) AS DOUBLE) AS type_token_ratio
+FROM documents ORDER BY doc_id
+"""
+
+    sqls["language_id"] = _lang_id_sql()
+
+    sqls["doc_fingerprints"] = f"""
+WITH fp AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform({_TOKS},
+          t -> CAST(('0x' || substr(md5(t), 1, 7)) AS BIGINT))),
+      (acc, x) -> (acc * 131 + x) % 2147483647
+    ) AS fingerprint
+  FROM documents
+)
+SELECT doc_id, fingerprint,
+       CAST(COUNT(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS group_size
+FROM fp ORDER BY doc_id
+"""
+
+    sqls["exact_dedup_stats"] = """
+SELECT source, COUNT(*) AS n_docs,
+  CAST(COUNT(DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))) AS BIGINT) AS n_distinct,
+  COUNT(*) - CAST(COUNT(DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))) AS BIGINT) AS n_redundant
+FROM documents GROUP BY source ORDER BY source
+"""
+
+    sqls["minhash_lsh_pairs"] = f"""
+WITH sigs AS ({_minhash_sig_sql()}),
+buckets AS ({_band_buckets_sql()})
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_shared_bands
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+GROUP BY doc_id_a, doc_id_b
+ORDER BY doc_id_a, doc_id_b
+"""
+
+    sqls["simhash_docs"] = _simhash_sql()
+
+    sqls["ngram_jaccard_pairs"] = f"""
+WITH doc_shingles AS (
+  SELECT doc_id, unnest(sh) AS shingle
+  FROM (SELECT doc_id, {_SHINGLES} AS sh FROM documents)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM doc_shingles GROUP BY doc_id),
+rare AS (SELECT shingle FROM doc_shingles GROUP BY shingle HAVING COUNT(*) <= 100),
+filtered AS (SELECT d.* FROM doc_shingles d JOIN rare r ON d.shingle = r.shingle),
+common AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_common
+  FROM filtered a JOIN filtered b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY doc_id_a, doc_id_b
+)
+SELECT doc_id_a, doc_id_b, n_common,
+  CAST(n_common AS DOUBLE) / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_id_a
+JOIN sizes sb ON sb.doc_id = doc_id_b
+WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE) >= 0.10
+ORDER BY doc_id_a, doc_id_b
+"""
+
+    sqls["embedding_neardup_pairs"] = f"""
+WITH q AS (SELECT vec_id, label, {_QE} AS qe FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.label AS label,
+         {_cosine_sql("a.qe", "b.qe")} AS cosine
+  FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT * FROM scored WHERE cosine >= 0.35 ORDER BY vec_id_a, vec_id_b
+"""
+
+    _ann_scored = f"""
+WITH q AS (SELECT vec_id, {_QE} AS qe FROM embeddings),
+queries AS (SELECT vec_id AS query_id, qe AS query_qe FROM q WHERE vec_id < 5),
+scored AS (
+  SELECT query_id, vec_id, {_cosine_sql("query_qe", "qe")} AS cosine
+  FROM q CROSS JOIN queries
+  WHERE vec_id <> query_id
+)
+"""
+    sqls["ann_topk_bruteforce"] = f"""
+{_ann_scored}
+SELECT query_id, rank, vec_id, cosine FROM (
+  SELECT query_id, vec_id, cosine,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+    _bucket = (
+        "("
+        + " + ".join(f"(CASE WHEN qe[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(4))
+        + ")"
+    )
+    _qbucket = _bucket.replace("qe[", "query_qe[")
+    sqls["ann_topk_lsh"] = f"""
+WITH q AS (SELECT vec_id, {_QE} AS qe FROM embeddings),
+corpus AS (SELECT vec_id, qe, CAST({_bucket} AS BIGINT) AS bucket FROM q),
+queries AS (SELECT vec_id AS query_id, qe AS query_qe, CAST({_bucket} AS BIGINT) AS bucket
+            FROM q WHERE vec_id < 5),
+scored AS (
+  SELECT query_id, corpus.vec_id AS vec_id, {_cosine_sql("query_qe", "corpus.qe")} AS cosine
+  FROM corpus JOIN queries USING (bucket)
+  WHERE corpus.vec_id <> query_id
+)
+SELECT query_id, rank, vec_id, cosine FROM (
+  SELECT query_id, vec_id, cosine,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+    return sqls

@@ -1,0 +1,82 @@
+"""Benchmark harness (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + collect), which is the
+reference's ``took_ms`` spirit (app/main.py:35,134) applied per operator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from graphdb_td2_spark.session import get_spark  # noqa: E402
+
+# Headline set: the reference-parity recommendation path, graph build,
+# representative relational/window/JSON analytics, and the Stage-5
+# LLM-pipeline operators.
+HEADLINE = [
+    "recs_product_cooccurrence",
+    "recs_customer_cf",
+    "recs_customer_brand_fallback",
+    "graph_vertex_counts",
+    "graph_edge_counts",
+    "pricing_summary",
+    "brand_revenue",
+    "region_sales",
+    "top_customers",
+    "sessionize",
+    "event_type_stats",
+    "token_stats",
+    "exact_dedup_stats",
+    "minhash_lsh_pairs",
+    "simhash_docs",
+    "ngram_jaccard_pairs",
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    spark = get_spark("graphdb-td2-bench")
+    queries = entry_mod.queries()
+
+    # Warm the JVM/session on a trivial action so q1 doesn't pay startup.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        n = len(fn(spark, sf_dir).collect())
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

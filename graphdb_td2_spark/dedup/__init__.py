@@ -1,0 +1,18 @@
+"""Deduplication operators over ``documents`` (SURVEY.md §7 Stage 5
+[extension]): exact, MinHash+LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup."""
+
+from .exact import exact_dedup_stats
+from .minhash import minhash_lsh_pairs, minhash_signatures
+from .ngram import ngram_jaccard_pairs
+from .simhash import simhash_docs
+from .embedding import embedding_neardup_pairs
+
+__all__ = [
+    "exact_dedup_stats",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "simhash_docs",
+    "embedding_neardup_pairs",
+]

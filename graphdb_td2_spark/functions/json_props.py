@@ -1,0 +1,47 @@
+"""JSON extraction over ``events.props`` (SURVEY.md §2.H note: the corpus
+adds a JSON column the reference never had; ``get_json_object`` /
+``from_json`` are the exposed surface).
+
+Determinism: extracted values are integers; value sums use the exact-decimal
+trick (≤2-dp doubles → DECIMAL(18,6) → double)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import read_table
+
+
+def props_k(events: DataFrame) -> DataFrame:
+    return events.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+
+
+def props_key_histogram(spark: SparkSession, sf_dir: str, bucket: int = 10) -> DataFrame:
+    """Histogram of the ``props.k`` JSON key in ``bucket``-wide bins."""
+    events = read_table(spark, sf_dir, "events", ["props"])
+    return (
+        props_k(events)
+        .filter(F.col("k").isNotNull())
+        .groupBy((F.floor(F.col("k") / bucket) * bucket).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("k_bucket")
+    )
+
+
+def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event stats incl. a JSON-extracted dimension: count, exact
+    value sum, deterministic average, min/max."""
+    events = read_table(spark, sf_dir, "events", ["event_type", "value", "props"])
+    return (
+        props_k(events)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.sum("k").alias("sum_k"),
+        )
+        .withColumn("avg_value", F.col("sum_value") / F.col("n_events"))
+        .orderBy("event_type")
+    )

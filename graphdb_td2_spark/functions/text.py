@@ -1,0 +1,150 @@
+"""Text-analysis functions over ``documents`` (SURVEY.md §7 Stage 5
+[extension]): tokenization, quality scoring, n-gram language ID, and
+polynomial document fingerprinting. All Catalyst built-ins / higher-order
+functions — JVM-side, Arrow-free, codegen'd; no Python in the hot path.
+
+Cross-engine determinism: token counts and ratios are integer math plus one
+double division; fingerprints are exact 64-bit integer folds; language ID is
+an argmax over integer hit counts with a fixed preference order for ties.
+
+Scale notes: everything is a narrow per-row projection (no shuffle at all
+until a downstream groupBy); at 100 TB this pipelines directly over the
+parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..io import read_table
+
+# Fixed stopword lexicons for the language-ID heuristic. Deliberately tiny
+# and deterministic — the operator contract is the *shape* (argmax of n-gram
+# hit counts), not linguistic accuracy.
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "fr": ("le", "la", "de", "et", "un", "une", "est", "les"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht", "zu"),
+    "es": ("el", "la", "de", "y", "que", "un", "es", "los"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不"),
+}
+LANG_ORDER: tuple[str, ...] = ("en", "fr", "de", "es", "zh")
+
+# Polynomial rolling-hash parameters (Karp-Rabin over token hashes).
+_FP_BASE = 131
+_FP_MOD = (1 << 31) - 1
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization of lowercased, trimmed text."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish subword count: alphanumeric runs are split into ≤4-char
+    chunks, everything else is one token per char — approximated as
+    ceil(len(run)/4) summed over runs, via a regex token extraction."""
+    runs = F.regexp_extract_all(F.lower(text), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0)
+    return F.aggregate(
+        runs,
+        F.lit(0).cast("long"),
+        lambda acc, r: acc + F.ceil(F.length(r) / F.lit(4.0)).cast("long"),
+    )
+
+
+def _lex_hits(tokens: Column, lexicon: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*lexicon)))
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts: whitespace tokens + BPE-ish subword count
+    + character stats."""
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    tokens = tokens_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(tokens).cast("long").alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_subwords"),
+        F.size(F.array_distinct(tokens)).cast("long").alias("n_distinct_tokens"),
+    ).orderBy("doc_id")
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, mean token length, stopword ratio,
+    type-token ratio — the standard cheap pre-training filters."""
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    tokens = tokens_col(F.col("text"))
+    n_tokens = F.size(tokens).cast("double")
+    stop_hits = _lex_hits(tokens, LANG_LEXICONS["en"]).cast("double")
+    distinct_ratio = F.size(F.array_distinct(tokens)).cast("double") / n_tokens
+    mean_tok_len = (
+        F.aggregate(tokens, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast(
+            "double"
+        )
+        / n_tokens
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        mean_tok_len.alias("mean_token_len"),
+        (stop_hits / n_tokens).alias("stopword_ratio"),
+        distinct_ratio.alias("type_token_ratio"),
+    ).orderBy("doc_id")
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hit counts
+    with a fixed preference order for ties; emitted as a (lang ×
+    predicted_lang) confusion matrix against the corpus label."""
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"])
+    tokens = tokens_col(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[_lex_hits(tokens, LANG_LEXICONS[lang]).alias(f"hits_{lang}") for lang in LANG_ORDER],
+    )
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in LANG_ORDER])
+    predicted = F.lit("unknown")
+    # Build the CASE in reverse preference order so earlier languages win ties.
+    for lang in reversed(LANG_ORDER):
+        predicted = F.when(
+            (best > 0) & (F.col(f"hits_{lang}") == best), F.lit(lang)
+        ).otherwise(predicted)
+    return (
+        scored.withColumn("predicted_lang", predicted)
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Polynomial rolling hash over the token stream: each token is mapped
+    to a 28-bit integer via an md5 prefix, then folded with
+    ``acc = (acc * 131 + tok) mod (2^31 - 1)`` — exact 64-bit integer math,
+    identical in any engine."""
+    tok_ints = F.transform(
+        tokens_col(text),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long"),
+    )
+    return F.aggregate(
+        tok_ints,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * _FP_BASE + t) % _FP_MOD,
+    )
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rolling-hash fingerprint + duplicate-group size."""
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    fps = docs.select("doc_id", fingerprint_col(F.col("text")).alias("fingerprint"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint")
+    return (
+        fps.withColumn("group_size", F.count(F.lit(1)).over(w).cast("long"))
+        .select("doc_id", "fingerprint", "group_size")
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,59 @@
+"""Graph-level inventory queries: load-effect counts (the Spark analogue of
+the checks container's ``MATCH (n) RETURN count(n)`` assertion,
+``docker-compose.yml:94-102``; SURVEY.md §2 D3) and graph-build invariants
+(FIXTURES.md oracle query 5/6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_tables, read_table
+from .build import build_graph, event_typed_dedup
+from .pagerank import pagerank, personalized_pagerank
+
+
+def graph_vertex_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex count per label after the full E2-E9 build."""
+    g = build_graph(load_tables(spark, sf_dir))
+    return (
+        g.vertices.groupBy("label").agg(F.count(F.lit(1)).alias("n")).orderBy("label")
+    )
+
+
+def graph_edge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge count per relationship type after the full E2-E9 build —
+    exercises MERGE dedup (D4) and inner-join orphan drops (C7)."""
+    g = build_graph(load_tables(spark, sf_dir))
+    return (
+        g.edges.groupBy("rel_type").agg(F.count(F.lit(1)).alias("n")).orderBy("rel_type")
+    )
+
+
+def event_edge_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type edge counts after B4 domain filtering and (customer,
+    product, type) dedup, before endpoint resolution — isolates E8/E9."""
+    events = read_table(spark, sf_dir, "events")
+    return (
+        event_typed_dedup(events)
+        .groupBy("rel_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("rel_type")
+    )
+
+
+def pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the full property graph; top 20 vertices.
+
+    Iterative — not SQL-expressible, so no DuckDB oracle (driver records the
+    weaker rows-only check; SURVEY.md §4 custom-work item 1)."""
+    g = build_graph(load_tables(spark, sf_dir))
+    pr = pagerank(g.edges.select("src", "dst"), num_iter=5)
+    return pr.orderBy(F.desc("rank"), F.asc("id")).limit(20)
+
+
+def ppr_top20(spark: SparkSession, sf_dir: str, seed: str = "C:1") -> DataFrame:
+    """Personalized PageRank from one customer seed — the reference's
+    declared GDS TODO (``app/main.py:31-33``); top 20 vertices."""
+    g = build_graph(load_tables(spark, sf_dir))
+    pr = personalized_pagerank(g.edges.select("src", "dst"), seeds=[seed], num_iter=5)
+    return pr.orderBy(F.desc("rank"), F.asc("id")).limit(20)

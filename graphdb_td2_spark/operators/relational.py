@@ -1,0 +1,208 @@
+"""Analytic relational operators over the corpus star schema.
+
+These exercise the full §2 relational inventory at OLAP scale: projections
+and filters that push to the parquet scan (B1-B4), broadcast equi-joins over
+the dimension chain region→nation→customer (C7/C8), partial+final hash
+aggregation (D1/D3), rollup grouping sets, set operations (§2.G
+[extension]), and deterministic top-k (F1).
+
+Cross-engine float determinism: unordered floating-point SUM/AVG is
+order-dependent, and the DuckDB oracle would hash-mismatch on the last bits.
+Money-like doubles in the corpus carry ≤2 decimal digits, so every such
+aggregate here is computed exactly: cast to DECIMAL(12,2) (lossless for the
+data, exact in both engines), summed exactly, then cast back to DOUBLE for
+output. Products (discount/tax factors) stay within explicit intermediate
+precisions so Spark and DuckDB never hit their (different) precision-loss
+rules. Averages are ``exact_sum / count`` evaluated in double — one
+deterministic division.
+
+Scale notes: region/nation/customer/part are dimensions (broadcast);
+orders/lineitem are the fact tables (shuffled hash agg with map-side partial
+aggregation; AQE coalesces post-shuffle partitions). Top-k compiles to
+TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import read_table
+
+# Exact-decimal sum of a ≤2-dp money double, returned as double.
+def _money(col) -> F.Column:
+    return F.col(col).cast("decimal(12,2)")
+
+
+def _dsum(col, alias: str) -> F.Column:
+    return F.sum(_money(col)).cast("double").alias(alias)
+
+
+def _dsum_expr(expr: F.Column, alias: str) -> F.Column:
+    return F.sum(expr).cast("double").alias(alias)
+
+
+def disc_price_expr() -> F.Column:
+    """Exact per-row discounted price: DECIMAL(12,2) × DECIMAL(5,2) →
+    explicit DECIMAL(18,4) — identical intermediate types in the oracle."""
+    factor = (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    ).cast("decimal(5,2)")
+    return (_money("l_extendedprice") * factor).cast("decimal(18,4)")
+
+
+def charge_expr() -> F.Column:
+    tax_factor = (
+        F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast("decimal(4,2)")
+    ).cast("decimal(5,2)")
+    return (disc_price_expr() * tax_factor).cast("decimal(24,6)")
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str, cutoff: str = "2024-09-01") -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: filter pushed to the scan, grouped
+    hash agg with exact-decimal sums, deterministic group ordering."""
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = disc_price_expr()
+    charge = charge_expr()
+    out = (
+        li.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity", "sum_qty"),
+            _dsum("l_extendedprice", "sum_base_price"),
+            _dsum_expr(disc_price, "sum_disc_price"),
+            _dsum_expr(charge, "sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+        .withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        "avg_qty",
+        "avg_price",
+        "count_order",
+    )
+
+
+def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per brand: fact⋈dimension broadcast join + hash agg + top-k
+    (generalizes C2's category dimension to an aggregate query)."""
+    li = read_table(spark, sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+    part = read_table(spark, sf_dir, "part", ["p_partkey", "p_brand"])
+    revenue = disc_price_expr()
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(_dsum_expr(revenue, "revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.desc("revenue"), F.asc("p_brand"))
+    )
+
+
+def region_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total order value per region: the full dimension chain
+    region⋈nation⋈customer broadcast-joined into orders (C7 at OLAP shape)."""
+    region = read_table(spark, sf_dir, "region")
+    nation = read_table(spark, sf_dir, "nation")
+    customer = read_table(spark, sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = read_table(spark, sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            _dsum("o_totalprice", "total_sales"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def top_customers(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Top-k customers by exact total spend (F1 top-k with full tiebreak)."""
+    customer = read_table(spark, sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    orders = read_table(spark, sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    return (
+        orders.groupBy("o_custkey")
+        .agg(_dsum("o_totalprice", "total_spent"), F.count(F.lit(1)).alias("n_orders"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            "total_spent",
+            "n_orders",
+        )
+        .orderBy(F.desc("total_spent"), F.asc("custkey"))
+        .limit(k)
+    )
+
+
+def order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (status, priority) — grouping sets [extension], free in
+    Spark SQL (SURVEY §2.D note). Includes exact sums per grouping set."""
+    orders = read_table(spark, sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum("o_totalprice", "total_value"),
+        )
+        .orderBy(
+            F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority")
+        )
+    )
+
+
+def market_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment customer stats (exact sums; avg as exact-sum/count)."""
+    customer = read_table(spark, sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+    return (
+        customer.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum("c_acctbal", "sum_acctbal"),
+        )
+        .withColumn("avg_acctbal", F.col("sum_acctbal") / F.col("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def customer_activity_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (§2.G [extension]): classify customer keys by whether
+    they appear as order placers, event users, or both — INTERSECT /
+    EXCEPT / UNION ALL composed into one tagged result."""
+    order_custs = (
+        read_table(spark, sf_dir, "orders", ["o_custkey"])
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    event_users = (
+        read_table(spark, sf_dir, "events", ["user_id"])
+        .select(F.col("user_id").alias("key"))
+        .distinct()
+    )
+    both = order_custs.intersect(event_users).select(
+        F.lit("both").alias("cohort"), "key"
+    )
+    orders_only = order_custs.exceptAll(event_users).select(
+        F.lit("orders_only").alias("cohort"), "key"
+    )
+    events_only = event_users.exceptAll(order_custs).select(
+        F.lit("events_only").alias("cohort"), "key"
+    )
+    return (
+        both.unionByName(orders_only)
+        .unionByName(events_only)
+        .groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .orderBy("cohort")
+    )

@@ -1,0 +1,87 @@
+"""Window-function operators over the ``events`` stream table
+(SURVEY.md §2.I [extension]).
+
+The reference discards ``events.ts`` at extraction (``app/etl.py:161-164``);
+the rebuild restores it and exposes the per-user ordered analyses the data
+naturally supports: sessionization (lag + cumulative flag sum), per-group
+top-k (row_number), running totals.
+
+Determinism: every window carries a total order (``ts`` then ``event_id`` —
+event_id is unique), so frames are identical across engines. Running sums of
+doubles accumulate left-to-right in both Spark and DuckDB; values carry ≤2
+decimals, and the cumulative-sum query still casts to exact decimal to be
+safe against engine-specific accumulation tricks.
+
+Scale notes: one shuffle partitioned by ``user_id`` serves every window;
+whole-stage codegen covers the lag/row_number/sum frames. Hot users are
+bounded (per-user event counts), so no salting is needed; if a pathological
+key appeared, AQE skew handling applies to the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..io import read_table
+
+SESSION_GAP_MINUTES = 30
+
+
+def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
+    """Sessionization: a new session starts when the gap to the previous
+    event of the same user exceeds ``gap_minutes``. Returns per-user session
+    stats (all integer arithmetic → engine-exact)."""
+    events = read_table(spark, sf_dir, "events", ["user_id", "ts", "event_id"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    gap = micros - F.lag(micros).over(w)
+    with_sessions = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn("session_id", F.sum("new_session").over(w))
+    return (
+        with_sessions.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn(
+            "avg_events_per_session",
+            F.col("n_events").cast("double") / F.col("n_sessions"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def top_events_per_user(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Per-group top-k via row_number over (value DESC, event_id ASC) —
+    the windowed generalization of F1's top-k."""
+    events = read_table(spark, sf_dir, "events", ["user_id", "event_id", "event_type", "value"])
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("user_id", "rn", "event_id", "event_type", "value")
+        .orderBy("user_id", "rn")
+    )
+
+
+def user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user total of ``value`` in event-time order (cumulative
+    frame), computed on exact decimals and emitted as double."""
+    events = read_table(spark, sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events.withColumn(
+            "running_value",
+            F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double"),
+        )
+        .select("user_id", "event_id", "value", "running_value")
+        .orderBy("user_id", "event_id")
+    )

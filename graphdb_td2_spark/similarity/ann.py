@@ -1,0 +1,107 @@
+"""Approximate-nearest-neighbor search over the ``embeddings`` table.
+
+Two strategies (the baseline/scale pair SURVEY.md §7 Stage 5 calls for):
+
+- **Brute force**: broadcast the (small) query set against every vector,
+  quantized-exact cosine, per-query top-k via row_number — exact recall,
+  O(n·q·d), the correctness baseline and perfectly scalable when the query
+  set is broadcast-able.
+- **Sign-LSH bucketed**: every vector hashes to a bucket from the signs of
+  ``n_planes`` fixed coordinate projections (a deterministic, engine-
+  portable stand-in for random hyperplanes; an IVF cell id plays the same
+  role with trained centroids). Queries probe only their own bucket →
+  candidate set shrinks ~2^n_planes ×, recall < 1 by design.
+
+Scale notes: brute force is a broadcast nested loop over a narrow
+projection — embarrassingly parallel, no shuffle; top-k is a window over
+query_id (q partitions). The LSH variant turns the scan into a bucket-
+equi-join; bucket skew is data-dependent and AQE-split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Window
+
+from ..io import read_table
+from ..functions.vectors import cosine_similarity_q, quantize_embedding
+
+DEFAULT_K = 5
+DEFAULT_N_QUERIES = 5
+N_PLANES = 4
+
+
+def sign_lsh_bucket(qe: Column, n_planes: int = N_PLANES) -> Column:
+    """Bucket id from the sign bits of the first ``n_planes`` components
+    (deterministic hyperplane surrogate; exact integer math)."""
+    bucket = F.lit(0)
+    for i in range(n_planes):
+        bucket = bucket + F.when(F.element_at(qe, i + 1) > 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+    return bucket.cast("long")
+
+
+def _queries_and_corpus(
+    spark: SparkSession, sf_dir: str, n_queries: int
+) -> tuple[DataFrame, DataFrame]:
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = emb.select("vec_id", quantize_embedding(F.col("embedding")).alias("qe"))
+    queries = q.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("qe").alias("query_qe")
+    )
+    return queries, q
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_topk_bruteforce(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = DEFAULT_K,
+    n_queries: int = DEFAULT_N_QUERIES,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast query set × full corpus scan."""
+    queries, corpus = _queries_and_corpus(spark, sf_dir, n_queries)
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity_q(F.col("query_qe"), F.col("qe")).alias("cosine"),
+        )
+    )
+    return _topk(scored, k)
+
+
+def ann_topk_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = DEFAULT_K,
+    n_queries: int = DEFAULT_N_QUERIES,
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """Bucketed approximate top-k: compare only within the query's sign-LSH
+    bucket."""
+    queries, corpus = _queries_and_corpus(spark, sf_dir, n_queries)
+    corpus_b = corpus.withColumn("bucket", sign_lsh_bucket(F.col("qe"), n_planes))
+    queries_b = queries.withColumn("bucket", sign_lsh_bucket(F.col("query_qe"), n_planes))
+    scored = (
+        corpus_b.join(F.broadcast(queries_b), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity_q(F.col("query_qe"), F.col("qe")).alias("cosine"),
+        )
+    )
+    return _topk(scored, k)

@@ -1,0 +1,136 @@
+"""Unit tests for operator building blocks on tiny in-memory data (the
+corpus-level cross-checks live in tools/oracle_check.py and the driver's t2
+harness)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdb_td2_spark.dedup.exact import content_digest, dedup_exact
+from graphdb_td2_spark.dedup.minhash import minhash_signatures
+from graphdb_td2_spark.dedup.simhash import hamming_distance
+from graphdb_td2_spark.functions.vectors import (
+    cosine_similarity_q,
+    quantize_embedding,
+)
+from graphdb_td2_spark.functions.text import fingerprint_col
+from graphdb_td2_spark.graph.pagerank import pagerank, personalized_pagerank
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in dedup_exact(docs).collect())
+    assert kept == [1, 3]  # normalization collapses 1 and 2; lowest id wins
+
+
+def test_content_digest_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame([("A  b\tC",), ("a b c",)], "text string")
+    d = df.select(content_digest(F.col("text")).alias("d")).collect()
+    assert d[0]["d"] == d[1]["d"]
+
+
+def test_minhash_identical_texts_share_signature(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "a completely different sentence with no overlap at all")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs).collect()
+    by_id = {r["doc_id"]: tuple(r[f"sig_{j}"] for j in range(16)) for r in sigs}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+
+
+def test_quantized_cosine_identity_and_orthogonal(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0, 0.0], [1.0, 0.0, 0.0]), ([1.0, 0.0, 0.0], [0.0, 1.0, 0.0])],
+        "a array<float>, b array<float>",
+    )
+    out = df.select(
+        cosine_similarity_q(
+            quantize_embedding(F.col("a")), quantize_embedding(F.col("b"))
+        ).alias("c")
+    ).collect()
+    assert out[0]["c"] == pytest.approx(1.0)
+    assert out[1]["c"] == pytest.approx(0.0)
+
+
+def test_fingerprint_deterministic_and_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [("a b c",), ("a b c",), ("c b a",)], "text string"
+    )
+    fps = [r["f"] for r in df.select(fingerprint_col(F.col("text")).alias("f")).collect()]
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]  # rolling hash is order-sensitive
+
+
+def test_hamming_distance(spark):
+    df = spark.createDataFrame([(0b1010, 0b0011)], "a long, b long")
+    out = df.select(hamming_distance(F.col("a"), F.col("b")).alias("h")).collect()
+    assert out[0]["h"] == 2
+
+
+def test_pagerank_sums_to_one_and_ranks_sink_highest(spark):
+    # chain into a self-looped sink: no period-2 oscillation, 'sink'
+    # strictly dominates after a few iterations
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "sink"), ("c", "sink"), ("sink", "sink")],
+        "src string, dst string",
+    )
+    pr = pagerank(edges, num_iter=10).collect()
+    total = sum(r["rank"] for r in pr)
+    assert total == pytest.approx(1.0, abs=1e-6)
+    top = max(pr, key=lambda r: r["rank"])
+    assert top["id"] == "sink"
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    # 'b' is dangling: its mass must recycle via teleport, keeping sum=1
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    pr = pagerank(edges, num_iter=8).collect()
+    assert sum(r["rank"] for r in pr) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_personalized_pagerank_teleports_to_seed(spark):
+    edges = spark.createDataFrame(
+        [("s", "x"), ("x", "y"), ("y", "s"), ("z", "x")],
+        "src string, dst string",
+    )
+    pr = {r["id"]: r["rank"] for r in personalized_pagerank(edges, ["s"], num_iter=10).collect()}
+    # z is unreachable from the teleport set → rank ~0; seed keeps mass
+    assert pr["z"] == pytest.approx(0.0, abs=1e-9)
+    assert pr["s"] > pr["x"] * 0.5  # seed retains substantial mass
+
+
+def test_recommend_shape(spark, sf_dir):
+    from graphdb_td2_spark.recs import recommend
+
+    out = recommend(spark, sf_dir, product_id=1)
+    assert set(out) == {"items", "took_ms"}
+    assert isinstance(out["took_ms"], int)
+    assert out["items"], "seed part 1 must have co-occurrences"
+    first = out["items"][0]
+    assert set(first) == {"product_id", "score", "reason"}
+    assert first["reason"] == "co-occurrence"
+    # precedence: product_id wins when both are passed (app/main.py:49,86)
+    both = recommend(spark, sf_dir, product_id=1, customer_id=1)
+    assert [i["product_id"] for i in both["items"]] == [
+        i["product_id"] for i in out["items"]
+    ]
+    # neither → empty (app/main.py:124)
+    assert recommend(spark, sf_dir)["items"] == []
+
+
+def test_safe_read_missing_table_yields_empty(spark):
+    from graphdb_td2_spark.io import safe_read_table
+
+    df = safe_read_table(spark, "/root/testdata/does-not-exist", "events")
+    assert df.count() == 0
+    assert "event_type" in df.columns

@@ -1,0 +1,152 @@
+"""Golden-answer tests on the reference's own seed dataset (FIXTURES.md §A,
+from ``postgres/init/02_seed.sql:1-26``) — every expected value below is
+hand-computable and matches the reference's behavior including its
+deliberate lossiness (SURVEY.md §1.1)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdb_td2_spark.schemas import REFERENCE
+from graphdb_td2_spark.graph.build import build_graph_from_reference_tables
+from graphdb_td2_spark.recs.queries import (
+    customer_brand_fallback_core,
+    customer_cooccurrence_core,
+    product_cooccurrence_core,
+    product_same_brand_core,
+    purchased_products_core,
+)
+
+
+@pytest.fixture(scope="module")
+def seed_tables(spark):
+    ts = dt.datetime
+    tables = {
+        "customers": [
+            ("C1", "Alice", dt.date(2024, 1, 2)),
+            ("C2", "Bob", dt.date(2024, 2, 11)),
+            ("C3", "Chloé", dt.date(2024, 3, 5)),
+        ],
+        "categories": [("CAT1", "Electronics"), ("CAT2", "Books")],
+        "products": [
+            ("P1", "Wireless Mouse", 29.99, "CAT1"),
+            ("P2", "USB-C Hub", 49.00, "CAT1"),
+            ("P3", "Graph Databases Book", 39.00, "CAT2"),
+            ("P4", "Mechanical Keyboard", 89.00, "CAT1"),
+        ],
+        "orders": [
+            ("O1", "C1", ts(2024, 4, 1, 10, 15)),
+            ("O2", "C2", ts(2024, 4, 2, 12, 30)),
+            ("O3", "C1", ts(2024, 4, 5, 8, 5)),
+        ],
+        "order_items": [
+            ("O1", "P1", 1),
+            ("O1", "P2", 1),
+            ("O2", "P3", 1),
+            ("O3", "P4", 1),
+            ("O3", "P2", 1),
+        ],
+        "events": [
+            ("E1", "C1", "P3", "view", ts(2024, 4, 1)),
+            ("E2", "C1", "P3", "click", ts(2024, 4, 1)),
+            ("E3", "C3", "P1", "view", ts(2024, 4, 2)),
+            ("E4", "C2", "P2", "view", ts(2024, 4, 2)),
+            ("E5", "C2", "P4", "add_to_cart", ts(2024, 4, 3)),
+        ],
+    }
+    out = {}
+    for name, rows in tables.items():
+        schema = REFERENCE[name]
+        if name == "products":
+            rows = [(i, n, None, c) for (i, n, _p, c) in rows]  # decimal via cast below
+        out[name] = spark.createDataFrame(rows, schema)
+    return out
+
+
+@pytest.fixture(scope="module")
+def views(seed_tables):
+    items = seed_tables["order_items"].select(
+        F.col("order_id"), F.col("product_id")
+    )
+    placed = seed_tables["orders"].select(
+        F.col("id").alias("order_id"), F.col("customer_id")
+    )
+    products = seed_tables["products"].select(
+        F.col("id").alias("product_id"), F.col("category_id")
+    )
+    return items, placed, products
+
+
+def test_graph_counts(seed_tables):
+    g = build_graph_from_reference_tables(seed_tables)
+    vc = {r["label"]: r["n"] for r in g.vertices.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # 12 vertices: 3 Customer, 4 Product, 2 Category, 3 Order (FIXTURES §A)
+    assert vc == {"Customer": 3, "Product": 4, "Category": 2, "Order": 3}
+    ec = {r["rel_type"]: r["n"] for r in g.edges.groupBy("rel_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # 17 edges (FIXTURES.md §A says "16" but its own type breakdown sums to
+    # 17): 4 IN_CATEGORY, 3 PLACED, 5 CONTAINS, 3 VIEWED, 1 CLICKED, 1 ADDED_TO_CART
+    assert ec == {
+        "IN_CATEGORY": 4,
+        "PLACED": 3,
+        "CONTAINS": 5,
+        "VIEWED": 3,
+        "CLICKED": 1,
+        "ADDED_TO_CART": 1,
+    }
+
+
+def test_graph_build_idempotent(seed_tables):
+    g1 = build_graph_from_reference_tables(seed_tables)
+    g2 = build_graph_from_reference_tables(seed_tables)
+    assert g1.vertices.count() == g2.vertices.count() == 12
+    assert g1.edges.count() == g2.edges.count() == 17
+    # MERGE parity: double input rows collapse identically (D4).
+    doubled = {k: v.unionByName(v) for k, v in seed_tables.items()}
+    g3 = build_graph_from_reference_tables(doubled)
+    assert g3.vertices.count() == 12
+    assert g3.edges.count() == 17
+
+
+def test_recs_product_p2(views):
+    items, _, _ = views
+    rows = product_cooccurrence_core(items, "P2").collect()
+    # P2 in O1 (with P1) and O3 (with P4) → P1:1, P4:1 (FIXTURES §A)
+    assert [(r["product_id"], r["score"]) for r in rows] == [("P1", 1.0), ("P4", 1.0)]
+
+
+def test_recs_product_p3_empty_then_fallback_empty(views):
+    items, _, products = views
+    assert product_cooccurrence_core(items, "P3").count() == 0
+    # no other Book → fallback empty
+    assert product_same_brand_core(products, "P3").count() == 0
+
+
+def test_recs_product_p1(views):
+    items, _, _ = views
+    rows = product_cooccurrence_core(items, "P1").collect()
+    assert [(r["product_id"], r["score"]) for r in rows] == [("P2", 1.0)]
+
+
+def test_recs_customer_c1(views):
+    items, placed, products = views
+    purchased = {
+        r["product_id"] for r in purchased_products_core(items, placed, "C1").collect()
+    }
+    assert purchased == {"P1", "P2", "P4"}
+    # co-occurrence minus purchased = ∅
+    assert customer_cooccurrence_core(items, placed, "C1").count() == 0
+    # Category fallback (app/main.py:112-116): categories of C1's purchases
+    # = {CAT1} only; CAT1 \ purchased = ∅ → empty. (FIXTURES.md §A's golden
+    # answer claims {P3}, but P3 is CAT2, which C1 never purchased from —
+    # the Cypher restricts `cat` to purchased products' categories.)
+    assert customer_brand_fallback_core(items, placed, products, "C1").count() == 0
+
+
+def test_recs_customer_c2(views):
+    items, placed, products = views
+    # purchased {P3}; no co-order; CAT2 \ {P3} = ∅ → empty items
+    assert customer_cooccurrence_core(items, placed, "C2").count() == 0
+    assert customer_brand_fallback_core(items, placed, products, "C2").count() == 0
