@@ -145,12 +145,16 @@ def _cosine_sql(a: str, b: str) -> str:
 
 
 def _minhash_sig_sql(n_hashes: int = 16) -> str:
+    from graphdb_td2_spark.dedup.minhash import HASH_P, hash_params
+
     cols = ", ".join(
-        "list_min(list_transform(sh, s -> CAST(('0x' || substr(md5(s || ':%d'), 1, 15)) AS BIGINT))) AS sig_%d"
-        % (j, j)
-        for j in range(n_hashes)
+        f"MIN(({a} * h + {b}) % {HASH_P}) AS sig_{j}"
+        for j, (a, b) in enumerate(hash_params(n_hashes))
     )
-    return f"SELECT doc_id, {cols} FROM (SELECT doc_id, {_SHINGLES} AS sh FROM documents)"
+    return f"""SELECT doc_id, {cols} FROM (
+      SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents)
+    ) GROUP BY doc_id"""
 
 
 def _band_buckets_sql(n_hashes: int = 16, n_bands: int = 4) -> str:

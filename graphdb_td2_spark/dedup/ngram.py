@@ -33,7 +33,12 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Document pairs with shingle-Jaccard ≥ ``threshold`` (computed over
     distinct k-token shingles, hot shingles DF-capped)."""
-    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    # Repartition parallelizes the narrow tokenize/shingle work when the
+    # source is a small single-row-group file; at corpus scale the input is
+    # already split and this is a cheap rebalance of (doc_id, text).
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"]).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     doc_shingles = docs.select(
         "doc_id", F.explode(_shingles(F.col("text"), k)).alias("shingle")
     )

@@ -1,0 +1,15 @@
+from .core import (
+    events_stream,
+    incremental_event_edges,
+    stream_event_type_windows,
+    stream_session_windows,
+    stream_sliding_value,
+)
+
+__all__ = [
+    "events_stream",
+    "incremental_event_edges",
+    "stream_event_type_windows",
+    "stream_session_windows",
+    "stream_sliding_value",
+]
