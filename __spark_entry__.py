@@ -34,6 +34,8 @@ from graphdb_td2_spark.dedup import (
     simhash_docs,
 )
 from graphdb_td2_spark.similarity import ann_topk_bruteforce, ann_topk_lsh
+from graphdb_td2_spark.multimodal import multimodal_feature_stats
+from graphdb_td2_spark.streaming import streaming_event_windows
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -89,6 +91,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search (Stage 5) ---
         "ann_topk_bruteforce": ann_topk_bruteforce,
         "ann_topk_lsh": ann_topk_lsh,
+        # --- multimodal plumbing (Stage 5; mapInPandas feature extraction) ---
+        "multimodal_feature_stats": multimodal_feature_stats,
+        # --- structured streaming (§2.J; batch-finite availableNow run) ---
+        "streaming_event_windows": streaming_event_windows,
     }
 
 
@@ -579,6 +585,26 @@ SELECT query_id, rank, vec_id, cosine FROM (
     CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
   FROM scored
 ) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+    sqls["multimodal_feature_stats"] = """
+SELECT kind, COUNT(*) AS n_media,
+  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_payloads
+FROM (
+  SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS kind, text
+  FROM documents
+) GROUP BY kind ORDER BY kind
+"""
+
+    sqls["streaming_event_windows"] = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2, 3 ORDER BY window_start, event_type
 """
 
     return sqls

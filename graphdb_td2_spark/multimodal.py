@@ -1,0 +1,181 @@
+"""Multimodal (image/audio/video) column handling [extension].
+
+The reference has no binary/media surface; this is the
+training-data-pipeline extension: media travel as opaque ``binary``
+payload columns plus a typed metadata struct, and per-item compute runs
+as Arrow-batched ``mapInPandas`` — the only place Python touches bytes,
+in vectorized batches, never row-at-a-time.
+
+The container has no image/audio codecs, so *real* decoding is stubbed
+behind ``NotImplementedError`` (``decode_media(..., fake=False)``); the
+deterministic fake decode and every piece of Spark-side plumbing —
+schema, partitioning, UDF signature, Arrow batch shape — are real and
+tested.
+
+Scale notes: payloads never pass through the driver; ``mapInPandas``
+streams Arrow batches executor-side. Feature extraction is embarrassingly
+parallel (no shuffle); downstream aggregations group by low-cardinality
+``kind``. Frame sampling is pure JVM (``sequence`` + binary ``substr`` +
+``posexplode``) — no Python in that path at all.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from .io import read_table
+
+KINDS = ("image", "audio", "video")
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("source", T.StringType()),
+                    T.StructField("lang", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("digest", T.StringType()),
+    ]
+)
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from ``documents``: the UTF-8
+    payload stands in for encoded media bytes; ``kind`` cycles by doc_id.
+    (The corpus ships no real media — this builds the typed plumbing the
+    pipeline would run on.)"""
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in KINDS]),
+        (F.col("doc_id") % len(KINDS) + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+            F.col("source").alias("source"),
+            F.col("lang").alias("lang"),
+        ).alias("meta"),
+    )
+
+
+def media_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched per-item features via ``mapInPandas``: byte length and
+    md5 digest of each payload. This is the real UDF shape a decode /
+    feature-extract step runs in — per-partition iterator of pandas
+    batches, typed output schema."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "digest": payloads.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                }
+            )
+
+    return media.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode payloads into fixed-length pseudo-sample arrays.
+
+    ``fake=False`` is the seam where a real codec (PIL / torchaudio /
+    pyav) would run — unavailable in this container, so it raises.
+    The fake decode is deterministic: the first 16 payload bytes as
+    float "samples" — enough to drive downstream feature/embedding
+    stages with stable values.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real media decoding requires codec libraries not present in "
+            "this environment; use fake=True for the deterministic stub"
+        )
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("samples", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "samples": pdf["payload"].map(
+                        lambda b: [float(x) for x in bytes(b)[:16]]
+                    ),
+                }
+            )
+
+    return media.mapInPandas(decode, schema)
+
+
+def frame_sample(
+    media: DataFrame, frame_bytes: int = 64, stride: int = 64
+) -> DataFrame:
+    """Sample fixed-size "frames" from video payloads — pure JVM path
+    (``sequence`` → binary ``substr`` → ``posexplode``), no Python."""
+    frames = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.greatest(
+                F.floor((F.length("payload") - frame_bytes) / stride), F.lit(0)
+            ).cast("int"),
+        ),
+        lambda i: F.col("payload").substr(i * stride + 1, F.lit(frame_bytes)),
+    )
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", F.posexplode(frames).alias("frame_idx", "frame"))
+        .withColumn("frame_digest", F.md5("frame"))
+    )
+
+
+def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-kind media stats through the full plumbing (synthesize →
+    mapInPandas feature extraction → aggregate): item count, total payload
+    bytes, distinct payload digests."""
+    media = synthesize_media(
+        read_table(spark, sf_dir, "documents", ["doc_id", "text", "source", "lang"])
+    ).repartition(spark.sparkContext.defaultParallelism)
+    feats = media_features(media)
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.countDistinct("digest").alias("n_distinct_payloads"),
+        )
+        .orderBy("kind")
+    )

@@ -3,6 +3,7 @@ from .core import (
     incremental_event_edges,
     stream_event_type_windows,
     stream_session_windows,
+    streaming_event_windows,
     stream_sliding_value,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "incremental_event_edges",
     "stream_event_type_windows",
     "stream_session_windows",
+    "streaming_event_windows",
     "stream_sliding_value",
 ]

@@ -1,0 +1,227 @@
+"""Structured Streaming over the ``events`` table (SURVEY.md §2.J).
+
+The reference is batch-only — its README names "make the ETL run
+automatically" as future work (``README.md:5``) and its ``events`` source
+schema is explicitly behavioral ("behavioral events",
+``postgres/init/01_schema.sql:32``). This module is the [extension] that
+discharges it Spark-first: ``readStream`` → watermarked windowed
+aggregations → incremental graph-edge maintenance with ``foreachBatch``
+(the streaming analogue of the ETL's idempotent ``MERGE``,
+``app/etl.py:264-279``).
+
+Scale notes: every aggregation here carries a watermark so state is
+bounded and late data has an explicit eviction policy; the incremental
+edge merge is an anti-join against the sink (id-based, broadcast-friendly
+while the per-batch novelty is small) rather than a full rewrite. On a
+real cluster the file source becomes Kafka/Delta and ``foreachBatch``
+becomes ``MERGE INTO``; the dataflow shapes are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..schemas import CORPUS
+
+#: Gap matching the batch sessionizer (operators/windows.py): 30 minutes.
+SESSION_GAP = "30 minutes"
+
+EVENT_REL_TYPES = {
+    "view": "VIEWED",
+    "click": "CLICKED",
+    "add_to_cart": "ADDED_TO_CART",
+}
+
+
+def _events_read_schema(ts_unit: str) -> T.StructType:
+    """The stream read schema. Parquet TIMESTAMP(NANOS) columns (the driver
+    corpus ``events`` file) must be read as bigint (``nanosAsLong``) and
+    converted; micro-precision sources read timestamps directly."""
+    fields = []
+    for f in CORPUS["events"].fields:
+        if f.name == "ts" and ts_unit == "ns":
+            fields.append(T.StructField("ts", T.LongType()))
+        else:
+            fields.append(f)
+    return T.StructType(fields)
+
+
+def events_stream(
+    spark: SparkSession,
+    source_dir: str,
+    ts_unit: str = "ns",
+    max_files_per_trigger: int | None = None,
+    file_glob: str = "*.parquet",
+) -> DataFrame:
+    """``events`` as a file stream with a proper event-time ``ts`` column.
+
+    ``source_dir`` must be a directory (file-source requirement);
+    ``file_glob`` narrows which files inside it are events — the driver
+    corpus directory holds every table in sibling files, so stream it with
+    ``file_glob="events.parquet"``.
+
+    ``ts_unit='ns'`` handles the driver corpus parquet (TIMESTAMP(NANOS));
+    ``'us'`` reads ordinary micro-precision files (e.g. test fixtures).
+    """
+    if ts_unit not in ("ns", "us"):
+        raise ValueError(f"ts_unit must be 'ns' or 'us', got {ts_unit!r}")
+    if ts_unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(_events_read_schema(ts_unit)).option(
+        "pathGlobFilter", file_glob
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(source_dir)
+    if ts_unit == "ns":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def stream_event_type_windows(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window per-type counts and value sums with a watermark
+    bounding state and defining the late-data drop policy."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_sliding_value(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window mean event value per type (overlapping windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.avg("value").alias("avg_value"), F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "avg_value",
+            "n_events",
+        )
+    )
+
+
+def stream_session_windows(
+    events: DataFrame,
+    gap: str = SESSION_GAP,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-user session windows (30-minute inactivity gap — the streaming
+    twin of the batch sessionizer in ``operators/windows.py``)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: the tumbling-window stream run batch-finite
+    over the corpus ``events`` file (``availableNow`` trigger → memory sink)
+    and returned as a plain DataFrame. Exercises the full streaming path —
+    source discovery, watermark, stateful window agg, sink — with an exact
+    SQL oracle (the tumbling window is ``time_bucket`` in DuckDB).
+
+    Money-like sums go through DECIMAL(12,2) intermediates for
+    order-insensitive cross-engine equality (see ``__spark_entry__``).
+    """
+    import uuid
+
+    name = "stream_etw_" + uuid.uuid4().hex[:8]
+    events = events_stream(
+        spark, sf_dir, ts_unit="ns", file_glob="events.parquet"
+    ).withColumn("value", F.col("value").cast(T.DecimalType(12, 2)))
+    q = (
+        stream_event_type_windows(events)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .select(
+            "window_start",
+            "window_end",
+            "event_type",
+            "n_events",
+            F.col("sum_value").cast("double").alias("sum_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def incremental_event_edges(
+    spark: SparkSession,
+    events: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+):
+    """Incrementally maintain the deduped event-edge table
+    ``(user_id, product_key, rel_type)`` — the streaming analogue of the
+    ETL's ``MERGE``-on-propertyless-edge idempotency (E9,
+    ``app/etl.py:264-279``): repeated (customer, product, type) events
+    collapse to one edge, across batches.
+
+    Returns the started ``StreamingQuery`` (caller awaits termination).
+    """
+    rel = F.when(F.lit(False), F.lit(None))
+    for k, v in EVENT_REL_TYPES.items():
+        rel = rel.when(F.lower(F.col("event_type")) == k, F.lit(v))
+
+    edges = (
+        events.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("product_key"),
+            rel.alias("rel_type"),
+        )
+        .filter(F.col("rel_type").isNotNull() & F.col("product_key").isNotNull())
+    )
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        novel = batch.dropDuplicates(["user_id", "product_key", "rel_type"])
+        try:
+            existing = batch.sparkSession.read.parquet(sink_dir)
+            novel = novel.join(
+                existing, ["user_id", "product_key", "rel_type"], "left_anti"
+            )
+        except Exception:
+            pass  # first batch: no sink yet
+        novel.write.mode("append").parquet(sink_dir)
+
+    return (
+        edges.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,169 @@
+"""Structured Streaming tests (SURVEY.md §2.J [extension]).
+
+Strategy: stream-batch parity. The same rows flow once through the
+streaming pipeline (file source split into multiple chunk files,
+``availableNow`` trigger, memory sink) and once through the equivalent
+batch aggregation; results must match exactly. This is the strongest
+check Structured Streaming admits locally — it exercises source
+discovery, watermarking, state handling, and sink semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdb_td2_spark.io import read_table
+from graphdb_td2_spark.streaming import (
+    events_stream,
+    incremental_event_edges,
+    stream_event_type_windows,
+    stream_session_windows,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def chunked_source(spark, tmp_path_factory):
+    """The sf0.001 events split into 3 parquet chunk files — a stream
+    arriving in pieces."""
+    src = tmp_path_factory.mktemp("events_stream_src")
+    events = read_table(spark, SF_DIR, "events").orderBy("event_id")
+    n = events.count()
+    rows = events.collect()
+    third = (n + 2) // 3
+    for i in range(3):
+        chunk = rows[i * third : (i + 1) * third]
+        if chunk:
+            spark.createDataFrame(chunk, events.schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(src / f"chunk_{i}"))
+    return str(src)
+
+
+def _run_to_memory(stream_df, name, mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_windows_match_batch(spark, chunked_source):
+    stream = events_stream(spark, chunked_source + "/*", ts_unit="us")
+    _run_to_memory(
+        stream_event_type_windows(stream), "tumbling_counts", "complete"
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in spark.sql("SELECT * FROM tumbling_counts").collect()
+    }
+    batch = (
+        spark.read.parquet(chunked_source + "/*")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    )
+    want = {(r.w.start, r.event_type): (r.n, round(r.s, 6)) for r in batch}
+    assert got == want and len(got) > 0
+
+
+def test_session_windows_match_batch_sessionizer(spark, chunked_source):
+    stream = events_stream(spark, chunked_source + "/*", ts_unit="us")
+    _run_to_memory(
+        stream_session_windows(stream), "session_counts", "complete"
+    )
+    got = (
+        spark.sql(
+            "SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events "
+            "FROM session_counts GROUP BY user_id"
+        )
+        .collect()
+    )
+    got_map = {r.user_id: (r.n_sessions, r.n_events) for r in got}
+
+    # batch twin: lag-based sessionizer over the same rows
+    ev = spark.read.parquet(chunked_source + "/*")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    gap = micros - F.lag(micros).over(w)
+    sess = (
+        ev.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    want_map = {r.user_id: (r.n_sessions, r.n_events) for r in sess}
+    assert got_map == want_map and len(got_map) > 0
+
+
+def test_incremental_event_edges_idempotent(spark, chunked_source, tmp_path):
+    sink = str(tmp_path / "edges_sink")
+    ck1 = str(tmp_path / "ck1")
+    stream = events_stream(
+        spark, chunked_source + "/*", ts_unit="us", max_files_per_trigger=1
+    )
+    q = incremental_event_edges(spark, stream, sink, ck1)
+    q.awaitTermination(120)
+    edges1 = spark.read.parquet(sink)
+    n1 = edges1.count()
+    assert n1 == edges1.dropDuplicates(["user_id", "product_key", "rel_type"]).count()
+    assert n1 > 0
+
+    # replay the same stream from a fresh checkpoint: the anti-join MERGE
+    # must add nothing (cross-run idempotency, the reference's MERGE parity)
+    q2 = incremental_event_edges(
+        spark,
+        events_stream(spark, chunked_source + "/*", ts_unit="us"),
+        sink,
+        str(tmp_path / "ck2"),
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == n1
+
+    # batch twin: distinct resolvable (user, product, rel) triples
+    ev = spark.read.parquet(chunked_source + "/*")
+    want = (
+        ev.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("product_key"),
+            F.lower("event_type").alias("et"),
+        )
+        .filter(F.col("et").isin("view", "click", "add_to_cart") & F.col("product_key").isNotNull())
+        .dropDuplicates(["user_id", "product_key", "et"])
+        .count()
+    )
+    assert n1 == want
+
+
+def test_corpus_nanos_stream_source(spark):
+    """The driver corpus events file (TIMESTAMP(NANOS)) streams with correct
+    timestamp conversion: row count and min/max ts match the batch reader."""
+    stream = events_stream(spark, SF_DIR, ts_unit="ns", file_glob="events.parquet")
+    _run_to_memory(
+        stream.groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("lo"),
+            F.max("ts").alias("hi"),
+        ),
+        "nanos_agg",
+        "complete",
+    )
+    got = spark.sql("SELECT * FROM nanos_agg").collect()[0]
+    want = (
+        read_table(spark, SF_DIR, "events")
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n"), F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .collect()[0]
+    )
+    assert (got.n, got.lo, got.hi) == (want.n, want.lo, want.hi)
