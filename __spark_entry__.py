@@ -25,6 +25,7 @@ from graphdb_td2_spark.recs import queries as recs
 from graphdb_td2_spark.graph import queries as gq
 from graphdb_td2_spark.operators import relational as rel
 from graphdb_td2_spark.operators import windows as win
+from graphdb_td2_spark.operators.asof import events_last_order
 from graphdb_td2_spark.functions import json_props, text
 from graphdb_td2_spark.dedup import (
     embedding_neardup_pairs,
@@ -70,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_rollup": rel.order_priority_rollup,
         "market_segment_stats": rel.market_segment_stats,
         "customer_activity_setops": rel.customer_activity_setops,
+        "events_asof_last_order": events_last_order,
         # --- window functions (§2.I) ---
         "sessionize": win.sessionize,
         "top_events_per_user": win.top_events_per_user,
@@ -585,6 +587,18 @@ SELECT query_id, rank, vec_id, cosine FROM (
     CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
   FROM scored
 ) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+    sqls["events_asof_last_order"] = """
+WITH od AS (
+  SELECT o_custkey AS user_id, o_orderdate,
+         MAX(o_orderkey) AS last_order_key
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts, od.last_order_key
+FROM events e
+ASOF LEFT JOIN od ON e.user_id = od.user_id AND e.ts >= od.o_orderdate
+ORDER BY e.event_id
 """
 
     sqls["multimodal_feature_stats"] = """

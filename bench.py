@@ -44,6 +44,9 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
+    "events_asof_last_order",
+    "multimodal_feature_stats",
+    "streaming_event_windows",
 ]
 
 

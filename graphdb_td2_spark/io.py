@@ -1,102 +1,9 @@
-"""Source layer (SURVEY.md §2.A rows A1-A4).
+"""Compatibility shim — the source layer lives in ``sources/`` (readers)
+and grew a sink side (``sources.sinks``); existing imports keep working."""
 
-The reference's extract phase is six full-table SELECTs materialized on one
-Python heap (``app/etl.py:102-105, 141-164``). Here a "scan" is a lazy
-``spark.read.parquet`` — columnar, distributed, with Catalyst column pruning
-and predicate pushdown reaching the parquet reader, so the corpus never
-passes through a single process.
-
-``safe_read_table`` keeps the reference's fault-tolerant-scan contract
-(``safe_fetch``, ``app/etl.py:132-139``): any failure yields an *empty* typed
-DataFrame rather than an error, so downstream pipelines degrade gracefully.
-"""
-
-from __future__ import annotations
-
-import logging
-
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
-
-from .schemas import CORPUS, TABLE_NAMES
-
-log = logging.getLogger("graphdb_td2_spark")
-
-
-def table_path(sf_dir: str, name: str) -> str:
-    return f"{sf_dir.rstrip('/')}/{name}.parquet"
-
-
-def _read_with_nanos_fallback(
-    spark: SparkSession, path: str, name: str
-) -> DataFrame:
-    """Parquet TIMESTAMP(NANOS) columns (the ``events`` table) are illegal
-    for Spark's reader; fall back to ``nanosAsLong`` and convert ns→µs with
-    exact integer division (``div 1000`` — the same truncation DuckDB
-    applies when it narrows ns to its µs timestamps)."""
-    try:
-        df = spark.read.parquet(path)
-        df.schema  # force footer/schema resolution now
-    except Exception as exc:
-        if "PARQUET_TYPE_ILLEGAL" not in str(exc):
-            raise
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-    # With nanosAsLong already set (by an earlier read), the nanos column
-    # arrives as bigint without raising — so always reconcile against the
-    # expected schema, not just on the exception path.
-    expected = CORPUS.get(name)
-    if expected is not None:
-        actual = dict(df.dtypes)
-        for field in expected.fields:
-            if (
-                isinstance(field.dataType, T.TimestampType)
-                and actual.get(field.name) == "bigint"
-            ):
-                df = df.withColumn(
-                    field.name,
-                    F.timestamp_micros(F.expr(f"{field.name} div 1000")),
-                )
-    return df
-
-
-def read_table(
-    spark: SparkSession,
-    sf_dir: str,
-    name: str,
-    columns: list[str] | None = None,
-) -> DataFrame:
-    """Scan one corpus table (A2/A4). ``columns`` is the explicit projection
-    the reference writes into each SELECT (``app/etl.py:141-164``); Catalyst
-    prunes the parquet scan to exactly those columns."""
-    df = _read_with_nanos_fallback(spark, table_path(sf_dir, name), name)
-    if columns is not None:
-        df = df.select(*columns)
-    return df
-
-
-def safe_read_table(
-    spark: SparkSession,
-    sf_dir: str,
-    name: str,
-    columns: list[str] | None = None,
-) -> DataFrame:
-    """Fault-tolerant scan (A3): empty typed DataFrame on any failure,
-    mirroring ``safe_fetch``'s log-and-continue contract
-    (``app/etl.py:132-139``)."""
-    try:
-        df = read_table(spark, sf_dir, name, columns)
-        # Force schema resolution now so missing files fail here, not lazily.
-        df.schema  # noqa: B018
-        return df
-    except Exception as exc:  # pragma: no cover - exercised via tests
-        log.warning("could not read table %s from %s: %s", name, sf_dir, exc)
-        schema = CORPUS.get(name)
-        if schema is None:
-            raise
-        empty = spark.createDataFrame([], schema)
-        return empty.select(*columns) if columns is not None else empty
-
-
-def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """All ten corpus tables as lazy DataFrames keyed by name."""
-    return {name: read_table(spark, sf_dir, name) for name in TABLE_NAMES}
+from .sources.parquet import (  # noqa: F401
+    load_tables,
+    read_table,
+    safe_read_table,
+    table_path,
+)

@@ -1,0 +1,107 @@
+"""As-of (temporal) join [extension] — match each left row to the most
+recent right row at-or-before its timestamp, per key.
+
+The reference has no temporal operators (its only joins are id equi-joins,
+SURVEY.md §2.C), but a behavioral-events pipeline needs this constantly
+("which order was active when this event fired?"). Spark has no built-in
+as-of join; the scalable shape is the **union + window** plan rather than a
+range join:
+
+1. tag left rows 1 and right rows 0, union on aligned schemas;
+2. one shuffle: window partitioned by key, ordered by (ts, tag);
+3. ``last(right_payload, ignorenulls=True)`` over rows-unbounded-preceding
+   carries the latest right values forward;
+4. keep tag-1 rows.
+
+Cost: a single hash shuffle + one sort — O(n log n) per key group, versus
+the quadratic blowup of an inequality range join. Right rows sort before
+left rows at equal ``ts`` (tag 0 < 1), giving inclusive at-or-before
+semantics, the same as DuckDB's ``ASOF JOIN … ON l.ts >= r.ts`` oracle.
+
+Scale notes: the union shuffles once on the key; skewed keys fall to AQE.
+State per row is the carried right payload only. For a sorted/bucketed
+lake layout both sides can arrive pre-partitioned and the exchange drops
+out entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..io import read_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+) -> DataFrame:
+    """Left as-of join: every ``left`` row, plus the ``right_payload``
+    columns of the latest ``right`` row with ``right_ts <= left_ts`` on the
+    same ``on`` keys (nulls when none exists).
+
+    ``right`` must be unique per (on, right_ts) — pre-aggregate it if not,
+    or the carried row among ties is unspecified.
+    """
+    lcols = [c for c in left.columns if c not in on and c != left_ts]
+    l_tagged = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_payload],
+    )
+    r_tagged = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tagged.unionByName(r_tagged).select(
+        *on,
+        "__ts",
+        "__tag",
+        *lcols,
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c)
+            for c in right_payload
+        ],
+    )
+    return (
+        carried.filter(F.col("__tag") == 1)
+        .drop("__tag")
+        .withColumnRenamed("__ts", left_ts)
+    )
+
+
+def events_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query: each event joined as-of to the user's most
+    recent order at the event time. Ties among same-timestamp orders are
+    resolved deterministically (max orderkey) before the join so the
+    DuckDB ``ASOF JOIN`` oracle is exact."""
+    events = read_table(spark, sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = (
+        read_table(spark, sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"])
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate"))
+        .agg(F.max("o_orderkey").alias("last_order_key"))
+    )
+    joined = asof_join(
+        events,
+        orders,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_payload=["last_order_key"],
+    )
+    return joined.select("event_id", "user_id", "ts", "last_order_key").orderBy(
+        "event_id"
+    )

@@ -1,0 +1,67 @@
+"""Sink layer (SURVEY.md §2.A rows A5/A9 re-expressed for a lake).
+
+The reference's only sinks are Cypher MERGE writes and a JSON HTTP body
+(``app/etl.py:75-77``, ``app/main.py:62-69``). The lake-native equivalents:
+
+- ``write_partitioned``: hive-style partitioned parquet — partition
+  pruning for every downstream reader (the 100 TB layout: e.g. ``events``
+  partitioned by event date).
+- ``write_sorted_buckets``: bucketed + sorted table write — co-located,
+  pre-sorted join sides so repeated joins on the bucket key skip both the
+  exchange and the sort (the Spark analogue of the reference's lookup
+  indexes, ``app/queries.cypher:19-29``).
+- ``to_json_items``: the ``/recs`` HTTP result shape (A9) from any
+  top-k DataFrame, at the driver, for API parity.
+
+Scale notes: ``write_partitioned`` repartitions by the partition columns
+first so each task writes one file per partition instead of
+files × tasks fragments; bucketed writes shuffle once on the bucket key
+and amortize it across every later join.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned parquet write, pre-shuffled so each output
+    partition is a small number of whole files (not task-count fragments)."""
+    (
+        df.repartition(*[F.col(c) for c in partition_by])
+        .write.mode(mode)
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
+def write_sorted_buckets(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (and optionally sorted) managed-table write. Joins between
+    tables bucketed the same way on the same key are exchange-free."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.format("parquet").saveAsTable(table)
+
+
+def to_json_items(df: DataFrame, started_at: float | None = None) -> dict:
+    """The reference's ``/recs`` response shape (``app/main.py:62-69,
+    134-135``): ``{"items": [...], "took_ms": int}``. Collect is bounded —
+    callers pass top-k frames."""
+    t0 = started_at if started_at is not None else time.time()
+    items = [row.asDict(recursive=True) for row in df.collect()]
+    return {"items": items, "took_ms": int((time.time() - t0) * 1000)}

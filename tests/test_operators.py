@@ -134,3 +134,30 @@ def test_safe_read_missing_table_yields_empty(spark):
     df = safe_read_table(spark, "/root/testdata/does-not-exist", "events")
     assert df.count() == 0
     assert "event_type" in df.columns
+
+
+def test_asof_join_semantics(spark):
+    from datetime import datetime
+
+    from graphdb_td2_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 0), "e1"),
+         (1, datetime(2024, 1, 1, 12, 0), "e2"),
+         (2, datetime(2024, 1, 1, 9, 0), "e3")],
+        "k long, ts timestamp, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 9, 30), 100),
+         (1, datetime(2024, 1, 1, 12, 0), 200),  # equal ts: inclusive
+         (2, datetime(2024, 1, 1, 9, 30), 300)],  # after e3: no match
+        "k long, rts timestamp, payload long",
+    )
+    out = {
+        r.ev: r.payload
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts",
+            right_payload=["payload"],
+        ).collect()
+    }
+    assert out == {"e1": 100, "e2": 200, "e3": None}
