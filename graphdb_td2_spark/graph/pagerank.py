@@ -10,19 +10,17 @@ redistribution. PySpark exposes no GraphX bindings, so the DataFrame loop is
 the idiomatic route (it is also what GraphFrames does under the hood for its
 non-GraphX paths).
 
-Scale notes: each iteration is one shuffle (groupBy dst) plus one broadcast
-join against the rank vector when it is dimension-sized; lineage is truncated
-with ``localCheckpoint`` every few iterations so plans don't grow unboundedly
-(on a cluster with an HDFS checkpoint dir, swap for ``checkpoint``). The
-dangling-mass term costs one small aggregate action per iteration.
+Scale notes: each iteration is one shuffle (groupBy dst), with the rank
+vector broadcast into the message join when it is dimension-sized (the
+shuffle join co-partitioning edges and ranks takes over past
+``_BROADCAST_RANKS_MAX``). Lineage is truncated with ``localCheckpoint``
+EVERY iteration — see the in-loop comment for why that is load-bearing —
+and each iteration costs exactly one driver action.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-
-_CHECKPOINT_EVERY = 3
-
 
 def _vertices_of(edges: DataFrame, src: str, dst: str) -> DataFrame:
     return (
@@ -30,6 +28,11 @@ def _vertices_of(edges: DataFrame, src: str, dst: str) -> DataFrame:
         .unionByName(edges.select(F.col(dst).alias("id")))
         .distinct()
     )
+
+
+_BROADCAST_RANKS_MAX = 5_000_000  # vertex count below which the rank
+# vector broadcasts (dimension-sized); above, the shuffle join co-partitions
+# edges and ranks — the GraphX-style scale path.
 
 
 def _iterate(
@@ -40,25 +43,66 @@ def _iterate(
     damping: float,
     src: str,
     dst: str,
+    n_vertices: int | None = None,
 ) -> DataFrame:
+    small = n_vertices is not None and n_vertices <= _BROADCAST_RANKS_MAX
+    # Partition budget: iteration state is vertex-sized; running it on the
+    # session's full shuffle-partition count burns task overhead when the
+    # graph is dimension-sized. One partition per ~250k vertices, capped by
+    # the session default for big graphs.
+    if small:
+        parts = max(1, int(n_vertices // 250_000) + 1)
+        vertices = vertices.repartition(parts)
+        reset = reset.repartition(parts)
+        edges = edges.repartition(parts, F.col(src))
     edges = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
-    # Start from the teleport distribution.
-    ranks = reset.select("id", F.col("reset").alias("rank"))
     edges = edges.persist()
     out_deg = out_deg.persist()
-    reset = reset.persist()
 
-    # The dangling-vertex set is static; compute it once so graphs without
-    # dangling vertices skip the per-iteration driver action entirely.
-    dangling_ids = vertices.join(
-        out_deg.select(F.col("src").alias("id")), "id", "left_anti"
-    ).persist()
-    has_dangling = dangling_ids.limit(1).count() > 0
+    # Iteration state is (id, rank, reset, is_dangling): carrying the static
+    # teleport weight and dangling flag inside the vector means an iteration
+    # needs NO extra joins against vertices/reset and exactly ONE driver
+    # action — the dangling-mass aggregate, which doubles as the
+    # materialization of the (lazily) checkpointed vector.
+    #
+    # The rank vector enters each update twice (message join + state join),
+    # so WITHOUT per-iteration lineage truncation the logical plan doubles
+    # every iteration — caching prevents re-execution but not re-analysis,
+    # and analysis over a 2^i-node tree dominated wall-clock (measured: the
+    # 4th un-truncated iteration cost 50x the 1st). localCheckpoint every
+    # iteration keeps the plan O(1) and iterations flat (cluster: swap for
+    # checkpoint() to a reliable dir).
+    state = (
+        vertices.join(out_deg.select(F.col("src").alias("id"), "out_degree"), "id", "left")
+        .join(reset, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("reset"), F.lit(0.0)).alias("reset"),
+            F.col("out_degree").isNull().alias("is_dangling"),
+        )
+        .withColumn("rank", F.col("reset"))
+        .localCheckpoint(eager=True)
+    )
 
+    def materialize_and_dangling_mass(df: DataFrame) -> float:
+        row = df.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("is_dangling"), F.col("rank"))), F.lit(0.0)
+            )
+        ).first()
+        return float(row[0])
+
+    ranks = state
+    dangling = materialize_and_dangling_mass(ranks)
     for i in range(num_iter):
+        rank_side = ranks.select(
+            F.col("id").alias("src"), "rank"
+        )
+        if small:
+            rank_side = F.broadcast(rank_side)
         contribs = (
-            edges.join(ranks.withColumnRenamed("id", "src"), "src")
+            edges.join(rank_side, "src")
             .join(out_deg, "src")
             .select(
                 F.col("dst").alias("id"),
@@ -69,30 +113,26 @@ def _iterate(
         )
         # Rank mass sitting on dangling vertices (no out-edges) is
         # redistributed through the teleport vector, keeping sum(rank)=1.
-        dangling = 0.0
-        if has_dangling:
-            dangling_row = (
-                ranks.join(dangling_ids, "id").agg(F.sum("rank")).first()
-            )
-            dangling = float(dangling_row[0] or 0.0)
-        ranks = (
-            vertices.join(contribs, "id", "left")
-            .join(reset, "id", "left")
+        new_ranks = (
+            ranks.drop("rank")
+            .join(contribs, "id", "left")
             .select(
                 "id",
+                "reset",
+                "is_dangling",
                 (
-                    (1.0 - damping) * F.coalesce(F.col("reset"), F.lit(0.0))
+                    (1.0 - damping) * F.col("reset")
                     + damping
-                    * (
-                        F.coalesce(F.col("msg"), F.lit(0.0))
-                        + dangling * F.coalesce(F.col("reset"), F.lit(0.0))
-                    )
+                    * (F.coalesce(F.col("msg"), F.lit(0.0)) + dangling * F.col("reset"))
                 ).alias("rank"),
             )
         )
-        if (i + 1) % _CHECKPOINT_EVERY == 0 and i + 1 < num_iter:
-            ranks = ranks.localCheckpoint(eager=False)
-    return ranks
+        # Lazy checkpoint + one action: the dangling-mass aggregate both
+        # materializes the checkpoint and yields the next iteration's term.
+        new_ranks = new_ranks.localCheckpoint(eager=False)
+        dangling = materialize_and_dangling_mass(new_ranks)
+        ranks = new_ranks
+    return ranks.select("id", "rank")
 
 
 def pagerank(
@@ -106,7 +146,7 @@ def pagerank(
     vertices = _vertices_of(edges, src, dst).persist()
     n = vertices.count()
     reset = vertices.withColumn("reset", F.lit(1.0 / n))
-    return _iterate(edges, vertices, reset, num_iter, damping, src, dst)
+    return _iterate(edges, vertices, reset, num_iter, damping, src, dst, n_vertices=n)
 
 
 def personalized_pagerank(
@@ -121,9 +161,10 @@ def personalized_pagerank(
     recommendation scoring the reference wanted from Neo4j GDS
     (``app/main.py:31-33``). Returns ``(id, rank)``."""
     vertices = _vertices_of(edges, src, dst).persist()
+    n = vertices.count()
     w = 1.0 / len(seeds)
     reset = vertices.withColumn(
         "reset",
         F.when(F.col("id").isin(*seeds), F.lit(w)).otherwise(F.lit(0.0)),
     )
-    return _iterate(edges, vertices, reset, num_iter, damping, src, dst)
+    return _iterate(edges, vertices, reset, num_iter, damping, src, dst, n_vertices=n)
