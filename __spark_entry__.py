@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchased_products": recs.purchased_products,
         # --- reference parity: graph construction (§2.E) ---
         "graph_vertex_counts": gq.graph_vertex_counts,
+        "graph_constraint_checks": gq.graph_constraint_checks,
         "graph_edge_counts": gq.graph_edge_counts,
         "event_edge_dedup_counts": gq.event_edge_dedup_counts,
         # --- graph algorithms (§2.L; rows-only checks) ---
@@ -315,6 +316,28 @@ SELECT rel_type, n FROM (
     FROM orders JOIN customer ON o_custkey = c_custkey
   UNION ALL SELECT rel_type, CAST(COUNT(*) AS BIGINT) FROM ev_resolved GROUP BY rel_type
 ) ORDER BY rel_type
+"""
+
+    sqls["graph_constraint_checks"] = """
+SELECT 'customer_key_unique' AS "check",
+       CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) AS n_violations FROM customer
+UNION ALL SELECT 'event_key_unique',
+       CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) FROM events
+UNION ALL SELECT 'event_type_domain', CAST(COUNT(*) AS BIGINT) FROM events
+       WHERE lower(event_type) NOT IN ('view', 'click', 'add_to_cart')
+UNION ALL SELECT 'event_user_fk', CAST(COUNT(*) AS BIGINT) FROM events
+       WHERE user_id NOT IN (SELECT c_custkey FROM customer)
+UNION ALL SELECT 'lineitem_order_fk', CAST(COUNT(*) AS BIGINT) FROM lineitem
+       WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL SELECT 'lineitem_part_fk', CAST(COUNT(*) AS BIGINT) FROM lineitem
+       WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+UNION ALL SELECT 'order_key_unique',
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+UNION ALL SELECT 'orders_customer_fk', CAST(COUNT(*) AS BIGINT) FROM orders
+       WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL SELECT 'part_key_unique',
+       CAST(COUNT(*) - COUNT(DISTINCT p_partkey) AS BIGINT) FROM part
+ORDER BY "check"
 """
 
     sqls["event_edge_dedup_counts"] = f"""

@@ -59,6 +59,58 @@ def event_edge_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: the reference's uniqueness constraints and lookup indexes
+    (``app/queries.cypher:2-29``) re-expressed as a validation job — key
+    uniqueness per entity, FK resolvability (the rows C7's inner joins
+    silently drop), and the event-type domain (B4). Returns one row per
+    check with its violation count."""
+    customer = read_table(spark, sf_dir, "customer", ["c_custkey"])
+    part = read_table(spark, sf_dir, "part", ["p_partkey"])
+    orders = read_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    lineitem = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    events = read_table(spark, sf_dir, "events", ["event_id", "user_id", "event_type"])
+
+    def dup(df: DataFrame, col: str):
+        return df.agg(
+            (F.count(F.lit(1)) - F.countDistinct(col)).cast("long").alias("n")
+        )
+
+    def unresolved(child: DataFrame, key, parent: DataFrame, pkey):
+        return (
+            child.select(F.col(key).alias("k"))
+            .join(parent.select(F.col(pkey).alias("k")).distinct(), "k", "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    checks = [
+        ("customer_key_unique", dup(customer, "c_custkey")),
+        ("event_key_unique", dup(events, "event_id")),
+        (
+            # The reference's CHECK domain (01_schema.sql:37); corpus rows
+            # outside it are exactly what the ETL's B4 filter drops.
+            "event_type_domain",
+            events.filter(
+                ~F.lower("event_type").isin("view", "click", "add_to_cart")
+            ).agg(F.count(F.lit(1)).cast("long").alias("n")),
+        ),
+        (
+            "event_user_fk",
+            unresolved(events, "user_id", customer, "c_custkey"),
+        ),
+        ("lineitem_order_fk", unresolved(lineitem, "l_orderkey", orders, "o_orderkey")),
+        ("lineitem_part_fk", unresolved(lineitem, "l_partkey", part, "p_partkey")),
+        ("order_key_unique", dup(orders, "o_orderkey")),
+        ("orders_customer_fk", unresolved(orders, "o_custkey", customer, "c_custkey")),
+        ("part_key_unique", dup(part, "p_partkey")),
+    ]
+    out = None
+    for name, agg in checks:
+        row = agg.select(F.lit(name).alias("check"), F.col("n").alias("n_violations"))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("check")
+
+
 def pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the full property graph; top 20 vertices.
 

@@ -185,23 +185,54 @@ def customer_brand_fallback_core(
 
 
 # --- corpus views (FIXTURES.md mapping) ---------------------------------------
+#
+# Session-scoped materialized adjacency views: every /recs strategy starts
+# from the same 2-column projections, so they persist once per (application,
+# sf_dir) — the in-session analogue of the bucketed adjacency tables a
+# production deployment would maintain on the lake (see sources/sinks.py).
+
+_VIEW_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _cached_view(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
+    df = _VIEW_CACHE.get(key)
+    if df is None:
+        df = build().persist()
+        _VIEW_CACHE[key] = df
+    return df
 
 
 def _items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).select(
-        F.col("l_orderkey").alias("order_id"), F.col("l_partkey").alias("product_id")
+    return _cached_view(
+        spark,
+        sf_dir,
+        "items",
+        lambda: read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).select(
+            F.col("l_orderkey").alias("order_id"), F.col("l_partkey").alias("product_id")
+        ),
     )
 
 
 def _placed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey"]).select(
-        F.col("o_orderkey").alias("order_id"), F.col("o_custkey").alias("customer_id")
+    return _cached_view(
+        spark,
+        sf_dir,
+        "placed",
+        lambda: read_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey"]).select(
+            F.col("o_orderkey").alias("order_id"), F.col("o_custkey").alias("customer_id")
+        ),
     )
 
 
 def _products(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_table(spark, sf_dir, "part", ["p_partkey", "p_brand"]).select(
-        F.col("p_partkey").alias("product_id"), F.col("p_brand").alias("category_id")
+    return _cached_view(
+        spark,
+        sf_dir,
+        "products",
+        lambda: read_table(spark, sf_dir, "part", ["p_partkey", "p_brand"]).select(
+            F.col("p_partkey").alias("product_id"), F.col("p_brand").alias("category_id")
+        ),
     )
 
 
