@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_segment_stats": rel.market_segment_stats,
         "customer_activity_setops": rel.customer_activity_setops,
         "events_asof_last_order": events_last_order,
+        "local_supplier_volume": rel.local_supplier_volume,
         # --- window functions (§2.I) ---
         "sessionize": win.sessionize,
         "top_events_per_user": win.top_events_per_user,
@@ -610,6 +611,19 @@ SELECT query_id, rank, vec_id, cosine FROM (
     CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
   FROM scored
 ) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+    sqls["local_supplier_volume"] = f"""
+SELECT n_name, CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
 """
 
     sqls["events_asof_last_order"] = """

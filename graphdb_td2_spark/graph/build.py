@@ -403,3 +403,22 @@ def build_graph_from_reference_tables(tables: dict[str, DataFrame]) -> GraphFram
     )
     edges = e_cat.unionByName(e_placed).unionByName(e_contains).unionByName(e_events)
     return GraphFrames(vertices=v, edges=edges)
+
+
+def run_etl(spark, sf_dir: str) -> dict:
+    """The reference's ``GET /etl`` pipeline (``app/main.py:16-19`` →
+    ``app/etl.py:108-288``) as one batch job: build the property graph,
+    materialize it (the load effect the checks container asserts on,
+    ``docker-compose.yml:94-102``), and print the ``"ETL done."`` sentinel
+    (E10, ``app/etl.py:288``). Returns ``{"ok": True, counts}``."""
+    import logging
+
+    log = logging.getLogger("graphdb_td2_spark")
+    from ..io import load_tables
+
+    g = build_graph(load_tables(spark, sf_dir))
+    n_vertices = g.vertices.count()
+    n_edges = g.edges.count()
+    log.info("[ETL] loaded %d vertices, %d edges", n_vertices, n_edges)
+    print("ETL done.")
+    return {"ok": True, "n_vertices": n_vertices, "n_edges": n_edges}

@@ -206,3 +206,32 @@ def customer_activity_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_keys"))
         .orderBy("cohort")
     )
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: revenue from lineitems where the supplier and the
+    ordering customer share a nation, per nation — the only query shape
+    that exercises ``supplier`` and closes the corpus-table coverage.
+
+    Plan shape at scale: lineitem (fact) joins orders on the order key
+    (sort-merge at volume), then customer / supplier / nation all
+    broadcast; the nation-equality predicate prunes before the aggregate.
+    """
+    li = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    orders = read_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    customer = read_table(spark, sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    supplier = read_table(spark, sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nation = read_table(spark, sf_dir, "nation", ["n_nationkey", "n_name"])
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            _dsum_expr(disc_price_expr(), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )

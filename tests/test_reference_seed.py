@@ -150,3 +150,11 @@ def test_recs_customer_c2(views):
     # purchased {P3}; no co-order; CAT2 \ {P3} = ∅ → empty items
     assert customer_cooccurrence_core(items, placed, "C2").count() == 0
     assert customer_brand_fallback_core(items, placed, products, "C2").count() == 0
+
+
+def test_run_etl_sentinel_and_counts(spark, capsys):
+    from graphdb_td2_spark.graph.build import run_etl
+
+    out = run_etl(spark, "/root/testdata/sf0.001")
+    assert out["ok"] is True and out["n_vertices"] > 0 and out["n_edges"] > 0
+    assert "ETL done." in capsys.readouterr().out
