@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_sales": rel.region_sales,
         "top_customers": rel.top_customers,
         "order_priority_rollup": rel.order_priority_rollup,
+        "returnflag_cube": rel.returnflag_cube,
         "market_segment_stats": rel.market_segment_stats,
         "customer_activity_setops": rel.customer_activity_setops,
         "events_asof_last_order": events_last_order,
@@ -402,6 +403,15 @@ SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
 FROM orders
 GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+    sqls["returnflag_cube"] = """
+SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS grouping_id,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY grouping_id, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
 """
 
     sqls["market_segment_stats"] = """

@@ -235,3 +235,25 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
+
+
+def returnflag_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping-set
+    combinations in one pass — the grouping-sets generalization of the
+    ROLLUP row ([ext] per SURVEY §2.D: free in Spark SQL, so exposed).
+    ``grouping_id`` disambiguates NULL-as-subtotal from NULL data."""
+    li = read_table(spark, sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dsum("l_quantity", "sum_qty"),
+            F.grouping_id().cast("long").alias("grouping_id"),
+        )
+        .orderBy(
+            F.col("grouping_id"),
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+        .select("l_returnflag", "l_linestatus", "grouping_id", "n_items", "sum_qty")
+    )
