@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recs_customer_cf": recs.customer_cooccurrence,
         "recs_customer_brand_fallback": recs.customer_brand_fallback,
         "purchased_products": recs.purchased_products,
+        "top_cooccurrence_pairs": recs.top_cooccurrence_pairs,
         # --- reference parity: graph construction (§2.E) ---
         "graph_vertex_counts": gq.graph_vertex_counts,
         "graph_constraint_checks": gq.graph_constraint_checks,
@@ -237,6 +238,17 @@ WHERE c1.product_id = 1 AND c2.product_id <> 1
 GROUP BY c2.product_id
 ORDER BY score DESC, product_id ASC
 LIMIT 10
+"""
+
+    sqls["top_cooccurrence_pairs"] = f"""
+WITH contains AS ({_CONTAINS})
+SELECT a.product_id AS product_a, b.product_id AS product_b,
+       COUNT(*) AS n_orders
+FROM contains a JOIN contains b
+  ON a.order_id = b.order_id AND a.product_id < b.product_id
+GROUP BY product_a, product_b
+ORDER BY n_orders DESC, product_a ASC, product_b ASC
+LIMIT 20
 """
 
     sqls["recs_product_same_brand"] = """

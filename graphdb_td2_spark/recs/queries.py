@@ -317,3 +317,29 @@ def recommend(
         items = []  # graceful degradation, app/main.py:125-127
     took_ms = int((time.time() - started) * 1000)
     return {"items": items, "took_ms": took_ms}
+
+
+def top_cooccurrence_pairs(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """The un-seeded generalization of C1: global basket co-occurrence —
+    top-k product pairs by number of shared orders. This is the scale-hard
+    shape (the CONTAINS self-join with no seed anchor): the join shuffles
+    on the order key, hot orders are the skew risk (AQE skew-join covers
+    it; salting hooks live in `_items` if a corpus needs more), and the
+    pair space is bounded by per-order basket sizes, not |products|².
+    """
+    items = _dedup_pairs(_items(spark, sf_dir))
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.order_id") == F.col("b.order_id"))
+            & (F.col("a.product_id") < F.col("b.product_id")),
+        )
+        .groupBy(
+            F.col("a.product_id").alias("product_a"),
+            F.col("b.product_id").alias("product_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("product_a"), F.asc("product_b"))
+        .limit(k)
+    )

@@ -1,5 +1,6 @@
 from .core import (
     events_stream,
+    first_seen_stream,
     incremental_event_edges,
     stream_event_type_windows,
     stream_session_windows,
@@ -9,6 +10,7 @@ from .core import (
 
 __all__ = [
     "events_stream",
+    "first_seen_stream",
     "incremental_event_edges",
     "stream_event_type_windows",
     "stream_session_windows",

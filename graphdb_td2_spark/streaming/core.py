@@ -225,3 +225,69 @@ def incremental_event_edges(
         .trigger(availableNow=True)
         .start()
     )
+
+
+FIRST_SEEN_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("product_key", T.LongType()),
+        T.StructField("rel_type", T.StringType()),
+        T.StructField("first_event_id", T.LongType()),
+    ]
+)
+
+_FIRST_SEEN_STATE = T.StructType(
+    [T.StructField("seen", T.ArrayType(T.StringType()))]
+)
+
+
+def first_seen_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: emit each
+    (user, product, rel_type) interaction the FIRST time it is ever seen,
+    across micro-batches — the arbitrary-state generalization of the MERGE
+    idempotency (E9) that ``dropDuplicates`` cannot express incrementally
+    without unbounded watermark state semantics.
+
+    State per user: the set of "product:rel" keys already emitted
+    (serialized as an array of strings). Scale: state is bounded by a
+    user's distinct interactions; hot users could switch the value to a
+    Bloom filter without changing the operator shape.
+    """
+    import pandas as pd  # local import: streaming module stays importable without pandas
+
+    rel = F.when(F.lit(False), F.lit(None))
+    for k, v in EVENT_REL_TYPES.items():
+        rel = rel.when(F.lower(F.col("event_type")) == k, F.lit(v))
+    typed = events.select(
+        "user_id",
+        F.col("event_id"),
+        F.get_json_object("props", "$.k").cast("long").alias("product_key"),
+        rel.alias("rel_type"),
+    ).filter(F.col("rel_type").isNotNull() & F.col("product_key").isNotNull())
+
+    def update_fn(key, pdfs, state):
+        seen = set(state.get[0]) if state.exists else set()
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("event_id")
+            for r in pdf.itertuples(index=False):
+                sk = f"{r.product_key}:{r.rel_type}"
+                if sk not in seen:
+                    seen.add(sk)
+                    rows.append(
+                        (key[0], int(r.product_key), r.rel_type, int(r.event_id))
+                    )
+        state.update((sorted(seen),))
+        yield pd.DataFrame(
+            rows, columns=["user_id", "product_key", "rel_type", "first_event_id"]
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return typed.groupBy("user_id").applyInPandasWithState(
+        update_fn,
+        outputStructType=FIRST_SEEN_OUTPUT,
+        stateStructType=_FIRST_SEEN_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -167,3 +167,42 @@ def test_corpus_nanos_stream_source(spark):
         .collect()[0]
     )
     assert (got.n, got.lo, got.hi) == (want.n, want.lo, want.hi)
+
+
+def test_first_seen_stream_matches_batch_distinct(spark, chunked_source):
+    """applyInPandasWithState first-seen: across micro-batches, every
+    resolvable (user, product, rel) triple is emitted exactly once, and
+    the emitted set equals the batch distinct triples."""
+    from graphdb_td2_spark.streaming import first_seen_stream
+
+    stream = events_stream(
+        spark, chunked_source + "/*", ts_unit="us", max_files_per_trigger=1
+    )
+    q = (
+        first_seen_stream(stream)
+        .writeStream.format("memory")
+        .queryName("first_seen")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(
+        "SELECT user_id, product_key, rel_type FROM first_seen"
+    ).collect()
+    triples = [(r.user_id, r.product_key, r.rel_type) for r in got]
+    assert len(triples) == len(set(triples)), "a triple was emitted twice"
+
+    ev = spark.read.parquet(chunked_source + "/*")
+    want = (
+        ev.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("product_key"),
+            F.lower("event_type").alias("et"),
+        )
+        .filter(F.col("et").isin("view", "click", "add_to_cart") & F.col("product_key").isNotNull())
+        .select("user_id", "product_key", "et")
+        .distinct()
+        .count()
+    )
+    assert len(set(triples)) == want and want > 0
