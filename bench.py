@@ -45,6 +45,10 @@ HEADLINE = [
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "events_asof_last_order",
+    "local_supplier_volume",
+    "returnflag_cube",
+    "top_cooccurrence_pairs",
+    "graph_constraint_checks",
     "multimodal_feature_stats",
     "streaming_event_windows",
 ]
