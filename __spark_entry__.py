@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": rel.top_customers,
         "order_priority_rollup": rel.order_priority_rollup,
         "returnflag_cube": rel.returnflag_cube,
+        "value_percentiles": rel.value_percentiles,
         "market_segment_stats": rel.market_segment_stats,
         "customer_activity_setops": rel.customer_activity_setops,
         "events_asof_last_order": events_last_order,
@@ -80,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": win.sessionize,
         "top_events_per_user": win.top_events_per_user,
         "user_running_value": win.user_running_value,
+        "user_event_deltas": win.user_event_deltas,
         # --- JSON functions (§2.H) ---
         "props_key_histogram": json_props.props_key_histogram,
         "event_type_stats": json_props.event_type_stats,
@@ -480,6 +482,26 @@ SELECT user_id, event_id, value,
     PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
   ) AS DOUBLE) AS running_value
 FROM events ORDER BY user_id, event_id
+"""
+
+    sqls["user_event_deltas"] = """
+SELECT user_id, event_id,
+  CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER w AS DOUBLE) / 1000000 AS secs_since_prev,
+  CAST(lead(epoch_us(ts)) OVER w - epoch_us(ts) AS DOUBLE) / 1000000 AS secs_until_next,
+  CAST(ntile(4) OVER w AS BIGINT) AS time_quartile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, event_id
+"""
+
+    sqls["value_percentiles"] = """
+SELECT event_type,
+  quantile_cont(value, 0.25) AS p25,
+  quantile_cont(value, 0.5) AS p50,
+  quantile_cont(value, 0.75) AS p75,
+  quantile_cont(value, 0.95) AS p95,
+  COUNT(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
 """
 
     sqls["props_key_histogram"] = """

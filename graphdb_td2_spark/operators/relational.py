@@ -257,3 +257,21 @@ def returnflag_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "l_linestatus", "grouping_id", "n_items", "sum_qty")
     )
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles of event value per type —
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share the formula
+    (a + (b-a)·f), so results are IEEE-identical on identical inputs."""
+    events = read_table(spark, sf_dir, "events", ["event_type", "value"])
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.25)").alias("p25"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.75)").alias("p75"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

@@ -85,3 +85,26 @@ def user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "value", "running_value")
         .orderBy("user_id", "event_id")
     )
+
+
+def user_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event timing: lag/lead navigation over the event-time
+    order — seconds since the user's previous event and until the next one
+    (integer microsecond arithmetic → engine-exact)."""
+    events = read_table(spark, sf_dir, "events", ["user_id", "ts", "event_id"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            ((micros - F.lag(micros).over(w)) / F.lit(1_000_000)).alias(
+                "secs_since_prev"
+            ),
+            ((F.lead(micros).over(w) - micros) / F.lit(1_000_000)).alias(
+                "secs_until_next"
+            ),
+            F.ntile(4).over(w).cast("long").alias("time_quartile"),
+        )
+        .orderBy("user_id", "event_id")
+    )
