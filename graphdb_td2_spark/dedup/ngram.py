@@ -17,8 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..io import read_table
-from .minhash import _shingles
+from .shingles import cached_doc_shingles
 
 DEFAULT_THRESHOLD = 0.10
 DEFAULT_MAX_DF = 100
@@ -33,16 +32,10 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Document pairs with shingle-Jaccard ≥ ``threshold`` (computed over
     distinct k-token shingles, hot shingles DF-capped)."""
-    # Repartition parallelizes the narrow tokenize/shingle work when the
-    # source is a small single-row-group file; at corpus scale the input is
-    # already split and this is a cheap rebalance of (doc_id, text).
-    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"]).repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    doc_shingles = docs.select(
-        "doc_id", F.explode(_shingles(F.col("text"), k)).alias("shingle")
-    )
-    sizes = doc_shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # The exploded shingle relation feeds four plan legs (sizes, DF cap,
+    # both self-join sides) — served from the shared persisted shingle
+    # table instead of re-tokenizing per leg (dedup/shingles.py).
+    doc_shingles = cached_doc_shingles(spark, sf_dir, k)
     rare = (
         doc_shingles.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -50,8 +43,12 @@ def ngram_jaccard_pairs(
         .select("shingle")
     )
     filtered = doc_shingles.join(rare, "shingle")
+    # |A| and |B| ride the exploded rows (denormalized in the shingle
+    # table), so the pair aggregation yields the full Jaccard inputs in ONE
+    # shuffle — no per-document size join afterwards (a per-doc lookup
+    # would be un-broadcastable at corpus scale).
     a, b = filtered.alias("a"), filtered.alias("b")
-    common = (
+    return (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
@@ -61,13 +58,11 @@ def ngram_jaccard_pairs(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_shingles").alias("n_b"))
-    return (
-        common.join(sa, "doc_id_a")
-        .join(sb, "doc_id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first(F.col("a.n_shingles")).alias("n_a"),
+            F.first(F.col("b.n_shingles")).alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
