@@ -26,6 +26,7 @@ from graphdb_td2_spark.graph import queries as gq
 from graphdb_td2_spark.operators import relational as rel
 from graphdb_td2_spark.operators import windows as win
 from graphdb_td2_spark.operators.asof import events_last_order
+from graphdb_td2_spark.operators.range_join import event_burst_pairs
 from graphdb_td2_spark.functions import json_props, text
 from graphdb_td2_spark.dedup import (
     embedding_neardup_pairs,
@@ -36,7 +37,10 @@ from graphdb_td2_spark.dedup import (
 )
 from graphdb_td2_spark.similarity import ann_topk_bruteforce, ann_topk_lsh
 from graphdb_td2_spark.multimodal import multimodal_feature_stats
-from graphdb_td2_spark.streaming import streaming_event_windows
+from graphdb_td2_spark.streaming import (
+    streaming_event_windows,
+    streaming_sliding_windows,
+)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -77,6 +81,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_activity_setops": rel.customer_activity_setops,
         "events_asof_last_order": events_last_order,
         "local_supplier_volume": rel.local_supplier_volume,
+        "top_price_orders": rel.top_price_orders,
+        "urgent_customers": rel.urgent_customers,
+        "event_burst_pairs": event_burst_pairs,
         # --- window functions (§2.I) ---
         "sessionize": win.sessionize,
         "top_events_per_user": win.top_events_per_user,
@@ -103,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_feature_stats": multimodal_feature_stats,
         # --- structured streaming (§2.J; batch-finite availableNow run) ---
         "streaming_event_windows": streaming_event_windows,
+        "streaming_sliding_windows": streaming_sliding_windows,
     }
 
 
@@ -494,6 +502,39 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY user_id, event_id
 """
 
+    sqls["top_price_orders"] = """
+SELECT o_orderkey, o_totalprice,
+  (SELECT max(o_totalprice) FROM orders) AS max_price
+FROM orders
+WHERE o_totalprice >= 0.9 * (SELECT max(o_totalprice) FROM orders)
+ORDER BY o_totalprice DESC, o_orderkey
+"""
+
+    sqls["urgent_customers"] = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+ORDER BY c_custkey
+"""
+
+    sqls["event_burst_pairs"] = """
+WITH pairs AS (
+  SELECT a.user_id,
+         epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+  FROM events a JOIN events b
+    ON a.user_id = b.user_id
+   AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+   AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+)
+SELECT user_id,
+  COUNT(*) AS n_pairs,
+  CAST(SUM(gap_us) AS DOUBLE) / 1000000 / CAST(COUNT(*) AS DOUBLE) AS avg_gap_secs
+FROM pairs GROUP BY user_id ORDER BY user_id
+"""
+
     sqls["value_percentiles"] = """
 SELECT event_type,
   quantile_cont(value, 0.25) AS p25,
@@ -699,6 +740,20 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
 FROM events
+GROUP BY 1, 2, 3 ORDER BY window_start, event_type
+"""
+
+    sqls["streaming_sliding_windows"] = """
+WITH slid AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes'
+           AS window_start,
+         event_type, value
+  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+)
+SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM slid
 GROUP BY 1, 2, 3 ORDER BY window_start, event_type
 """
 

@@ -275,3 +275,36 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def top_price_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery pattern [extension]: orders priced within 10% of the
+    global maximum. The scalar (one row) is cross-joined back — Catalyst
+    broadcasts it, the fact scan streams once; MAX is order-independent so
+    the threshold is engine-exact (0.9·max: one IEEE multiply)."""
+    orders = read_table(spark, sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    mx = orders.agg(F.max("o_totalprice").alias("max_price"))
+    return (
+        orders.crossJoin(F.broadcast(mx))
+        .filter(F.col("o_totalprice") >= F.lit(0.9) * F.col("max_price"))
+        .select("o_orderkey", "o_totalprice", "max_price")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+
+
+def urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / semi-join pattern [extension]: customers with at least one
+    1-URGENT order, with their market segment. ``left_semi`` keeps the
+    probe side unduplicated (no post-join distinct) and the priority filter
+    pushes to the orders parquet scan."""
+    customer = read_table(spark, sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    urgent = (
+        read_table(spark, sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        customer.join(urgent, "c_custkey", "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )

@@ -5,6 +5,7 @@ from .core import (
     stream_event_type_windows,
     stream_session_windows,
     streaming_event_windows,
+    streaming_sliding_windows,
     stream_sliding_value,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "stream_event_type_windows",
     "stream_session_windows",
     "streaming_event_windows",
+    "streaming_sliding_windows",
     "stream_sliding_value",
 ]

@@ -181,6 +181,45 @@ def streaming_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: overlapping sliding windows (1 h width,
+    15 min slide → every event lands in 4 windows), run batch-finite like
+    ``streaming_event_windows``. Exactly SQL-expressible: Spark aligns
+    window starts to slide boundaries, so the oracle is
+    ``time_bucket(15 min) − k·15 min`` unnested over k ∈ 0..3."""
+    import uuid
+
+    name = "stream_slw_" + uuid.uuid4().hex[:8]
+    events = events_stream(
+        spark, sf_dir, ts_unit="ns", file_glob="events.parquet"
+    ).withColumn("value", F.col("value").cast(T.DecimalType(12, 2)))
+    q = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            F.col("sum_value").cast("double").alias("sum_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 def incremental_event_edges(
     spark: SparkSession,
     events: DataFrame,

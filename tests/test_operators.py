@@ -183,3 +183,48 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(r.row_id for r in got.collect()) == sorted(
         r.row_id for r in again.collect()
     )
+
+
+def test_banded_range_join_matches_naive(spark):
+    from graphdb_td2_spark.operators.range_join import banded_range_self_pairs
+
+    # crafted: cross-bin pairs (t=299/301), exact-gap pair (0,300), equal-ts
+    # tie (ids 7/8), and an out-of-range pair (>300s)
+    rows = [
+        (1, 1, 0.0), (1, 2, 299.0), (1, 3, 301.0), (1, 4, 300.0),
+        (1, 7, 650.0), (1, 8, 650.0), (2, 5, 0.0), (2, 6, 10_000.0),
+    ]
+    df = spark.createDataFrame(
+        [(u, i, float(s)) for u, i, s in rows], "user_id long, event_id long, secs double"
+    ).selectExpr("user_id", "event_id", "timestamp_seconds(secs) AS ts")
+
+    got = {
+        (r.user_id, r.id_a, r.id_b, r.gap_us)
+        for r in banded_range_self_pairs(
+            df, key="user_id", ts="ts", id_col="event_id", gap_seconds=300
+        ).collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    from pyspark.sql import functions as F
+
+    ua, ub = F.unix_micros(F.col("a.ts")), F.unix_micros(F.col("b.ts"))
+    naive = {
+        (r["user_id"], r["id_a"], r["id_b"], r["gap_us"])
+        for r in a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & ((ua < ub) | ((ua == ub) & (F.col("a.event_id") < F.col("b.event_id"))))
+            & (ub - ua <= 300_000_000),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_id").alias("id_a"),
+            F.col("b.event_id").alias("id_b"),
+            (ub - ua).alias("gap_us"),
+        )
+        .collect()
+    }
+    assert got == naive
+    assert (1, 1, 2, 299_000_000) in got and (1, 1, 4, 300_000_000) in got
+    assert (1, 7, 8, 0) in got and (1, 2, 3, 2_000_000) in got
+    assert not any(u == 2 for (u, *_rest) in got)
