@@ -27,6 +27,8 @@ from graphdb_td2_spark.operators import relational as rel
 from graphdb_td2_spark.operators import windows as win
 from graphdb_td2_spark.operators.asof import events_last_order
 from graphdb_td2_spark.operators.range_join import event_burst_pairs
+from graphdb_td2_spark.graph.components import component_sizes
+from graphdb_td2_spark.graph.triangles import triangle_stats
 from graphdb_td2_spark.functions import json_props, text
 from graphdb_td2_spark.dedup import (
     embedding_neardup_pairs,
@@ -66,9 +68,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_constraint_checks": gq.graph_constraint_checks,
         "graph_edge_counts": gq.graph_edge_counts,
         "event_edge_dedup_counts": gq.event_edge_dedup_counts,
-        # --- graph algorithms (§2.L; rows-only checks) ---
+        # --- graph algorithms (§2.L; rows-only checks except triangles) ---
         "pagerank_top20": gq.pagerank_top20,
         "ppr_top20": gq.ppr_top20,
+        "component_sizes": component_sizes,
+        "triangle_stats": triangle_stats,
         # --- relational analytics (§2.B/C/D/F/G) ---
         "pricing_summary": rel.pricing_summary,
         "brand_revenue": rel.brand_revenue,
@@ -741,6 +745,25 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2, 3 ORDER BY window_start, event_type
+"""
+
+    sqls["triangle_stats"] = """
+WITH pairs AS (
+  SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id FROM lineitem
+),
+edges AS (
+  SELECT a.product_id AS pa, b.product_id AS pb, COUNT(*) AS w
+  FROM pairs a JOIN pairs b
+    ON a.order_id = b.order_id AND a.product_id < b.product_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+)
+SELECT
+  (SELECT COUNT(*) FROM (SELECT pa FROM edges UNION SELECT pb FROM edges)) AS n_nodes,
+  (SELECT COUNT(*) FROM edges) AS n_edges,
+  (SELECT COUNT(*) FROM edges e1
+     JOIN edges e2 ON e1.pb = e2.pa
+     JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb) AS n_triangles
 """
 
     sqls["streaming_sliding_windows"] = """

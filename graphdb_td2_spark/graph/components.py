@@ -1,0 +1,78 @@
+"""Connected components of the property graph [extension] — iterative
+min-label propagation, the companion to ``pagerank.py`` on the L3
+"graph algorithms Catalyst can't express" tier (SURVEY.md §4 item 1).
+
+Algorithm: every vertex starts labeled with its own id; each round a
+vertex takes the minimum label among itself and its neighbors (edges
+treated as undirected). Converges in O(component diameter) rounds —
+checked each round, with a hard cap.
+
+Iterative-loop discipline (same as pagerank): the label frame is
+``localCheckpoint``-ed EVERY round. The labels enter the next round's
+plan through both the join and the union leg, so without truncation the
+plan doubles per round and Catalyst re-analysis goes exponential. On a
+durable cluster run, ``checkpoint`` (reliable) replaces ``localCheckpoint``.
+
+Not SQL-expressible in one query → the driver records the weaker
+rows-only check (like pagerank/ppr); semantics are unit-tested on
+fixtures with known components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .queries import cached_graph
+
+# Safety valve only — propagation stops at the first unchanged round (the
+# corpus graph converges in <10); rounds needed = component diameter, so a
+# pathological path-graph would need pointer-jumping acceleration instead.
+DEFAULT_MAX_ITER = 50
+
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, max_iter: int = DEFAULT_MAX_ITER
+) -> DataFrame:
+    """``(id, component)`` — component = min vertex id reachable (any total
+    order over ids works; string ids use their lexicographic order)."""
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = vertices.select("id", F.col("id").alias("component")).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und.src == labels.id)
+            .select(F.col("dst").alias("id"), "component")
+            .union(labels)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        ).localCheckpoint()
+        changed = (
+            labels.alias("old")
+            .join(neighbor_min.alias("new"), "id")
+            .filter(F.col("old.component") != F.col("new.component"))
+            .limit(1)
+            .count()
+        )
+        labels = neighbor_min
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels
+
+
+def component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-size histogram of the full property graph:
+    ``(size, n_components)`` ordered by size descending."""
+    g = cached_graph(spark, sf_dir)
+    cc = connected_components(g.vertices, g.edges)
+    return (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+        .orderBy(F.desc("size"))
+    )

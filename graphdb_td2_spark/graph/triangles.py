@@ -1,0 +1,84 @@
+"""Triangle counting over the product co-occurrence graph [extension].
+
+Extends the reference's L2 co-occurrence scoring (``app/main.py:51-69``)
+from seeded 2-hop queries to a whole-graph structural metric. The graph:
+products are adjacent iff they appear in ≥ ``min_weight`` distinct common
+orders (weight = distinct co-orders, the same D1 statistic the recs
+queries rank by, computed globally like ``top_cooccurrence_pairs``).
+
+Shape: edges are stored once, oriented ``pa < pb``; a triangle a<b<c is
+found by joining (a,b)⋈(b,c) into wedges and closing against (a,c) — all
+equi-joins, fully SQL-expressible (exact DuckDB oracle).
+
+Scale notes: wedge generation is the classic hot spot — its size is
+Σ deg²(v). Orienting edges by vertex id (done here) keeps each triangle
+counted exactly once; at skewed degree distributions the standard
+refinement is degree-ordering the orientation so high-degree vertices
+never anchor wedges. The ``min_weight`` support threshold is the primary
+scale lever (weight-1 pairs dominate volume and carry the least signal);
+AQE skew-join splitting covers residual hot vertices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import read_table
+from .build import contains_pairs
+
+DEFAULT_MIN_WEIGHT = 2
+
+
+def cooccurrence_edges(lineitem: DataFrame, min_weight: int = DEFAULT_MIN_WEIGHT) -> DataFrame:
+    """Undirected co-occurrence edges ``(pa < pb, weight)`` with support
+    ≥ ``min_weight`` distinct common orders."""
+    pairs = contains_pairs(lineitem)
+    a, b = pairs.alias("a"), pairs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.order_id") == F.col("b.order_id"))
+            & (F.col("a.product_id") < F.col("b.product_id")),
+        )
+        .groupBy(
+            F.col("a.product_id").alias("pa"),
+            F.col("b.product_id").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .filter(F.col("weight") >= min_weight)
+    )
+
+
+def triangle_stats(
+    spark: SparkSession, sf_dir: str, min_weight: int = DEFAULT_MIN_WEIGHT
+) -> DataFrame:
+    """One-row structural summary: nodes, edges and triangles of the
+    support-thresholded co-occurrence graph."""
+    lineitem = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(lineitem, min_weight)
+
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    triangles = (
+        e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = (
+        edges.select(F.col("pa").alias("p"))
+        .union(edges.select(F.col("pb").alias("p")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        nodes.crossJoin(n_edges)
+        .crossJoin(triangles)
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+        )
+    )

@@ -228,3 +228,40 @@ def test_banded_range_join_matches_naive(spark):
     assert (1, 1, 2, 299_000_000) in got and (1, 1, 4, 300_000_000) in got
     assert (1, 7, 8, 0) in got and (1, 2, 3, 2_000_000) in got
     assert not any(u == 2 for (u, *_rest) in got)
+
+
+def test_connected_components_two_islands(spark):
+    from graphdb_td2_spark.graph.components import connected_components
+
+    vertices = spark.createDataFrame(
+        [(v,) for v in ["a", "b", "c", "d", "e", "x", "y", "lone"]], "id string"
+    )
+    # chain a-b-c-d-e (diameter 4) and pair x-y; 'lone' is isolated
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("y", "x")],
+        "src string, dst string",
+    )
+    got = {
+        r.id: r.component for r in connected_components(vertices, edges).collect()
+    }
+    assert got == {
+        "a": "a", "b": "a", "c": "a", "d": "a", "e": "a",
+        "x": "x", "y": "x", "lone": "lone",
+    }
+
+
+def test_triangle_stats_fixture(spark):
+    from graphdb_td2_spark.graph.triangles import cooccurrence_edges
+
+    # orders: o1..o3 contain {1,2,3}; o4 contains {1,2}; o5 contains {4,5}
+    rows = []
+    for o in (1, 2, 3):
+        rows += [(o, 1), (o, 2), (o, 3)]
+    rows += [(4, 1), (4, 2), (5, 4), (5, 5)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    edges = {
+        (r.pa, r.pb): r.weight
+        for r in cooccurrence_edges(li, min_weight=2).collect()
+    }
+    # pairs within {1,2,3} co-occur 3x (4x for 1-2); {4,5} only once -> cut
+    assert edges == {(1, 2): 4, (1, 3): 3, (2, 3): 3}
