@@ -55,7 +55,12 @@ def triangle_stats(
     """One-row structural summary: nodes, edges and triangles of the
     support-thresholded co-occurrence graph."""
     lineitem = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    edges = cooccurrence_edges(lineitem, min_weight)
+    # The edge relation feeds six plan legs (3 triangle arms + node/edge
+    # counts); materialize it ONCE — without this the co-occurrence
+    # self-join (and its lineitem scans) replays per leg (12 scans, audited
+    # in PLANS.md). At 100 TB this is "materialize the co-occurrence edge
+    # table", the artifact a production graph pipeline persists anyway.
+    edges = cooccurrence_edges(lineitem, min_weight).localCheckpoint()
 
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     triangles = (
