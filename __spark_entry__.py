@@ -37,7 +37,11 @@ from graphdb_td2_spark.dedup import (
     ngram_jaccard_pairs,
     simhash_docs,
 )
-from graphdb_td2_spark.similarity import ann_topk_bruteforce, ann_topk_lsh
+from graphdb_td2_spark.similarity import (
+    ann_topk_bruteforce,
+    ann_topk_ivf,
+    ann_topk_lsh,
+)
 from graphdb_td2_spark.multimodal import multimodal_feature_stats
 from graphdb_td2_spark.streaming import (
     streaming_event_windows,
@@ -110,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search (Stage 5) ---
         "ann_topk_bruteforce": ann_topk_bruteforce,
         "ann_topk_lsh": ann_topk_lsh,
+        "ann_topk_ivf": ann_topk_ivf,
         # --- multimodal plumbing (Stage 5; mapInPandas feature extraction) ---
         "multimodal_feature_stats": multimodal_feature_stats,
         # --- structured streaming (§2.J; batch-finite availableNow run) ---
@@ -694,6 +699,35 @@ scored AS (
   SELECT query_id, corpus.vec_id AS vec_id, {_cosine_sql("query_qe", "corpus.qe")} AS cosine
   FROM corpus JOIN queries USING (bucket)
   WHERE corpus.vec_id <> query_id
+)
+SELECT query_id, rank, vec_id, cosine FROM (
+  SELECT query_id, vec_id, cosine,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+    sqls["ann_topk_ivf"] = f"""
+WITH q AS (SELECT vec_id, {_QE} AS qe FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, qe AS cent_qe FROM q WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, qe, cent_id AS cell FROM (
+    SELECT q.vec_id, q.qe, cent.cent_id,
+      row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY {_cosine_sql("cent.cent_qe", "q.qe")} DESC, cent.cent_id ASC
+      ) AS rn
+    FROM q CROSS JOIN cent
+  ) WHERE rn = 1
+),
+queries AS (
+  SELECT vec_id AS query_id, qe AS query_qe, cell FROM assigned WHERE vec_id < 5
+),
+scored AS (
+  SELECT query_id, assigned.vec_id AS vec_id,
+         {_cosine_sql("query_qe", "assigned.qe")} AS cosine
+  FROM assigned JOIN queries USING (cell)
+  WHERE assigned.vec_id <> query_id
 )
 SELECT query_id, rank, vec_id, cosine FROM (
   SELECT query_id, vec_id, cosine,

@@ -44,6 +44,7 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
+    "ann_topk_ivf",
     "events_asof_last_order",
     "local_supplier_volume",
     "returnflag_cube",

@@ -105,3 +105,72 @@ def ann_topk_lsh(
         )
     )
     return _topk(scored, k)
+
+
+N_CELLS = 8
+
+
+def ann_topk_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = DEFAULT_K,
+    n_queries: int = DEFAULT_N_QUERIES,
+    n_cells: int = N_CELLS,
+) -> DataFrame:
+    """IVF-style approximate top-k: a coarse quantizer partitions the corpus
+    into ``n_cells`` inverted lists; each query probes only its own cell
+    (nprobe = 1).
+
+    Centroids here are the ``n_cells`` lowest-id vectors — a deterministic,
+    training-free coarse quantizer so the DuckDB oracle is exact; a
+    production index plugs k-means centroids into the same plan (the
+    assignment/probe/search shape is identical, training is offline).
+
+    Scale notes: assignment is a broadcast of n_cells centroids against a
+    corpus scan (argmax over n_cells cosines per row, narrow); search is a
+    cell-equi-join — each query touches ~1/n_cells of the corpus. Inverted
+    lists are just a partitioning of the vector table; at 100 TB the cell id
+    becomes the physical partition key so a probe prunes the scan itself.
+    """
+    queries, corpus = _queries_and_corpus(spark, sf_dir, n_queries)
+    centroids = corpus.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cent_id"), F.col("qe").alias("cent_qe")
+    )
+    # argmax-cosine cell per vector via max_by over a (cosine, -cent_id)
+    # order (ties → lowest centroid id). groupBy gets map-side partial
+    # aggregation, so the shuffle carries n rows — a row_number window
+    # over the same cross join would shuffle n·n_cells.
+    assigned = (
+        corpus.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "qe",
+            "cent_id",
+            cosine_similarity_q(F.col("cent_qe"), F.col("qe")).alias("cent_cos"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.first("qe").alias("qe"),
+            F.max_by(
+                "cent_id", F.struct(F.col("cent_cos"), -F.col("cent_id"))
+            ).alias("cell"),
+        )
+        .select("vec_id", "qe", "cell")
+    )
+    query_cells = (
+        assigned.join(
+            queries.select(F.col("query_id").alias("vec_id"), "query_qe"),
+            "vec_id",
+        )
+        .select(F.col("vec_id").alias("query_id"), "query_qe", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(query_cells), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity_q(F.col("query_qe"), F.col("qe")).alias("cosine"),
+        )
+    )
+    return _topk(scored, k)
