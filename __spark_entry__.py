@@ -27,6 +27,7 @@ from graphdb_td2_spark.operators import relational as rel
 from graphdb_td2_spark.operators import windows as win
 from graphdb_td2_spark.operators.asof import events_last_order
 from graphdb_td2_spark.operators.range_join import event_burst_pairs
+from graphdb_td2_spark.operators.timeseries import hourly_event_rollup
 from graphdb_td2_spark.graph.components import component_sizes
 from graphdb_td2_spark.graph.triangles import triangle_stats
 from graphdb_td2_spark.functions import json_props, text
@@ -92,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_price_orders": rel.top_price_orders,
         "urgent_customers": rel.urgent_customers,
         "event_burst_pairs": event_burst_pairs,
+        "hourly_event_rollup": hourly_event_rollup,
         # --- window functions (§2.I) ---
         "sessionize": win.sessionize,
         "top_events_per_user": win.top_events_per_user,
@@ -542,6 +544,28 @@ SELECT user_id,
   COUNT(*) AS n_pairs,
   CAST(SUM(gap_us) AS DOUBLE) / 1000000 / CAST(COUNT(*) AS DOUBLE) AS avg_gap_secs
 FROM pairs GROUP BY user_id ORDER BY user_id
+"""
+
+    sqls["hourly_event_rollup"] = """
+WITH axis AS (
+  SELECT unnest(generate_series(
+    date_trunc('hour', (SELECT min(ts) FROM events)),
+    date_trunc('hour', (SELECT max(ts) FROM events)),
+    INTERVAL 1 HOUR)) AS bucket_start
+),
+dims AS (SELECT DISTINCT event_type FROM events),
+roll AS (
+  SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+         COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(12,2))) AS sum_v
+  FROM events GROUP BY 1, 2
+)
+SELECT axis.bucket_start, dims.event_type,
+       COALESCE(roll.n_events, 0) AS n_events,
+       CAST(roll.sum_v AS DOUBLE) AS sum_value
+FROM axis CROSS JOIN dims
+LEFT JOIN roll USING (bucket_start, event_type)
+ORDER BY bucket_start, event_type
 """
 
     sqls["value_percentiles"] = """

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import __spark_entry__ as entry_mod
 
-ROWS_ONLY = {"pagerank_top20", "ppr_top20"}  # iterative, not SQL-expressible
+ROWS_ONLY = {"pagerank_top20", "ppr_top20", "component_sizes"}  # iterative, not SQL-expressible
 
 
 def test_entry_returns_rows(spark):

@@ -60,3 +60,43 @@ def test_to_json_items_shape(spark):
         {"product_id": 1, "score": 2.0, "reason": "co-occurrence"}
     ]
     assert isinstance(out["took_ms"], int)
+
+
+def test_csv_jsonl_roundtrip(spark, tmp_path):
+    from graphdb_td2_spark.io import read_table
+    from graphdb_td2_spark.sources import formats
+
+    src = read_table(spark, "/root/testdata/sf0.001", "orders").orderBy("o_orderkey")
+    want = [tuple(r) for r in src.collect()]
+    schema = src.schema
+
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "jsonl")
+    formats.write_csv(src, csv_dir)
+    formats.write_jsonl(src, json_dir)
+
+    got_csv = [
+        tuple(r)
+        for r in formats.read_csv(spark, csv_dir, schema).orderBy("o_orderkey").collect()
+    ]
+    got_json = [
+        tuple(r)
+        for r in formats.read_jsonl(spark, json_dir, schema).orderBy("o_orderkey").collect()
+    ]
+    assert got_csv == want
+    assert got_json == want
+
+
+def test_read_csv_permissive_malformed_rows(spark, tmp_path):
+    from pyspark.sql import types as T
+    from graphdb_td2_spark.sources import formats
+
+    p = tmp_path / "bad.csv"
+    p.write_text("a,b\n1,x\nnot_a_number,y\n3,z\n")
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    rows = {
+        (r.a, r.b)
+        for r in formats.read_csv(spark, str(p), schema, header=True).collect()
+    }
+    assert rows == {(1, "x"), (None, "y"), (3, "z")}
