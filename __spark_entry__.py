@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_activity_setops": rel.customer_activity_setops,
         "events_asof_last_order": events_last_order,
         "local_supplier_volume": rel.local_supplier_volume,
+        "shipping_priority": rel.shipping_priority,
         "top_price_orders": rel.top_price_orders,
         "urgent_customers": rel.urgent_customers,
         "event_burst_pairs": event_burst_pairs,
@@ -511,6 +512,18 @@ SELECT user_id, event_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY user_id, event_id
+"""
+
+    sqls["shipping_priority"] = f"""
+SELECT l_orderkey, CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue, o_orderdate
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
 """
 
     sqls["top_price_orders"] = """

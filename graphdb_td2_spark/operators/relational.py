@@ -308,3 +308,35 @@ def urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "c_mktsegment")
         .orderBy("c_custkey")
     )
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: top-10 unshipped orders of one market segment by
+    outstanding revenue (ordered before / shipped after the cutoff).
+
+    Plan shape at scale: the segment filter prunes customer (broadcast);
+    both date predicates push to the orders / lineitem parquet scans; the
+    fact-fact join on the order key is sort-merge at volume; top-k
+    compiles to TakeOrderedAndProject."""
+    cutoff = "1998-01-01"
+    customer = read_table(spark, sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = read_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    li = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"])
+    return (
+        li.filter(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
+        .join(
+            orders.filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_dsum_expr(disc_price_expr(), "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
