@@ -45,6 +45,7 @@ from graphdb_td2_spark.similarity import (
 )
 from graphdb_td2_spark.multimodal import multimodal_feature_stats
 from graphdb_td2_spark.streaming import (
+    streaming_enriched_windows,
     streaming_event_windows,
     streaming_sliding_windows,
 )
@@ -123,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- structured streaming (§2.J; batch-finite availableNow run) ---
         "streaming_event_windows": streaming_event_windows,
         "streaming_sliding_windows": streaming_sliding_windows,
+        "streaming_enriched_windows": streaming_enriched_windows,
     }
 
 
@@ -835,6 +837,14 @@ SELECT
   (SELECT COUNT(*) FROM edges e1
      JOIN edges e2 ON e1.pb = e2.pa
      JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb) AS n_triangles
+"""
+
+    sqls["streaming_enriched_windows"] = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       c_mktsegment, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2 ORDER BY window_start, c_mktsegment
 """
 
     sqls["streaming_sliding_windows"] = """

@@ -4,6 +4,7 @@ from .core import (
     incremental_event_edges,
     stream_event_type_windows,
     stream_session_windows,
+    streaming_enriched_windows,
     streaming_event_windows,
     streaming_sliding_windows,
     stream_sliding_value,
@@ -15,6 +16,7 @@ __all__ = [
     "incremental_event_edges",
     "stream_event_type_windows",
     "stream_session_windows",
+    "streaming_enriched_windows",
     "streaming_event_windows",
     "streaming_sliding_windows",
     "stream_sliding_value",

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+from ..io import read_table
 from ..schemas import CORPUS
 
 #: Gap matching the batch sessionizer (operators/windows.py): 30 minutes.
@@ -217,6 +218,46 @@ def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_value").cast("double").alias("sum_value"),
         )
         .orderBy("window_start", "event_type")
+    )
+
+
+def streaming_enriched_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: stream-static join — the event stream
+    enriched against the static ``customer`` dimension (broadcast per
+    micro-batch; the standard dimension-enrichment shape), then
+    watermarked tumbling counts per market segment. Unmatched users drop
+    (inner join), mirroring C7's FK-resolution semantics on the ETL path."""
+    import uuid
+
+    name = "stream_enw_" + uuid.uuid4().hex[:8]
+    customer = read_table(spark, sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    events = events_stream(
+        spark, sf_dir, ts_unit="ns", file_glob="events.parquet"
+    ).withColumn("value", F.col("value").cast(T.DecimalType(12, 2)))
+    q = (
+        events.join(
+            F.broadcast(customer),
+            events.user_id == customer.c_custkey,
+        )
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            F.col("sum_value").cast("double").alias("sum_value"),
+        )
+        .orderBy("window_start", "c_mktsegment")
     )
 
 
