@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_events_per_user": win.top_events_per_user,
         "user_running_value": win.user_running_value,
         "user_event_deltas": win.user_event_deltas,
+        "event_value_ranks": win.event_value_ranks,
         # --- JSON functions (§2.H) ---
         "props_key_histogram": json_props.props_key_histogram,
         "event_type_stats": json_props.event_type_stats,
@@ -504,6 +505,19 @@ SELECT user_id, event_id, value,
     PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
   ) AS DOUBLE) AS running_value
 FROM events ORDER BY user_id, event_id
+"""
+
+    sqls["event_value_ranks"] = """
+SELECT event_type, event_id, value, rnk, dense_rnk, pct_rank, cume FROM (
+  SELECT event_type, event_id, value,
+    CAST(rank() OVER w AS BIGINT) AS rnk,
+    CAST(dense_rank() OVER w AS BIGINT) AS dense_rnk,
+    percent_rank() OVER w AS pct_rank,
+    cume_dist() OVER w AS cume
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id ASC)
+) WHERE rnk <= 3
+ORDER BY event_type, rnk, event_id
 """
 
     sqls["user_event_deltas"] = """

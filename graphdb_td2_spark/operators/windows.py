@@ -108,3 +108,26 @@ def user_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+def event_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family over one window (per-type events
+    ordered by value): rank / dense_rank / percent_rank / cume_dist.
+    percent_rank ((rank−1)/(n−1)) and cume_dist (peers/n) are single exact
+    integer divisions — engine-portable. Top-3 by rank per type keeps the
+    output bounded at any corpus scale."""
+    events = read_table(spark, sf_dir, "events", ["event_id", "event_type", "value"])
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        events.select(
+            "event_type",
+            "event_id",
+            "value",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("dense_rnk"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .orderBy("event_type", "rnk", "event_id")
+    )
