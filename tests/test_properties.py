@@ -111,3 +111,40 @@ def test_asof_join_matches_reference_model(spark, left_spec, right_spec):
         right_rows,
     )
     assert got == want
+
+
+def _burst_reference(rows, gap_s):
+    """In-memory model: ordered within-gap pairs per key."""
+    out = set()
+    for k1, i1, s1 in rows:
+        for k2, i2, s2 in rows:
+            if k1 != k2:
+                continue
+            if (s1 < s2 or (s1 == s2 and i1 < i2)) and s2 - s1 <= gap_s:
+                out.add((k1, i1, i2, (s2 - s1) * 1_000_000))
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 900)),
+        min_size=1,
+        max_size=14,
+    ),
+    st.sampled_from([60, 300]),
+)
+def test_banded_range_join_matches_reference_model(spark, spec, gap_s):
+    from graphdb_td2_spark.operators.range_join import banded_range_self_pairs
+
+    rows = [(k, i, s) for i, (k, s) in enumerate(spec)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, secs long"
+    ).selectExpr("user_id", "event_id", "timestamp_seconds(secs) AS ts")
+    got = {
+        (r.user_id, r.id_a, r.id_b, r.gap_us)
+        for r in banded_range_self_pairs(
+            df, key="user_id", ts="ts", id_col="event_id", gap_seconds=gap_s
+        ).collect()
+    }
+    assert got == _burst_reference(rows, gap_s)
