@@ -1,0 +1,77 @@
+"""Physical-plan regression tests — PLANS.md's audit, enforced.
+
+Each assertion pins a plan property that matters at 100 TB (predicate
+pushdown reaching the parquet scan, broadcast vs nested-loop choices,
+top-k compilation). If a refactor silently degrades a plan (e.g. a filter
+stops pushing, a banded join falls back to a nested loop), these fail
+even though results stay correct.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_urgent_customers_pushdown_and_semi_join(spark):
+    plan = _plan(spark, "urgent_customers")
+    # the priority predicate must reach the orders parquet scan
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan  # dimension-sized sides broadcast
+
+
+def test_top_price_orders_scalar_is_single_row_broadcast(spark):
+    plan = _plan(spark, "top_price_orders")
+    # exactly one nested loop — the 1-row scalar; anything more is a bug
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_event_burst_pairs_is_equi_join_not_nested_loop(spark):
+    plan = _plan(spark, "event_burst_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shipping_priority_pushdown_and_topk(spark):
+    plan = _plan(spark, "shipping_priority")
+    assert "TakeOrderedAndProject" in plan  # top-k, not a full sort
+    assert "GreaterThan(l_shipdate" in plan  # pushed to lineitem scan
+    assert "LessThan(o_orderdate" in plan  # pushed to orders scan
+
+
+def test_recs_product_cooccurrence_seed_pushdown(spark):
+    import re
+
+    plan = _plan(spark, "recs_product_cooccurrence")
+    # recs reads the persisted adjacency view, so the seed predicate must
+    # reach the InMemoryTableScan (the cached-view analogue of parquet
+    # pushdown); on a cold path it would be EqualTo(l_partkey,1) on the scan
+    assert re.search(r"InMemoryTableScan.*\(product_id#\d+L? = 1\)", plan) or (
+        "EqualTo(l_partkey,1)" in plan
+    )
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _plan(spark, "pricing_summary")
+    # ReadSchema must not include unused wide columns
+    assert "l_comment" not in plan
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "l_partkey" not in line  # 7-col projection only
+            break
+    else:
+        pytest.fail("no ReadSchema in plan")
