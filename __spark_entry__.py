@@ -31,6 +31,7 @@ from graphdb_td2_spark.operators.timeseries import hourly_event_rollup
 from graphdb_td2_spark.graph.components import component_sizes
 from graphdb_td2_spark.graph.triangles import triangle_stats
 from graphdb_td2_spark.functions import json_props, text
+from graphdb_td2_spark.functions.sampling import sampled_event_stats
 from graphdb_td2_spark.dedup import (
     embedding_neardup_pairs,
     exact_dedup_stats,
@@ -110,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text.text_quality,
         "language_id": text.language_id,
         "doc_fingerprints": text.doc_fingerprints,
+        "sampled_event_stats": sampled_event_stats,
         # --- deduplication (Stage 5) ---
         "exact_dedup_stats": exact_dedup_stats,
         "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -505,6 +507,16 @@ SELECT user_id, event_id, value,
     PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
   ) AS DOUBLE) AS running_value
 FROM events ORDER BY user_id, event_id
+"""
+
+    sqls["sampled_event_stats"] = """
+SELECT event_type,
+  COUNT(*) AS n_total,
+  SUM(CASE WHEN CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 500
+      THEN 1 ELSE 0 END) AS n_sampled,
+  CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 500
+      THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS sample_share
+FROM events GROUP BY event_type ORDER BY event_type
 """
 
     sqls["event_value_ranks"] = """

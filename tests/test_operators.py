@@ -265,3 +265,17 @@ def test_triangle_stats_fixture(spark):
     }
     # pairs within {1,2,3} co-occur 3x (4x for 1-2); {4,5} only once -> cut
     assert edges == {(1, 2): 4, (1, 3): 3, (2, 3): 3}
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    from graphdb_td2_spark.functions.sampling import hash_sample
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    a = sorted(r.id for r in hash_sample(df, "id", 0.1).collect())
+    b = sorted(r.id for r in hash_sample(df.repartition(13), "id", 0.1).collect())
+    assert a == b and len(a) > 0
+    # md5-uniformity: 10% ±3pp on 2000 keys
+    assert 0.07 < len(a) / 2000 < 0.13
+    # monotone: a smaller rate selects a subset
+    c = set(r.id for r in hash_sample(df, "id", 0.05).collect())
+    assert c <= set(a)
