@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "urgent_customers": rel.urgent_customers,
         "event_burst_pairs": event_burst_pairs,
         "hourly_event_rollup": hourly_event_rollup,
+        "user_event_pivot": rel.user_event_pivot,
+        "user_event_unpivot": rel.user_event_unpivot,
         # --- window functions (§2.I) ---
         "sessionize": win.sessionize,
         "top_events_per_user": win.top_events_per_user,
@@ -507,6 +509,22 @@ SELECT user_id, event_id, value,
     PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
   ) AS DOUBLE) AS running_value
 FROM events ORDER BY user_id, event_id
+"""
+
+    _pivot_cols = ", ".join(
+        f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+        for t in ("click", "error", "purchase", "signup", "view")
+    )
+    sqls["user_event_pivot"] = f"""
+SELECT user_id, {_pivot_cols}
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+    sqls["user_event_unpivot"] = """
+SELECT user_id, event_type, COUNT(*) AS n
+FROM events GROUP BY user_id, event_type
+HAVING COUNT(*) > 0
+ORDER BY user_id, event_type
 """
 
     sqls["sampled_event_stats"] = """

@@ -340,3 +340,43 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT [extension]: per-user event counts, one column per event type.
+    The pivot value list is FIXED (stable output schema — a dynamic pivot
+    would need an extra distinct pass and make the schema data-dependent);
+    compiles to one hash aggregate with conditional counts, no extra
+    shuffle vs a plain groupBy."""
+    events = read_table(spark, sf_dir, "events", ["user_id", "event_type"])
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+        .select(
+            "user_id", *[F.col(t).cast("long").alias(f"n_{t}") for t in EVENT_TYPES]
+        )
+        .orderBy("user_id")
+    )
+
+
+def user_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt [extension]: the pivot's inverse — wide per-user counts
+    back to long (user_id, event_type, n) rows, zero-count cells dropped
+    (narrow generator expression, no shuffle beyond the pivot's own)."""
+    wide = user_event_pivot(spark, sf_dir)
+    return (
+        wide.unpivot(
+            "user_id",
+            [f"n_{t}" for t in EVENT_TYPES],
+            "event_type",
+            "n",
+        )
+        .withColumn("event_type", F.expr("substring(event_type, 3)"))
+        .filter(F.col("n") > 0)
+        .orderBy("user_id", "event_type")
+    )
