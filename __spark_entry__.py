@@ -61,7 +61,28 @@ def entry(spark: SparkSession) -> DataFrame:
     return recs.product_cooccurrence(spark, SMOKE_SF_DIR)
 
 
+def _configured(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Wrap a query so it first applies this engine's runtime confs to the
+    caller's session (UTC session timezone is correctness-relevant for every
+    timestamp query; AQE/Arrow are performance). The driver harness builds
+    its own SparkSession — queries must not depend on ours."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(configure_existing(spark), sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        name: _configured(fn)
+        for name, fn in _raw_queries().items()
+    }
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- reference parity: recommendation strategies (§2.C/D/F, §3) ---
         "recs_product_cooccurrence": recs.product_cooccurrence,
