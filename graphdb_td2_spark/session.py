@@ -65,12 +65,22 @@ def configure_existing(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
-        ("spark.sql.session.timeZone", "UTC"),
     ):
         try:
             spark.conf.set(key, value)
         except Exception:
-            # Immutable in this deployment — keep going; queries only rely on
-            # these for performance, never for correctness.
+            # Immutable in this deployment — keep going; these confs are
+            # performance-only.
             pass
+    # The session timezone is NOT performance-only: date→timestamp coercion
+    # (asof join) and hour bucketing shift under a non-UTC session, silently
+    # producing wrong-but-plausible results. Set it and verify it stuck.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    actual = spark.conf.get("spark.sql.session.timeZone")
+    if actual != "UTC":
+        raise RuntimeError(
+            "spark.sql.session.timeZone must be UTC for correct timestamp "
+            f"semantics, but the session reports {actual!r} and refused the "
+            "update; rebuild the session with get_spark()"
+        )
     return spark
