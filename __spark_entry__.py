@@ -1,9 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-``queries()`` is the judged operator inventory (SURVEY.md §2): every entry
-has a DuckDB oracle in ``oracle_sql()`` except the iterative graph
-algorithms (PageRank/PPR — not SQL-expressible; the driver records the
-weaker rows-only check for those, per the contract).
+``queries()`` is the judged operator inventory (SURVEY.md §2): every entry —
+including the iterative graph algorithms — has a DuckDB oracle in
+``oracle_sql()``.  PageRank/PPR run in integer fixed point (scaled-BIGINT
+ranks; see ``graph/pagerank.py``) so their iterations can be unrolled as
+chained CTEs and value-hash-compared exactly; connected components unroll
+min-label propagation with pointer jumping.
 
 Cross-engine determinism strategy (so order-insensitive value hashes match):
 - money-like double aggregates go through exact DECIMAL(12,2) intermediates
@@ -220,6 +222,123 @@ purchased AS (SELECT DISTINCT product_id FROM c1)
 _QE = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
 
 
+# --- property-graph edge multiset (graph/build.py E2-E9 semantics) -----------
+# IN_CATEGORY: one per part.  PLACED: one per FK-resolved order.
+# CONTAINS: one per distinct FK-resolved (order, product).
+# Event edges: one per FK-resolved (customer, product, rel_type).
+def _graph_edges_sql() -> str:
+    return f"""
+  SELECT 'P:' || CAST(p_partkey AS VARCHAR) AS src, 'CAT:' || p_brand AS dst FROM part
+  UNION ALL
+  SELECT 'C:' || CAST(o_custkey AS VARCHAR), 'O:' || CAST(o_orderkey AS VARCHAR)
+  FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer)
+  UNION ALL
+  SELECT 'O:' || CAST(l_orderkey AS VARCHAR), 'P:' || CAST(l_partkey AS VARCHAR)
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  WHERE l_orderkey IN (SELECT o_orderkey FROM orders)
+    AND l_partkey IN (SELECT p_partkey FROM part)
+  UNION ALL
+  SELECT 'C:' || CAST(customer_id AS VARCHAR), 'P:' || CAST(product_id AS VARCHAR)
+  FROM (SELECT DISTINCT user_id AS customer_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS product_id,
+               {_EVENT_REL} AS rel_type
+        FROM events WHERE lower(event_type) IN ('view', 'click', 'add_to_cart'))
+  WHERE customer_id IN (SELECT c_custkey FROM customer)
+    AND product_id IN (SELECT p_partkey FROM part)
+"""
+
+
+def _pagerank_fp_sql(reset_expr: str, num_iter: int = 5) -> str:
+    """Integer fixed-point PageRank, iterations unrolled as chained CTEs.
+
+    Mirrors ``graph/pagerank.py:_iterate_fp`` exactly: scaled-BIGINT ranks,
+    per-edge contribution ``rank // out_degree``, damping FP_DNUM/FP_DDEN by
+    integer division, dangling mass redistributed through the teleport
+    vector.  Every intermediate is an integer, so summation order can't
+    perturb the result and the value hash matches Spark bit-for-bit.
+    ``reset_expr`` may reference ``v.id`` and the scalar ``(SELECT n FROM nv)``.
+    """
+    from graphdb_td2_spark.graph.pagerank import FP_DDEN, FP_DNUM, FP_SCALE
+
+    # AS MATERIALIZED is load-bearing: each iteration references its
+    # predecessor 3x (dangling aggregate, message join, state join); inlined
+    # CTEs would re-evaluate the whole chain ~3^num_iter times.
+    parts = [f"""
+WITH edges AS MATERIALIZED ({_graph_edges_sql()}),
+verts AS MATERIALIZED (SELECT DISTINCT id FROM
+          (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM verts),
+deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_degree
+                     FROM edges GROUP BY src),
+r0 AS MATERIALIZED (
+  SELECT v.id, CAST({reset_expr} AS BIGINT) AS reset, d.out_degree,
+         CAST({reset_expr} AS BIGINT) AS rank
+  FROM verts v LEFT JOIN deg d ON v.id = d.src
+)"""]
+    for i in range(1, num_iter + 1):
+        p = i - 1
+        parts.append(f""",
+d{i} AS (SELECT CAST(COALESCE(SUM(CASE WHEN out_degree IS NULL THEN rank END), 0)
+                AS BIGINT) AS dm FROM r{p}),
+m{i} AS (SELECT e.dst AS id, CAST(SUM(r.rank // r.out_degree) AS BIGINT) AS msg
+         FROM edges e JOIN r{p} r ON e.src = r.id GROUP BY e.dst),
+r{i} AS MATERIALIZED (
+  SELECT r.id, r.reset, r.out_degree,
+    CAST((({FP_DDEN - FP_DNUM} * r.reset) // {FP_DDEN})
+      + (({FP_DNUM} * (COALESCE(m.msg, 0) + ((d.dm * r.reset) // {FP_SCALE})))
+         // {FP_DDEN}) AS BIGINT) AS rank
+  FROM r{p} r LEFT JOIN m{i} m ON r.id = m.id CROSS JOIN d{i} d
+)""")
+    parts.append(f"""
+SELECT id, rank AS rank_fp, CAST(rank AS DOUBLE) / {float(FP_SCALE)} AS rank
+FROM r{num_iter}
+ORDER BY rank_fp DESC, id ASC
+LIMIT 20
+""")
+    return "".join(parts)
+
+
+def _components_sql(rounds: int = 8) -> str:
+    """Connected components as unrolled min-label propagation with pointer
+    jumping (label := label-of-label each round), so convergence is
+    O(log diameter) and {rounds} rounds cover any diameter <= ~2^{rounds}.
+    The fixpoint (min reachable vertex id) is algorithm-independent, so the
+    Spark loop (graph/components.py, iterate-to-no-change) lands on the
+    identical labels and the size histogram hash-matches."""
+    # AS MATERIALIZED prevents exponential CTE re-inlining (each round
+    # references its predecessor twice and the jump references the
+    # propagation twice — inlined that is 4^rounds evaluations).
+    parts = [f"""
+WITH edges AS MATERIALIZED ({_graph_edges_sql()}),
+verts AS (
+  SELECT 'C:' || CAST(c_custkey AS VARCHAR) AS id FROM customer
+  UNION ALL SELECT 'P:' || CAST(p_partkey AS VARCHAR) FROM part
+  UNION ALL SELECT DISTINCT 'CAT:' || p_brand FROM part
+  UNION ALL SELECT 'O:' || CAST(o_orderkey AS VARCHAR) FROM orders
+),
+und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM edges
+  UNION ALL SELECT dst AS src, src AS dst FROM edges)),
+l0 AS MATERIALIZED (SELECT DISTINCT id, id AS lbl FROM verts)"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f""",
+p{i} AS MATERIALIZED (
+  SELECT id, MIN(lbl) AS lbl FROM (
+    SELECT e.dst AS id, l.lbl FROM und e JOIN l{p} l ON e.src = l.id
+    UNION ALL SELECT id, lbl FROM l{p}
+  ) GROUP BY id
+),
+l{i} AS MATERIALIZED (
+  SELECT a.id, b.lbl AS lbl FROM p{i} a JOIN p{i} b ON a.lbl = b.id)""")
+    parts.append(f"""
+SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components FROM (
+  SELECT lbl, CAST(COUNT(*) AS BIGINT) AS size FROM l{rounds} GROUP BY lbl
+) GROUP BY size ORDER BY size DESC
+""")
+    return "".join(parts)
+
+
 def _cosine_sql(a: str, b: str) -> str:
     return (
         f"CAST(list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i])) AS DOUBLE)"
@@ -433,6 +552,16 @@ SELECT rel_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
   FROM events WHERE lower(event_type) IN ('view', 'click', 'add_to_cart')
 ) GROUP BY rel_type ORDER BY rel_type
 """
+
+    from graphdb_td2_spark.graph.pagerank import FP_SCALE
+
+    sqls["pagerank_top20"] = _pagerank_fp_sql(
+        f"({FP_SCALE} // (SELECT n FROM nv))"
+    )
+    sqls["ppr_top20"] = _pagerank_fp_sql(
+        f"(CASE WHEN v.id = 'C:1' THEN {FP_SCALE} ELSE 0 END)"
+    )
+    sqls["component_sizes"] = _components_sql()
 
     sqls["pricing_summary"] = f"""
 SELECT l_returnflag, l_linestatus,

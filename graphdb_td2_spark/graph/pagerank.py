@@ -135,6 +135,137 @@ def _iterate(
     return ranks.select("id", "rank")
 
 
+# --- integer fixed-point formulation (exact, cross-engine checkable) ---------
+#
+# IEEE-754 summation is order-dependent, so a float power iteration can never
+# be value-hash-compared across engines. This formulation keeps every
+# intermediate an INTEGER: ranks are scaled BIGINTs, per-edge contribution is
+# rank div out_degree, damping is (dnum/dden) applied via integer division.
+# Integer sums are associative and integer division is deterministic, so
+# DuckDB (which evaluates the same recurrence as unrolled CTEs in
+# __spark_entry__.py) reproduces bit-identical ranks — giving the iterative
+# L3 tier a real oracle instead of a rows-only check.
+#
+# Overflow bound (int64): rank mass never exceeds FP_SCALE (floors only shed
+# mass), so dangling*reset <= FP_SCALE^2 = 1e18 < 2^63, and
+# FP_DNUM*(msg + dangling_term) <= 85 * 2*FP_SCALE ~ 1.7e11.
+
+FP_SCALE = 10**9
+FP_DNUM = 85  # damping numerator
+FP_DDEN = 100  # damping denominator
+
+
+def _iterate_fp(
+    edges: DataFrame,
+    vertices: DataFrame,
+    reset: DataFrame,  # id, reset (scaled BIGINT teleport weights)
+    num_iter: int,
+    src: str,
+    dst: str,
+    n_vertices: int | None = None,
+) -> DataFrame:
+    """Integer power iteration; same loop discipline as ``_iterate``
+    (broadcast rank vector while dimension-sized, localCheckpoint every
+    iteration, exactly one driver action per iteration)."""
+    small = n_vertices is not None and n_vertices <= _BROADCAST_RANKS_MAX
+    if small:
+        parts = max(1, int(n_vertices // 250_000) + 1)
+        vertices = vertices.repartition(parts)
+        reset = reset.repartition(parts)
+        edges = edges.repartition(parts, F.col(src))
+    edges = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+    edges = edges.persist()
+    out_deg = out_deg.persist()
+
+    state = (
+        vertices.join(out_deg.select(F.col("src").alias("id"), "out_degree"), "id", "left")
+        .join(reset, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("reset"), F.lit(0)).cast("long").alias("reset"),
+            F.col("out_degree").isNull().alias("is_dangling"),
+        )
+        .withColumn("rank", F.col("reset"))
+        .localCheckpoint(eager=True)
+    )
+
+    def dangling_mass(df: DataFrame) -> int:
+        row = df.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("is_dangling"), F.col("rank"))), F.lit(0)
+            ).cast("long")
+        ).first()
+        return int(row[0])
+
+    ranks = state
+    dangling = dangling_mass(ranks)
+    for _ in range(num_iter):
+        rank_side = ranks.select(F.col("id").alias("src"), "rank")
+        if small:
+            rank_side = F.broadcast(rank_side)
+        contribs = (
+            edges.join(rank_side, "src")
+            .join(out_deg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                F.expr("rank div out_degree").alias("contrib"),
+            )
+            .groupBy("id")
+            .agg(F.sum("contrib").alias("msg"))
+        )
+        new_ranks = (
+            ranks.drop("rank")
+            .join(contribs, "id", "left")
+            .select(
+                "id",
+                "reset",
+                "is_dangling",
+                F.expr(
+                    f"(({FP_DDEN - FP_DNUM} * reset) div {FP_DDEN})"
+                    f" + (({FP_DNUM} * (coalesce(msg, cast(0 as bigint))"
+                    f" + (({dangling} * reset) div {FP_SCALE}))) div {FP_DDEN})"
+                ).alias("rank"),
+            )
+        )
+        new_ranks = new_ranks.localCheckpoint(eager=False)
+        dangling = dangling_mass(new_ranks)
+        ranks = new_ranks
+    return ranks.select("id", F.col("rank").alias("rank_fp"))
+
+
+def pagerank_fp(
+    edges: DataFrame,
+    num_iter: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Uniform-teleport integer PageRank → ``(id, rank_fp)`` with
+    ``rank_fp ~ rank * FP_SCALE`` (exactly reproducible cross-engine)."""
+    vertices = _vertices_of(edges, src, dst).persist()
+    n = vertices.count()
+    reset = vertices.withColumn("reset", F.lit(FP_SCALE // n).cast("long"))
+    return _iterate_fp(edges, vertices, reset, num_iter, src, dst, n_vertices=n)
+
+
+def personalized_pagerank_fp(
+    edges: DataFrame,
+    seeds: list,
+    num_iter: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Integer PPR: teleport mass split uniformly across ``seeds``."""
+    vertices = _vertices_of(edges, src, dst).persist()
+    n = vertices.count()
+    w = FP_SCALE // len(seeds)
+    reset = vertices.withColumn(
+        "reset",
+        F.when(F.col("id").isin(*seeds), F.lit(w)).otherwise(F.lit(0)).cast("long"),
+    )
+    return _iterate_fp(edges, vertices, reset, num_iter, src, dst, n_vertices=n)
+
+
 def pagerank(
     edges: DataFrame,
     num_iter: int = 10,

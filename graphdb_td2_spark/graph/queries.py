@@ -9,7 +9,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..io import load_tables, read_table
 from .build import GraphFrames, build_graph, event_typed_dedup
-from .pagerank import pagerank, personalized_pagerank
+from .pagerank import (
+    FP_SCALE,
+    pagerank,
+    pagerank_fp,
+    personalized_pagerank,
+    personalized_pagerank_fp,
+)
 
 # Session-scoped graph memo: four inventory queries share one E2-E9 build
 # instead of re-deriving it (the build is ~4 joins + unions — the dominant
@@ -114,16 +120,38 @@ def graph_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the full property graph; top 20 vertices.
 
-    Iterative — not SQL-expressible, so no DuckDB oracle (driver records the
-    weaker rows-only check; SURVEY.md §4 custom-work item 1)."""
+    Uses the integer fixed-point formulation (``pagerank.py``): ranks are
+    scaled BIGINTs, so the unrolled-CTE DuckDB oracle in
+    ``__spark_entry__.py`` reproduces them bit-exactly — the iterative L3
+    tier gets a full value-hash check, not a rows-only one (SURVEY.md §4
+    custom-work item 1; round-1 VERDICT item 3)."""
     g = cached_graph(spark, sf_dir)
-    pr = pagerank(g.edges.select("src", "dst"), num_iter=5)
-    return pr.orderBy(F.desc("rank"), F.asc("id")).limit(20)
+    pr = pagerank_fp(g.edges.select("src", "dst"), num_iter=5)
+    return (
+        pr.select(
+            "id",
+            "rank_fp",
+            (F.col("rank_fp").cast("double") / F.lit(float(FP_SCALE))).alias("rank"),
+        )
+        .orderBy(F.desc("rank_fp"), F.asc("id"))
+        .limit(20)
+    )
 
 
 def ppr_top20(spark: SparkSession, sf_dir: str, seed: str = "C:1") -> DataFrame:
     """Personalized PageRank from one customer seed — the reference's
-    declared GDS TODO (``app/main.py:31-33``); top 20 vertices."""
+    declared GDS TODO (``app/main.py:31-33``); top 20 vertices. Integer
+    fixed-point (exact DuckDB oracle), like ``pagerank_top20``."""
     g = cached_graph(spark, sf_dir)
-    pr = personalized_pagerank(g.edges.select("src", "dst"), seeds=[seed], num_iter=5)
-    return pr.orderBy(F.desc("rank"), F.asc("id")).limit(20)
+    pr = personalized_pagerank_fp(
+        g.edges.select("src", "dst"), seeds=[seed], num_iter=5
+    )
+    return (
+        pr.select(
+            "id",
+            "rank_fp",
+            (F.col("rank_fp").cast("double") / F.lit(float(FP_SCALE))).alias("rank"),
+        )
+        .orderBy(F.desc("rank_fp"), F.asc("id"))
+        .limit(20)
+    )

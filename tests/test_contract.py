@@ -94,5 +94,6 @@ def test_oracles_align_with_registry():
     q = set(entry._raw_queries())
     o = set(entry.oracle_sql())
     assert not o - q, f"oracles without a query: {o - q}"
-    # only the iterative graph algorithms may run rows-only
-    assert q - o <= {"pagerank_top20", "ppr_top20", "component_sizes"}
+    # since round 2 every query — including the iterative graph algorithms,
+    # via the integer fixed-point formulation — has an exact oracle
+    assert not q - o, f"queries without an oracle: {q - o}"

@@ -4,9 +4,6 @@ from __future__ import annotations
 
 import __spark_entry__ as entry_mod
 
-ROWS_ONLY = {"pagerank_top20", "ppr_top20", "component_sizes"}  # iterative, not SQL-expressible
-
-
 def test_entry_returns_rows(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
@@ -14,11 +11,12 @@ def test_entry_returns_rows(spark):
     assert df.columns == ["product_id", "score", "reason"]
 
 
-def test_every_query_has_an_oracle_or_is_rows_only():
+def test_every_query_has_an_oracle():
+    # since round 2 the iterative graph algorithms are oracle-checkable too
+    # (integer fixed-point formulation, unrolled-CTE DuckDB twin)
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
-    assert set(o) <= set(q)
-    assert set(q) - set(o) == ROWS_ONLY
+    assert set(o) == set(q)
 
 
 def test_queries_run_at_smoke_sf(spark, sf_dir):
