@@ -323,9 +323,15 @@ def top_cooccurrence_pairs(spark: SparkSession, sf_dir: str, k: int = 20) -> Dat
     """The un-seeded generalization of C1: global basket co-occurrence —
     top-k product pairs by number of shared orders. This is the scale-hard
     shape (the CONTAINS self-join with no seed anchor): the join shuffles
-    on the order key, hot orders are the skew risk (AQE skew-join covers
-    it; salting hooks live in `_items` if a corpus needs more), and the
-    pair space is bounded by per-order basket sizes, not |products|².
+    on the order key, hot orders are the skew risk, and the pair space is
+    bounded by per-order basket sizes, not |products|².
+
+    Skew posture: AQE skew-join splitting — PROVEN to engage on this exact
+    join shape by ``tests/test_skew.py`` (hot-key fixture, plan assertion).
+    ``salted_join`` does not apply here (both sides of a self-join are big;
+    it replicates the small side). Note the aggregation keys (product_a,
+    product_b) differ from the join key, which is what makes the split free
+    for AQE — an order_id-keyed consumer would veto it (see test docstring).
     """
     items = _dedup_pairs(_items(spark, sf_dir))
     a, b = items.alias("a"), items.alias("b")
