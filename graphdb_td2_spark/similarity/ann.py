@@ -110,6 +110,50 @@ def ann_topk_lsh(
 N_CELLS = 8
 
 
+def _assign_cells(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Argmax-cosine cell per vector via ``max_by`` over a (cosine,
+    -cent_id) order (ties → lowest centroid id). The groupBy gets map-side
+    partial aggregation, so the shuffle carries n rows — a row_number
+    window over the same cross join would shuffle n·n_cells."""
+    return (
+        corpus.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "qe",
+            "cent_id",
+            cosine_similarity_q(F.col("cent_qe"), F.col("qe")).alias("cent_cos"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.first("qe").alias("qe"),
+            F.max_by(
+                "cent_id", F.struct(F.col("cent_cos"), -F.col("cent_id"))
+            ).alias("cell"),
+        )
+        .select("vec_id", "qe", "cell")
+    )
+
+
+def _probe_topk(
+    assigned: DataFrame, queries: DataFrame, k: int
+) -> DataFrame:
+    """nprobe=1 cell-equi-join search over an assigned corpus."""
+    query_cells = assigned.join(
+        queries.select(F.col("query_id").alias("vec_id"), "query_qe"),
+        "vec_id",
+    ).select(F.col("vec_id").alias("query_id"), "query_qe", "cell")
+    scored = (
+        assigned.join(F.broadcast(query_cells), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity_q(F.col("query_qe"), F.col("qe")).alias("cosine"),
+        )
+    )
+    return _topk(scored, k)
+
+
 def ann_topk_ivf(
     spark: SparkSession,
     sf_dir: str,
@@ -136,41 +180,99 @@ def ann_topk_ivf(
     centroids = corpus.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cent_id"), F.col("qe").alias("cent_qe")
     )
-    # argmax-cosine cell per vector via max_by over a (cosine, -cent_id)
-    # order (ties → lowest centroid id). groupBy gets map-side partial
-    # aggregation, so the shuffle carries n rows — a row_number window
-    # over the same cross join would shuffle n·n_cells.
-    assigned = (
-        corpus.crossJoin(F.broadcast(centroids))
-        .select(
-            "vec_id",
-            "qe",
-            "cent_id",
-            cosine_similarity_q(F.col("cent_qe"), F.col("qe")).alias("cent_cos"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.first("qe").alias("qe"),
-            F.max_by(
-                "cent_id", F.struct(F.col("cent_cos"), -F.col("cent_id"))
-            ).alias("cell"),
-        )
-        .select("vec_id", "qe", "cell")
+    return _probe_topk(_assign_cells(corpus, centroids), queries, k)
+
+
+# --- trained coarse quantizer (deterministic Lloyd k-means) ------------------
+
+KMEANS_ITER = 4
+
+
+def train_ivf_centroids(
+    spark: SparkSession,
+    corpus: DataFrame,
+    n_cells: int = N_CELLS,
+    n_iter: int = KMEANS_ITER,
+) -> DataFrame:
+    """Deterministic sampled k-means over quantized embeddings →
+    ``(cent_id, cent_qe)`` — the trained drop-in for the id-quantizer in
+    ``ann_topk_ivf`` (round-1 VERDICT item 5).
+
+    Determinism (no rand(), retry/speculation-safe):
+    - init: the ``n_cells`` vectors with smallest ``md5(vec_id)`` — an
+      order-statistics sample, uniform over the corpus but reproducible;
+    - Lloyd step: cell assignment is the shared exact-integer argmax plan
+      (``_assign_cells``); the centroid update is an element-wise integer
+      mean (exact sum, then ``div`` — associative, order-independent).
+
+    Scale notes: assignment is the same broadcast-centroids corpus scan as
+    the serving path; the update shuffles (cell, pos) partial sums —
+    n_cells·dim rows, independent of corpus size. Centroids (n_cells·dim
+    longs) round-trip through the driver each iteration, which is both the
+    classic k-means topology (MLlib does the same) and the lineage
+    truncation that keeps iteration plans O(1).
+    """
+    dim_row = corpus.select(F.size("qe").alias("d")).first()
+    dim = int(dim_row["d"])
+    centroids = (
+        corpus.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(n_cells)
+        .select("vec_id", "qe")
     )
-    query_cells = (
-        assigned.join(
-            queries.select(F.col("query_id").alias("vec_id"), "query_qe"),
-            "vec_id",
+    cent_rows = {
+        i: list(r["qe"]) for i, r in enumerate(centroids.collect())
+    }
+    schema = "cent_id long, cent_qe array<long>"
+    for _ in range(n_iter):
+        cent_df = spark.createDataFrame(
+            [(i, v) for i, v in sorted(cent_rows.items())], schema=schema
         )
-        .select(F.col("vec_id").alias("query_id"), "query_qe", "cell")
-    )
-    scored = (
-        assigned.join(F.broadcast(query_cells), "cell")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            cosine_similarity_q(F.col("query_qe"), F.col("qe")).alias("cosine"),
+        assigned = _assign_cells(corpus, cent_df)
+        # element-wise integer mean per cell: exact long sums via
+        # posexplode → (cell, pos) partial agg, reassembled in pos order
+        new_rows = (
+            assigned.select("cell", F.posexplode("qe").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .withColumn("m", F.expr("s div n"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda x: x["m"],
+                ).alias("cent_qe")
+            )
+            .collect()
         )
+        updated = {int(r["cell"]): list(r["cent_qe"]) for r in new_rows}
+        for r in updated.values():
+            assert len(r) == dim
+        # empty cells keep their previous centroid
+        cent_rows = {i: updated.get(i, v) for i, v in cent_rows.items()}
+    return spark.createDataFrame(
+        [(i, v) for i, v in sorted(cent_rows.items())], schema=schema
     )
-    return _topk(scored, k)
+
+
+def ann_topk_ivf_trained(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = DEFAULT_K,
+    n_queries: int = DEFAULT_N_QUERIES,
+    n_cells: int = N_CELLS,
+    n_iter: int = KMEANS_ITER,
+) -> DataFrame:
+    """IVF top-k with k-means-trained centroids behind the identical
+    assignment/probe plan as ``ann_topk_ivf``.
+
+    ``tests/test_ann_trained.py`` proves the recall claim where it is
+    provable: on a clustered fixture the trained quantizer beats the
+    id-quantizer by a wide margin, while on the corpus — whose embeddings
+    are isotropic (measured intra-label avg cosine ~ inter-label ~ 0, so
+    there is no structure for ANY quantizer to exploit) — it is held to
+    the above-random-cell-baseline bar."""
+    queries, corpus = _queries_and_corpus(spark, sf_dir, n_queries)
+    corpus = corpus.persist()
+    centroids = train_ivf_centroids(spark, corpus, n_cells, n_iter)
+    return _probe_topk(_assign_cells(corpus, centroids), queries, k)

@@ -1,0 +1,141 @@
+"""Trained-IVF recall proof (round-1 VERDICT item 5).
+
+Why a synthetic clustered fixture instead of the corpus: the corpus
+embeddings are isotropic — measured intra-label avg cosine ~ -0.004 and
+inter-label ~ +0.001 (both sigma ~0.12), i.e. labels carry NO geometric
+cluster structure, so no coarse quantizer can systematically beat another
+there.  (The id-quantizer *appears* strong on the corpus only through
+query leakage: the default query set is vec_id < n_queries and its
+centroids are vec_id < n_cells, so early queries sit in cells they
+themselves define.)  The honest claim for k-means is "when clusters
+exist, training finds them"; this fixture makes that claim falsifiable:
+8 well-separated direction clusters, an adversarial id-quantizer whose
+seeds all land in ONE cluster, and disjoint query ids.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graphdb_td2_spark.functions.vectors import cosine_similarity_q
+from graphdb_td2_spark.similarity.ann import (
+    _assign_cells,
+    _probe_topk,
+    _queries_and_corpus,
+    _topk,
+    train_ivf_centroids,
+)
+
+N_CLUSTERS = 8
+DIM = 16
+PER_CLUSTER = 50
+K = 5
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """(corpus_df, query_df, truth_pairs): 8 direction clusters in 16-dim;
+    vec_ids laid out so ids 0..7 ALL fall in cluster 0 (adversarial for the
+    id-quantizer); queries are 2 per cluster with ids disjoint from 0..7."""
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(N_CLUSTERS, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    # ids 0..7: all cluster 0
+    for cluster in [0] * N_CLUSTERS + [
+        c for c in range(N_CLUSTERS) for _ in range(PER_CLUSTER - (8 if c == 0 else 0))
+    ]:
+        x = centers[cluster] + 0.25 * rng.normal(size=DIM)
+        qe = [int(np.floor(v * 1_000_000)) for v in x]
+        rows.append((vid, cluster, qe))
+        vid += 1
+    corpus = spark.createDataFrame(
+        rows, schema="vec_id long, cluster int, qe array<long>"
+    ).persist()
+    # 2 query ids per cluster, none in 0..7
+    qids = [
+        r["vec_id"]
+        for c in range(N_CLUSTERS)
+        for r in corpus.filter(
+            (F.col("cluster") == c) & (F.col("vec_id") >= N_CLUSTERS)
+        )
+        .orderBy("vec_id")
+        .limit(2)
+        .collect()
+    ]
+    queries = corpus.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("qe").alias("query_qe")
+    )
+    # exact ground truth: brute-force top-K per query
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity_q(F.col("query_qe"), F.col("qe")).alias("cosine"),
+        )
+    )
+    truth = {
+        (r["query_id"], r["vec_id"]) for r in _topk(scored, K).collect()
+    }
+    return corpus.select("vec_id", "qe"), queries, truth
+
+
+def _recall(df, truth):
+    approx = {(r["query_id"], r["vec_id"]) for r in df.collect()}
+    return len(approx & truth) / len(truth)
+
+
+def test_trained_ivf_beats_id_quantizer_on_clustered_data(spark, clustered):
+    corpus, queries, truth = clustered
+    id_cents = corpus.filter(F.col("vec_id") < N_CLUSTERS).select(
+        F.col("vec_id").alias("cent_id"), F.col("qe").alias("cent_qe")
+    )
+    untrained = _recall(
+        _probe_topk(_assign_cells(corpus, id_cents), queries, K), truth
+    )
+    trained_cents = train_ivf_centroids(spark, corpus, n_cells=N_CLUSTERS)
+    trained = _recall(
+        _probe_topk(_assign_cells(corpus, trained_cents), queries, K), truth
+    )
+    # the id-quantizer's seeds all sit in one cluster -> other clusters'
+    # neighbors scatter by noise; k-means must recover real structure
+    assert trained > untrained + 0.2, (
+        f"k-means did not improve recall: trained={trained:.3f} "
+        f"untrained={untrained:.3f}"
+    )
+    assert trained >= 0.6
+
+
+def test_corpus_recall_stays_above_random_cell_baseline(spark, sf_dir):
+    """On the isotropic corpus the trained quantizer can't 'win', but its
+    nprobe=1 recall must still beat the random-assignment baseline 1/8."""
+    from graphdb_td2_spark.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_ivf_trained,
+    )
+
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in ann_topk_bruteforce(spark, sf_dir, k=K, n_queries=20).collect()
+    }
+    trained = _recall(
+        ann_topk_ivf_trained(spark, sf_dir, k=K, n_queries=20), truth
+    )
+    assert trained > 1.0 / 8
+
+
+def test_kmeans_training_is_deterministic(spark, sf_dir):
+    _, corpus = _queries_and_corpus(spark, sf_dir, 20)
+    corpus = corpus.persist()
+    a = train_ivf_centroids(spark, corpus, n_cells=8, n_iter=2).collect()
+    b = train_ivf_centroids(spark, corpus, n_cells=8, n_iter=2).collect()
+    assert [(r["cent_id"], list(r["cent_qe"])) for r in a] == [
+        (r["cent_id"], list(r["cent_qe"])) for r in b
+    ]
+    assert [r["cent_id"] for r in a] == list(range(8))
+    assert all(len(r["cent_qe"]) == 64 for r in a)
