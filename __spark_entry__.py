@@ -35,6 +35,7 @@ from graphdb_td2_spark.graph.triangles import triangle_stats
 from graphdb_td2_spark.functions import json_props, text
 from graphdb_td2_spark.functions.sampling import sampled_event_stats
 from graphdb_td2_spark.dedup import (
+    dedup_clusters,
     embedding_neardup_pairs,
     exact_dedup_stats,
     minhash_lsh_pairs,
@@ -99,6 +100,8 @@ DEMOTED_TAIL = (
     "top_events_per_user",  # per-group top-k variant of event_value_ranks
     "user_running_value",   # running-window variant of user_event_deltas
     "user_event_unpivot",   # exact inverse of user_event_pivot
+    "shipping_priority",    # Q3-shaped join+agg+topk variant of
+                            # local_supplier_volume + top_customers
 )
 
 
@@ -130,7 +133,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_activity_setops": rel.customer_activity_setops,
         "events_asof_last_order": events_last_order,
         "local_supplier_volume": rel.local_supplier_volume,
-        "shipping_priority": rel.shipping_priority,
         "top_price_orders": rel.top_price_orders,
         "urgent_customers": rel.urgent_customers,
         "event_burst_pairs": event_burst_pairs,
@@ -155,6 +157,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": simhash_docs,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "embedding_neardup_pairs": embedding_neardup_pairs,
+        "dedup_clusters": dedup_clusters,
         # --- similarity search (Stage 5) ---
         "ann_topk_bruteforce": ann_topk_bruteforce,
         "ann_topk_lsh": ann_topk_lsh,
@@ -173,6 +176,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_events_per_user": win.top_events_per_user,
         "user_running_value": win.user_running_value,
         "user_event_unpivot": rel.user_event_unpivot,
+        "shipping_priority": rel.shipping_priority,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -298,6 +302,27 @@ LIMIT 20
     return "".join(parts)
 
 
+def _label_prop_rounds(rounds: int) -> str:
+    """Min-label propagation + pointer jumping as chained CTEs; assumes
+    ``und`` (symmetric edges) and ``l0`` (id, lbl) are already defined.
+    AS MATERIALIZED prevents exponential CTE re-inlining (each round
+    references its predecessor twice and the jump references the
+    propagation twice — inlined that is 4^rounds evaluations)."""
+    out = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        out.append(f""",
+p{i} AS MATERIALIZED (
+  SELECT id, MIN(lbl) AS lbl FROM (
+    SELECT e.dst AS id, l.lbl FROM und e JOIN l{p} l ON e.src = l.id
+    UNION ALL SELECT id, lbl FROM l{p}
+  ) GROUP BY id
+),
+l{i} AS MATERIALIZED (
+  SELECT a.id, b.lbl AS lbl FROM p{i} a JOIN p{i} b ON a.lbl = b.id)""")
+    return "".join(out)
+
+
 def _components_sql(rounds: int = 8) -> str:
     """Connected components as unrolled min-label propagation with pointer
     jumping (label := label-of-label each round), so convergence is
@@ -305,10 +330,7 @@ def _components_sql(rounds: int = 8) -> str:
     The fixpoint (min reachable vertex id) is algorithm-independent, so the
     Spark loop (graph/components.py, iterate-to-no-change) lands on the
     identical labels and the size histogram hash-matches."""
-    # AS MATERIALIZED prevents exponential CTE re-inlining (each round
-    # references its predecessor twice and the jump references the
-    # propagation twice — inlined that is 4^rounds evaluations).
-    parts = [f"""
+    return f"""
 WITH edges AS MATERIALIZED ({_graph_edges_sql()}),
 verts AS (
   SELECT 'C:' || CAST(c_custkey AS VARCHAR) AS id FROM customer
@@ -319,24 +341,38 @@ verts AS (
 und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
   SELECT src, dst FROM edges
   UNION ALL SELECT dst AS src, src AS dst FROM edges)),
-l0 AS MATERIALIZED (SELECT DISTINCT id, id AS lbl FROM verts)"""]
-    for i in range(1, rounds + 1):
-        p = i - 1
-        parts.append(f""",
-p{i} AS MATERIALIZED (
-  SELECT id, MIN(lbl) AS lbl FROM (
-    SELECT e.dst AS id, l.lbl FROM und e JOIN l{p} l ON e.src = l.id
-    UNION ALL SELECT id, lbl FROM l{p}
-  ) GROUP BY id
-),
-l{i} AS MATERIALIZED (
-  SELECT a.id, b.lbl AS lbl FROM p{i} a JOIN p{i} b ON a.lbl = b.id)""")
-    parts.append(f"""
+l0 AS MATERIALIZED (SELECT DISTINCT id, id AS lbl FROM verts)
+{_label_prop_rounds(rounds)}
 SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components FROM (
   SELECT lbl, CAST(COUNT(*) AS BIGINT) AS size FROM l{rounds} GROUP BY lbl
 ) GROUP BY size ORDER BY size DESC
-""")
-    return "".join(parts)
+"""
+
+
+def _dedup_clusters_sql(rounds: int = 6) -> str:
+    """LSH candidate pairs (shared signature/band CTEs) → connected
+    components via the same pointer-jump chain → per-cluster stats.
+    Duplicate clusters are near-cliques (members collide into the same
+    band buckets), so diameter is tiny and 6 jump rounds are generous."""
+    return f"""
+WITH sigs AS MATERIALIZED ({_minhash_sig_sql()}),
+buckets AS MATERIALIZED ({_band_buckets_sql()}),
+pairs AS MATERIALIZED (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY doc_id_a, doc_id_b
+),
+und AS MATERIALIZED (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+  UNION ALL SELECT doc_id_b, doc_id_a FROM pairs
+),
+l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM und)
+{_label_prop_rounds(rounds)}
+SELECT lbl AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_redundant
+FROM l{rounds} GROUP BY lbl ORDER BY cluster_id
+"""
 
 
 def _cosine_sql(a: str, b: str) -> str:
@@ -889,6 +925,8 @@ ORDER BY doc_id_a, doc_id_b
 """
 
     sqls["simhash_docs"] = _simhash_sql()
+
+    sqls["dedup_clusters"] = _dedup_clusters_sql()
 
     sqls["ngram_jaccard_pairs"] = f"""
 WITH doc_shingles AS (

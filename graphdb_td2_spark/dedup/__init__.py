@@ -2,6 +2,7 @@
 [extension]): exact, MinHash+LSH, SimHash, n-gram Jaccard, and
 embedding-cosine near-dup."""
 
+from .clusters import dedup_clusters, duplicate_clusters
 from .exact import exact_dedup_stats
 from .minhash import minhash_lsh_pairs, minhash_signatures
 from .ngram import ngram_jaccard_pairs
@@ -9,6 +10,8 @@ from .simhash import simhash_docs
 from .embedding import embedding_neardup_pairs
 
 __all__ = [
+    "dedup_clusters",
+    "duplicate_clusters",
     "exact_dedup_stats",
     "minhash_lsh_pairs",
     "minhash_signatures",

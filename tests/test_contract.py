@@ -53,6 +53,7 @@ CAPABILITY_QUERIES = (
     "simhash_docs",
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
+    "dedup_clusters",
     # similarity search
     "ann_topk_bruteforce",
     "ann_topk_lsh",
