@@ -33,7 +33,7 @@ from graphdb_td2_spark.operators.timeseries import hourly_event_rollup
 from graphdb_td2_spark.graph.components import component_sizes
 from graphdb_td2_spark.graph.triangles import triangle_stats
 from graphdb_td2_spark.functions import json_props, text
-from graphdb_td2_spark.functions.sampling import sampled_event_stats
+from graphdb_td2_spark.functions.sampling import dataset_splits, sampled_event_stats
 from graphdb_td2_spark.dedup import (
     dedup_clusters,
     embedding_neardup_pairs,
@@ -102,6 +102,8 @@ DEMOTED_TAIL = (
     "user_event_unpivot",   # exact inverse of user_event_pivot
     "shipping_priority",    # Q3-shaped join+agg+topk variant of
                             # local_supplier_volume + top_customers
+    "props_key_histogram",  # JSON-extraction variant of event_type_stats
+    "dataset_splits",       # md5-bucket variant of sampled_event_stats
 )
 
 
@@ -143,11 +145,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_deltas": win.user_event_deltas,
         "event_value_ranks": win.event_value_ranks,
         # --- JSON functions (§2.H) ---
-        "props_key_histogram": json_props.props_key_histogram,
         "event_type_stats": json_props.event_type_stats,
         # --- text analysis (Stage 5) ---
         "token_stats": text.token_stats,
         "text_quality": text.text_quality,
+        "quality_filter_stats": text.quality_filter_stats,
         "language_id": text.language_id,
         "doc_fingerprints": text.doc_fingerprints,
         "sampled_event_stats": sampled_event_stats,
@@ -177,6 +179,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_running_value": win.user_running_value,
         "user_event_unpivot": rel.user_event_unpivot,
         "shipping_priority": rel.shipping_priority,
+        "props_key_histogram": json_props.props_key_histogram,
+        "dataset_splits": dataset_splits,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -890,6 +894,73 @@ FROM documents ORDER BY doc_id
 """
 
     sqls["language_id"] = _lang_id_sql()
+
+    from graphdb_td2_spark.functions.text import (
+        LANG_LEXICONS as _LEX,
+        QF_MAX_MEAN_LEN_NUM,
+        QF_MAX_TOKENS,
+        QF_MIN_MEAN_LEN_NUM,
+        QF_MIN_STOP_HITS,
+        QF_MIN_TOKENS,
+        QF_TTR_DEN,
+        QF_TTR_NUM,
+    )
+
+    _all_words = ", ".join(
+        f"'{w}'" for lex in _LEX.values() for w in lex
+    )
+    sqls["quality_filter_stats"] = f"""
+WITH m AS (
+  SELECT source,
+    len(toks) AS n_tok,
+    list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS total_len,
+    len(list_distinct(toks)) AS n_distinct,
+    len(list_filter(toks, t -> list_contains([{_all_words}], t))) AS stop_hits
+  FROM (SELECT source, {_TOKS} AS toks FROM documents)
+), f AS (
+  SELECT source,
+    (n_tok >= {QF_MIN_TOKENS} AND n_tok <= {QF_MAX_TOKENS}) AS r_length,
+    (total_len >= {QF_MIN_MEAN_LEN_NUM} * n_tok
+     AND total_len <= {QF_MAX_MEAN_LEN_NUM} * n_tok
+     AND {QF_TTR_DEN} * n_distinct >= {QF_TTR_NUM} * n_tok) AS r_shape,
+    (stop_hits >= {QF_MIN_STOP_HITS}) AS r_stop
+  FROM m
+)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN r_length AND r_shape AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN NOT r_length THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_length,
+  CAST(SUM(CASE WHEN r_length AND NOT r_shape THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_shape,
+  CAST(SUM(CASE WHEN r_length AND r_shape AND NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_stopword,
+  CAST(SUM(CASE WHEN r_length AND r_shape AND r_stop THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS kept_share
+FROM f GROUP BY source ORDER BY source
+"""
+
+    from graphdb_td2_spark.functions.sampling import (
+        DENOM as _SDENOM,
+        SPLIT_TRAIN_LT,
+        SPLIT_VAL_LT,
+    )
+
+    sqls["dataset_splits"] = f"""
+WITH b AS (
+  SELECT source,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % {_SDENOM} AS bucket
+  FROM documents
+), s AS (
+  SELECT source,
+    CASE WHEN bucket < {SPLIT_TRAIN_LT} THEN 'train'
+         WHEN bucket < {SPLIT_VAL_LT} THEN 'val'
+         ELSE 'test' END AS split
+  FROM b
+), c AS (
+  SELECT source, split, COUNT(*) AS n_docs FROM s GROUP BY source, split
+)
+SELECT source, split, n_docs,
+  CAST(n_docs AS DOUBLE)
+    / CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE) AS split_share
+FROM c ORDER BY source, split
+"""
 
     sqls["doc_fingerprints"] = f"""
 WITH fp AS (

@@ -33,6 +33,55 @@ def hash_sample(df: DataFrame, key: str, rate: float) -> DataFrame:
     return df.filter(hash_sample_flag(F.col(key), rate))
 
 
+def hash_bucket(key: Column, denom: int = DENOM) -> Column:
+    """md5-uniform integer bucket in [0, denom) of a stable key."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+        % denom
+    )
+
+
+# train/val/test boundaries in DENOM-ths (90 / 5 / 5)
+SPLIT_TRAIN_LT = 9_000
+SPLIT_VAL_LT = 9_500
+
+
+def dataset_split(key: Column) -> Column:
+    """Deterministic train/val/test assignment from the key hash — the
+    split is a pure row property: stable under repartitioning, appends,
+    and engine choice (every engine md5s the same bytes)."""
+    b = hash_bucket(key)
+    return (
+        F.when(b < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(b < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, split) document counts with the within-source share —
+    the audit a reproducible corpus split ships with. Narrow per-row
+    assignment + one hash aggregate; the share is a window over the
+    source partition (dimension-sized: one row per source×split)."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "source"])
+    counts = (
+        docs.select("source", dataset_split(F.col("doc_id")).alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("source")
+    return counts.select(
+        "source",
+        "split",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w).cast("double")).alias(
+            "split_share"
+        ),
+    ).orderBy("source", "split")
+
+
 def sampled_event_stats(
     spark: SparkSession, sf_dir: str, rate: float = 0.05
 ) -> DataFrame:

@@ -94,6 +94,72 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Quality-filter thresholds (C4/Gopher-style, scaled to the synthetic
+# corpus). Every rule is an INTEGER comparison — mean-token-length and
+# type-token-ratio bounds are cross-multiplied (2·n_tok ≤ total_len ≤
+# 12·n_tok; 10·n_distinct ≥ 3·n_tok) so the oracle can't diverge on
+# float rounding even in principle.
+QF_MIN_TOKENS = 10
+QF_MAX_TOKENS = 5000
+QF_MIN_MEAN_LEN_NUM = 2  # mean token length >= 2
+QF_MAX_MEAN_LEN_NUM = 12  # mean token length <= 12
+QF_TTR_NUM, QF_TTR_DEN = 3, 10  # type-token ratio >= 0.3
+QF_MIN_STOP_HITS = 1  # at least one stopword from any lexicon
+
+
+def quality_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-filter PIPELINE step (not just the scores): apply the
+    cheap pre-training document filters and report, per source, how many
+    documents each rule drops — first-failing-rule attribution, so the
+    counts partition ``n_docs`` exactly.
+
+    Rules (all exact integer comparisons, see QF_* constants):
+    length (token-count window) → shape (mean token length + type-token
+    ratio, cross-multiplied) → stopword (≥1 hit across all lexicons).
+    Scale: one narrow projection + one hash aggregate on ``source``.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "source", "text"])
+    tokens = tokens_col(F.col("text"))
+    all_words = tuple(w for lex in LANG_LEXICONS.values() for w in lex)
+    n_tok = F.size(tokens).cast("long")
+    total_len = F.aggregate(
+        tokens, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    n_distinct = F.size(F.array_distinct(tokens)).cast("long")
+    stop_hits = _lex_hits(tokens, all_words).cast("long")
+
+    r_length = (n_tok >= QF_MIN_TOKENS) & (n_tok <= QF_MAX_TOKENS)
+    r_shape = (
+        (total_len >= QF_MIN_MEAN_LEN_NUM * n_tok)
+        & (total_len <= QF_MAX_MEAN_LEN_NUM * n_tok)
+        & (QF_TTR_DEN * n_distinct >= QF_TTR_NUM * n_tok)
+    )
+    r_stop = stop_hits >= QF_MIN_STOP_HITS
+
+    flagged = docs.select(
+        "source",
+        (~r_length).cast("long").alias("d_length"),
+        (r_length & ~r_shape).cast("long").alias("d_shape"),
+        (r_length & r_shape & ~r_stop).cast("long").alias("d_stopword"),
+        (r_length & r_shape & r_stop).cast("long").alias("kept"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+            F.sum("d_length").alias("n_dropped_length"),
+            F.sum("d_shape").alias("n_dropped_shape"),
+            F.sum("d_stopword").alias("n_dropped_stopword"),
+        )
+        .withColumn(
+            "kept_share",
+            F.col("n_kept").cast("double") / F.col("n_docs").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
 def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: argmax of per-language stopword hit counts
     with a fixed preference order for ties; emitted as a (lang ×

@@ -40,10 +40,11 @@ CAPABILITY_QUERIES = (
     "user_event_pivot",
     "sessionize",
     "event_value_ranks",
-    "props_key_histogram",
+    "event_type_stats",
     # text analysis + sampling
     "token_stats",
     "text_quality",
+    "quality_filter_stats",
     "language_id",
     "doc_fingerprints",
     "sampled_event_stats",
