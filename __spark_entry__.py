@@ -49,6 +49,7 @@ from graphdb_td2_spark.similarity import (
 )
 from graphdb_td2_spark.multimodal import multimodal_feature_stats
 from graphdb_td2_spark.streaming import (
+    streaming_dedup_counts,
     streaming_enriched_windows,
     streaming_event_windows,
     streaming_sliding_windows,
@@ -104,6 +105,8 @@ DEMOTED_TAIL = (
                             # local_supplier_volume + top_customers
     "props_key_histogram",  # JSON-extraction variant of event_type_stats
     "dataset_splits",       # md5-bucket variant of sampled_event_stats
+    "streaming_dedup_counts",  # streaming variant; §2.J already carries 3
+                               # driver-checked queries in the head
 )
 
 
@@ -181,6 +184,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": rel.shipping_priority,
         "props_key_histogram": json_props.props_key_histogram,
         "dataset_splits": dataset_splits,
+        "streaming_dedup_counts": streaming_dedup_counts,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -1164,6 +1168,11 @@ SELECT
   (SELECT COUNT(*) FROM edges e1
      JOIN edges e2 ON e1.pb = e2.pa
      JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb) AS n_triangles
+"""
+
+    sqls["streaming_dedup_counts"] = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_first_seen_users
+FROM events GROUP BY event_type ORDER BY event_type
 """
 
     sqls["streaming_enriched_windows"] = """

@@ -2,8 +2,10 @@ from .core import (
     events_stream,
     first_seen_stream,
     incremental_event_edges,
+    stream_dedup_first_events,
     stream_event_type_windows,
     stream_session_windows,
+    streaming_dedup_counts,
     streaming_enriched_windows,
     streaming_event_windows,
     streaming_sliding_windows,
@@ -14,8 +16,10 @@ __all__ = [
     "events_stream",
     "first_seen_stream",
     "incremental_event_edges",
+    "stream_dedup_first_events",
     "stream_event_type_windows",
     "stream_session_windows",
+    "streaming_dedup_counts",
     "streaming_enriched_windows",
     "streaming_event_windows",
     "streaming_sliding_windows",

@@ -221,6 +221,45 @@ def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dedup_first_events(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact-dedup: keep the FIRST event per (user_id,
+    event_type) — ``dropDuplicates`` over a watermarked stream, the
+    standard ingest-dedup shape (at-least-once sources deliver repeats;
+    state for a key expires once the watermark passes it)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(
+        ["user_id", "event_type"]
+    )
+
+
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: watermarked streaming dedup run batch-finite,
+    then aggregated — per event type, how many distinct users ever emitted
+    it. The oracle is exact (``COUNT(DISTINCT user_id)`` per type: dedup
+    keeps exactly one row per key regardless of which arrives first)."""
+    import uuid
+
+    name = "stream_ddp_" + uuid.uuid4().hex[:8]
+    events = events_stream(spark, sf_dir, ts_unit="ns", file_glob="events.parquet")
+    q = (
+        stream_dedup_first_events(events)
+        .select("user_id", "event_type")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_first_seen_users"))
+        .orderBy("event_type")
+    )
+
+
 def streaming_enriched_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry: stream-static join — the event stream
     enriched against the static ``customer`` dimension (broadcast per

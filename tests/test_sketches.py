@@ -1,0 +1,56 @@
+"""Error-bound units for the sketch aggregates (HLL++ distinct counts,
+quantile summaries) — sketches are engine-specific so they validate
+against exact aggregates, not the cross-engine oracle."""
+
+from __future__ import annotations
+
+from graphdb_td2_spark.functions.sketches import (
+    approx_distinct_users,
+    approx_value_quantiles,
+)
+
+
+def test_hll_distinct_within_error_envelope(spark, sf_dir):
+    rows = approx_distinct_users(spark, sf_dir).collect()
+    assert rows, "no event types"
+    for r in rows:
+        assert r["n_exact"] > 0
+        # rsd=0.05; allow a generous 5-sigma-ish envelope — HLL++ bias
+        # correction behaves worse on small cardinalities
+        assert r["rel_error"] <= 0.25, (
+            f"{r['event_type']}: approx={r['n_approx']} exact={r['n_exact']}"
+        )
+
+
+def test_hll_is_deterministic(spark, sf_dir):
+    a = {r["event_type"]: r["n_approx"] for r in approx_distinct_users(spark, sf_dir).collect()}
+    b = {r["event_type"]: r["n_approx"] for r in approx_distinct_users(spark, sf_dir).collect()}
+    assert a == b
+
+
+def test_quantile_sketch_rank_error(spark, sf_dir):
+    """GK summaries guarantee bounded RANK error (not value error — on a
+    small stratum adjacent ranks can be far apart in value), so assert
+    each approximation lands inside the exact [p-2%, p+2%] quantile band."""
+    from pyspark.sql import functions as F
+
+    from graphdb_td2_spark.io import read_table
+
+    events = read_table(spark, sf_dir, "events", ["event_type", "value"])
+    bands = {
+        r["event_type"]: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.expr(
+                "percentile(value, array(0.48, 0.52, 0.93, 0.97, 0.97, 1.0))"
+            ).alias("b")
+        )
+        .collect()
+    }
+    for r in approx_value_quantiles(spark, sf_dir).collect():
+        b = bands[r["event_type"]]["b"]
+        for p, (lo, hi) in (("p50", (b[0], b[1])), ("p95", (b[2], b[3])), ("p99", (b[4], b[5]))):
+            approx = r[f"{p}_approx"]
+            assert lo - 1e-9 <= approx <= hi + 1e-9, (
+                f"{r['event_type']} {p}: approx={approx} outside [{lo}, {hi}]"
+            )
