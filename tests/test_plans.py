@@ -75,3 +75,33 @@ def test_column_pruning_reaches_scan(spark):
             break
     else:
         pytest.fail("no ReadSchema in plan")
+
+
+def test_quality_filter_stats_is_one_partial_agged_shuffle(spark):
+    plan = _plan(spark, "quality_filter_stats")
+    # per-document rules are a narrow project; the only data shuffle is the
+    # source-keyed aggregate (plus the final presentation sort), and the
+    # aggregate MUST combine map-side — at 100 TB the shuffle carries one
+    # row per (partition, source), never one per document
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert plan.count("Exchange ") <= 2
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "text" in line and "doc_id" not in line  # pruned
+            break
+    else:
+        pytest.fail("no ReadSchema in plan")
+
+
+def test_dataset_splits_narrow_assignment(spark):
+    plan = _plan(spark, "dataset_splits")
+    # split assignment is a pure row expression over a 2-column scan;
+    # shuffles: agg exchange, source-window exchange, presentation sort
+    assert "partial_count" in plan
+    assert plan.count("Exchange ") <= 3
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "text" not in line  # only doc_id + source read
+            break
+    else:
+        pytest.fail("no ReadSchema in plan")
