@@ -107,6 +107,8 @@ DEMOTED_TAIL = (
     "dataset_splits",       # md5-bucket variant of sampled_event_stats
     "streaming_dedup_counts",  # streaming variant; §2.J already carries 3
                                # driver-checked queries in the head
+    "user_trailing_value",  # time-RANGE frame variant of the window family
+    "top_bigrams_per_source",  # n-gram variant of token_stats + top-k
 )
 
 
@@ -185,6 +187,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_key_histogram": json_props.props_key_histogram,
         "dataset_splits": dataset_splits,
         "streaming_dedup_counts": streaming_dedup_counts,
+        "user_trailing_value": win.user_trailing_value,
+        "top_bigrams_per_source": text.top_bigrams_per_source,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -753,6 +757,32 @@ SELECT event_type,
   CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 500
       THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS sample_share
 FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+    sqls["user_trailing_value"] = """
+SELECT user_id, event_id,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS trailing_value,
+  CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+    sqls["top_bigrams_per_source"] = f"""
+WITH toks AS (SELECT source, {_TOKS} AS t FROM documents),
+bg AS (
+  SELECT source, unnest(CASE WHEN len(t) >= 2
+    THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+    ELSE [] END) AS bigram
+  FROM toks
+),
+counts AS (SELECT source, bigram, COUNT(*) AS n FROM bg GROUP BY source, bigram)
+SELECT source, rank, bigram, n FROM (
+  SELECT source, bigram, n,
+    CAST(row_number() OVER (PARTITION BY source ORDER BY n DESC, bigram ASC) AS BIGINT) AS rank
+  FROM counts
+) WHERE rank <= 5 ORDER BY source, rank
 """
 
     sqls["event_value_ranks"] = """

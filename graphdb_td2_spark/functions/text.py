@@ -160,6 +160,45 @@ def quality_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOP_NGRAMS_K = 5
+
+
+def top_bigrams_per_source(
+    spark: SparkSession, sf_dir: str, k: int = TOP_NGRAMS_K
+) -> DataFrame:
+    """Per-source top-k token bigrams — the n-gram frequency profile a
+    corpus audit ships with (contamination screening, boilerplate
+    detection). Deterministic top-k: count desc, then bigram asc.
+
+    Scale: explode to (source, bigram) → one partial-agg'd count shuffle →
+    per-source row_number top-k (source cardinality is dimension-sized, so
+    the window shuffle is small); the exploded relation is the same order
+    of magnitude as the token stream, never tokens²."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents", ["source", "text"])
+    toks = tokens_col(F.col("text"))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        docs.select("source", F.explode(bigrams).alias("bigram"))
+        .groupBy("source", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("source", "rank", "bigram", "n")
+        .orderBy("source", "rank")
+    )
+
+
 def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: argmax of per-language stopword hit counts
     with a fixed preference order for ties; emitted as a (lang ×

@@ -131,3 +131,40 @@ def event_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .orderBy("event_type", "rnk", "event_id")
     )
+
+
+TRAILING_WINDOW_SECS = 3600
+
+
+def user_trailing_value(
+    spark: SparkSession, sf_dir: str, window_secs: int = TRAILING_WINDOW_SECS
+) -> DataFrame:
+    """Time-RANGE window frame: per event, the trailing 1-hour sum and
+    count of the same user's activity — the 'recent activity' feature a
+    real-time scorer computes. Distinct from the ROWS frames elsewhere:
+    the frame is bounded by a time interval (``rangeBetween`` over epoch
+    micros), so simultaneous events are frame peers regardless of row
+    order and the result is total-order-free deterministic.
+
+    Scale: the same single user_id-partitioned shuffle as every window
+    here; the range frame is a sliding two-pointer over the sorted
+    partition (O(n) per user)."""
+    events = read_table(spark, sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    micros = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(micros)
+        .rangeBetween(-window_secs * 1_000_000, 0)
+    )
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .over(w)
+            .cast("double")
+            .alias("trailing_value"),
+            F.count(F.lit(1)).over(w).cast("long").alias("n_trailing"),
+        )
+        .orderBy("user_id", "event_id")
+    )
