@@ -65,3 +65,40 @@ def to_json_items(df: DataFrame, started_at: float | None = None) -> dict:
     t0 = started_at if started_at is not None else time.time()
     items = [row.asDict(recursive=True) for row in df.collect()]
     return {"items": items, "took_ms": int((time.time() - t0) * 1000)}
+
+
+def compact_parquet_dir(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction — the maintenance job every long-lived lake
+    table needs (streaming sinks and per-batch appends fragment into
+    thousands of KB-sized files; scan planning cost then dominates reads).
+
+    Sizes the output by the SOURCE's on-disk bytes (compressed), so the
+    rewrite targets ``target_file_bytes`` per output file. Returns the
+    number of files written. Uses coalesce (no shuffle) — compaction
+    must be IO-bound, not a reshuffle of 100 TB.
+    """
+    import math
+
+    df = spark.read.parquet(src_path)
+    # distinct source files + their sizes via the Hadoop FS of the session
+    # (driver-side metadata listing, no data read)
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = path.getFileSystem(conf)
+    total = 0
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.endswith(".parquet"):
+            total += f.getLen()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df.coalesce(n_files).write.mode("overwrite").parquet(dst_path)
+    return n_files
