@@ -49,6 +49,7 @@ from graphdb_td2_spark.similarity import (
 )
 from graphdb_td2_spark.multimodal import multimodal_feature_stats
 from graphdb_td2_spark.streaming import (
+    streaming_burst_pairs,
     streaming_dedup_counts,
     streaming_enriched_windows,
     streaming_event_windows,
@@ -109,6 +110,7 @@ DEMOTED_TAIL = (
                                # driver-checked queries in the head
     "user_trailing_value",  # time-RANGE frame variant of the window family
     "top_bigrams_per_source",  # n-gram variant of token_stats + top-k
+    "streaming_burst_pairs",  # stream-stream join variant of event_burst_pairs
 )
 
 
@@ -189,6 +191,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_counts": streaming_dedup_counts,
         "user_trailing_value": win.user_trailing_value,
         "top_bigrams_per_source": text.top_bigrams_per_source,
+        "streaming_burst_pairs": streaming_burst_pairs,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -1198,6 +1201,19 @@ SELECT
   (SELECT COUNT(*) FROM edges e1
      JOIN edges e2 ON e1.pb = e2.pa
      JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb) AS n_triangles
+"""
+
+    sqls["streaming_burst_pairs"] = """
+WITH pairs AS (
+  SELECT a.user_id, epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+  FROM events a JOIN events b
+    ON a.user_id = b.user_id
+   AND b.ts > a.ts
+   AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+)
+SELECT user_id, COUNT(*) AS n_pairs,
+  CAST(SUM(gap_us) AS DOUBLE) / 1000000 / CAST(COUNT(*) AS DOUBLE) AS avg_gap_secs
+FROM pairs GROUP BY user_id ORDER BY user_id
 """
 
     sqls["streaming_dedup_counts"] = """

@@ -221,6 +221,72 @@ def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_burst_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: same-user event pairs where the right
+    event follows the left within ``gap`` — the correlation shape
+    (click→purchase attribution, burst detection) that needs BOTH sides
+    buffered. Watermarks on both inputs + the event-time range condition
+    let Spark expire join state (left rows older than watermark+gap can
+    never match again)."""
+    a = left.withWatermark("ts", watermark).alias("a")
+    b = right.withWatermark("ts", watermark).alias("b")
+    return a.join(
+        b,
+        F.expr(
+            f"""
+            a.user_id = b.user_id AND
+            b.ts > a.ts AND
+            b.ts <= a.ts + INTERVAL {gap}
+            """
+        ),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_id").alias("event_id_a"),
+        F.col("b.event_id").alias("event_id_b"),
+        (F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))).alias("gap_us"),
+    )
+
+
+def streaming_burst_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: the stream-stream join run batch-finite,
+    aggregated per user (pair count + exact average gap). Oracle-exact:
+    the strict ``b.ts > a.ts`` bound makes the pair set a pure function of
+    the data (no arrival-order dependence)."""
+    import uuid
+
+    name = "stream_ssj_" + uuid.uuid4().hex[:8]
+    mk = lambda: events_stream(  # noqa: E731 - two independent stream DFs
+        spark, sf_dir, ts_unit="ns", file_glob="events.parquet"
+    ).select("user_id", "event_id", "ts")
+    q = (
+        stream_burst_pairs(mk(), mk())
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (
+                F.sum("gap_us").cast("double")
+                / F.lit(1_000_000.0)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_gap_secs"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def stream_dedup_first_events(
     events: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:
