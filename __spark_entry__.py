@@ -28,6 +28,7 @@ from graphdb_td2_spark.graph import queries as gq
 from graphdb_td2_spark.operators import relational as rel
 from graphdb_td2_spark.operators import windows as win
 from graphdb_td2_spark.operators.asof import events_last_order
+from graphdb_td2_spark.operators.sql_api import sql_brand_order_share
 from graphdb_td2_spark.operators.range_join import event_burst_pairs
 from graphdb_td2_spark.operators.timeseries import hourly_event_rollup
 from graphdb_td2_spark.graph.components import component_sizes
@@ -111,6 +112,8 @@ DEMOTED_TAIL = (
     "user_trailing_value",  # time-RANGE frame variant of the window family
     "top_bigrams_per_source",  # n-gram variant of token_stats + top-k
     "streaming_burst_pairs",  # stream-stream join variant of event_burst_pairs
+    "daily_activity_full_join",  # full-outer variant of the join family
+    "sql_brand_order_share",  # spark.sql API surface over the same plans
 )
 
 
@@ -192,6 +195,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_trailing_value": win.user_trailing_value,
         "top_bigrams_per_source": text.top_bigrams_per_source,
         "streaming_burst_pairs": streaming_burst_pairs,
+        "daily_activity_full_join": rel.daily_activity_full_join,
+        "sql_brand_order_share": sql_brand_order_share,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -839,6 +844,35 @@ WHERE EXISTS (
   WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
 )
 ORDER BY c_custkey
+"""
+
+    sqls["sql_brand_order_share"] = """
+WITH brand_orders AS (
+  SELECT p.p_brand, COUNT(DISTINCT l.l_orderkey) AS n_orders
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+),
+total AS (SELECT COUNT(DISTINCT o_orderkey) AS n_total FROM orders)
+SELECT b.p_brand, b.n_orders,
+  CAST(b.n_orders AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS order_share
+FROM brand_orders b CROSS JOIN total t
+ORDER BY b.n_orders DESC, b.p_brand
+"""
+
+    sqls["daily_activity_full_join"] = """
+WITH od AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+ev AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT COALESCE(od.day, ev.day) AS day,
+  CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+  CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events
+FROM od FULL OUTER JOIN ev ON od.day = ev.day
+ORDER BY day
 """
 
     sqls["event_burst_pairs"] = """

@@ -380,3 +380,32 @@ def user_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") > 0)
         .orderBy("user_id", "event_type")
     )
+
+
+def daily_activity_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two daily activity series — order volume vs
+    event volume per calendar day. The two calendars only partially
+    overlap (orders span years, events a few days), so both null sides
+    are exercised; missing counts coalesce to 0. The join key is
+    dimension-sized (days), so this is a broadcast-able full-outer —
+    Spark demotes to sort-merge only when both sides outgrow the
+    threshold, which a day-grained rollup never does."""
+    orders = read_table(spark, sf_dir, "orders", ["o_orderdate"])
+    events = read_table(spark, sf_dir, "events", ["ts"])
+    od = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    ev = (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        od.join(ev, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        )
+        .orderBy("day")
+    )
