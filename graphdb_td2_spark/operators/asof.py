@@ -38,10 +38,16 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_payload: list[str],
+    tolerance_secs: int | None = None,
 ) -> DataFrame:
     """Left as-of join: every ``left`` row, plus the ``right_payload``
     columns of the latest ``right`` row with ``right_ts <= left_ts`` on the
     same ``on`` keys (nulls when none exists).
+
+    ``tolerance_secs`` (pandas ``merge_asof``-style): a match further than
+    this behind the left timestamp is treated as no match (payload nulls) —
+    the 'state too stale to use' semantics of feature-store lookups. The
+    bound is applied to the carried match, so it costs no extra join.
 
     ``right`` must be unique per (on, right_ts) — pre-aggregate it if not,
     or the carried row among ties is unspecified.
@@ -66,21 +72,36 @@ def asof_join(
         .orderBy("__ts", "__tag")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    match_ts = F.last(
+        F.when(F.col("__tag") == 0, F.col("__ts")), ignorenulls=True
+    ).over(w)
     carried = l_tagged.unionByName(r_tagged).select(
         *on,
         "__ts",
         "__tag",
         *lcols,
+        match_ts.alias("__match_ts"),
         *[
             F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c)
             for c in right_payload
         ],
     )
-    return (
-        carried.filter(F.col("__tag") == 1)
-        .drop("__tag")
-        .withColumnRenamed("__ts", left_ts)
-    )
+    out = carried.filter(F.col("__tag") == 1).drop("__tag")
+    if tolerance_secs is not None:
+        fresh = (
+            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__match_ts"))
+            <= tolerance_secs * 1_000_000
+        )
+        out = out.select(
+            *on,
+            "__ts",
+            *lcols,
+            *[
+                F.when(fresh, F.col(c)).otherwise(F.lit(None)).alias(c)
+                for c in right_payload
+            ],
+        )
+    return out.drop("__match_ts").withColumnRenamed("__ts", left_ts)
 
 
 def events_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:

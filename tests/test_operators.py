@@ -279,3 +279,36 @@ def test_hash_sample_deterministic_and_partition_invariant(spark):
     # monotone: a smaller rate selects a subset
     c = set(r.id for r in hash_sample(df, "id", 0.05).collect())
     assert c <= set(a)
+
+
+def test_asof_join_tolerance(spark):
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from graphdb_td2_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 12, 0, 0), "e1"),
+         (1, datetime(2024, 1, 1, 13, 0, 0), "e2"),
+         (2, datetime(2024, 1, 1, 12, 0, 0), "e3")],
+        schema="k long, ts timestamp, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 11, 59, 0), 100),
+         (2, datetime(2024, 1, 1, 9, 0, 0), 200)],
+        schema="k long, rts timestamp, payload long",
+    )
+    args = dict(on=["k"], left_ts="ts", right_ts="rts", right_payload=["payload"])
+    no_tol = {
+        (r["k"], r["ev"]): r["payload"]
+        for r in asof_join(left, right, **args).collect()
+    }
+    assert no_tol == {(1, "e1"): 100, (1, "e2"): 100, (2, "e3"): 200}
+    # 30-minute staleness bound: e1 matches (1 min behind), e2 stale (61 min),
+    # e3 stale (3 h)
+    tol = {
+        (r["k"], r["ev"]): r["payload"]
+        for r in asof_join(left, right, tolerance_secs=1800, **args).collect()
+    }
+    assert tol == {(1, "e1"): 100, (1, "e2"): None, (2, "e3"): None}
