@@ -68,3 +68,19 @@ def test_unknown_route_is_404(base_url):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(f"{base_url}/nope")
     assert e.value.code == 404
+
+
+def test_etl_failure_returns_500_not_hang(spark):
+    """A broken corpus path surfaces as a 500 with ok:false — the checks
+    sequence's --fail curl would exit nonzero instead of hanging."""
+    server = make_server(spark, "/nonexistent/sf_dir")
+    serve_forever_in_thread(server)
+    host, port = server.server_address
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(f"http://{host}:{port}/etl")
+        assert e.value.code == 500
+        body = json.loads(e.value.read())
+        assert body["ok"] is False
+    finally:
+        server.shutdown()
