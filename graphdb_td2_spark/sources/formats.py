@@ -87,3 +87,14 @@ def read_jdbc(
 def corpus_schema(name: str) -> T.StructType:
     """The explicit schema for a corpus table (registry in ``schemas.py``)."""
     return CORPUS[name]
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC read — the other columnar lake format (predicate pushdown and
+    column pruning work like parquet's; schema travels in the file)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC write (zlib default codec; row-group stats for pushdown)."""
+    df.write.mode(mode).orc(path)

@@ -100,3 +100,25 @@ def test_read_csv_permissive_malformed_rows(spark, tmp_path):
         for r in formats.read_csv(spark, str(p), schema, header=True).collect()
     }
     assert rows == {(1, "x"), (None, "y"), (3, "z")}
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from graphdb_td2_spark.io import read_table
+    from graphdb_td2_spark.sources.formats import read_orc, write_orc
+
+    src = read_table(spark, sf_dir, "part", ["p_partkey", "p_brand"])
+    path = str(tmp_path / "part_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.count() == src.count()
+    # predicate pushdown reaches the ORC scan like parquet
+    plan = (
+        back.filter(F.col("p_partkey") == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "p_partkey" in plan
+    assert back.filter(F.col("p_partkey") == 1).count() == 1
