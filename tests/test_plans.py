@@ -105,3 +105,31 @@ def test_dataset_splits_narrow_assignment(spark):
             break
     else:
         pytest.fail("no ReadSchema in plan")
+
+
+def test_ann_join_strategies(spark):
+    # brute force: broadcast nested loop (q queries x corpus) — the
+    # intended embarrassingly-parallel scan; never a shuffle cartesian
+    plan = _plan(spark, "ann_topk_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # LSH probe: hash join on the bucket key with the query side broadcast
+    plan = _plan(spark, "ann_topk_lsh")
+    assert "BroadcastHashJoin [bucket" in plan
+    assert "CartesianProduct" not in plan
+    # IVF probe: hash join on the cell key; the only nested loop is the
+    # n_cells-row centroid broadcast in assignment
+    plan = _plan(spark, "ann_topk_ivf")
+    assert "BroadcastHashJoin [cell" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_band_join_is_equi(spark):
+    # the band-bucket self-join must be an equi-join on (band, bucket) —
+    # BHJ locally, SMJ at scale — never a nested loop over doc pairs
+    plan = _plan(spark, "minhash_lsh_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[band", plan)
