@@ -18,27 +18,25 @@ from ..io import read_table
 DENOM = 10_000
 
 
-def hash_sample_flag(key: Column, rate: float, denom: int = DENOM) -> Column:
-    """Boolean keep-flag: md5-uniform bucket of ``key`` below rate·denom.
-    Exact integer math on the first 8 md5 hex digits (engine-portable)."""
-    bucket = (
+def hash_bucket(key: Column, denom: int = DENOM) -> Column:
+    """md5-uniform integer bucket in [0, denom) of a stable key — the ONE
+    definition of the cross-engine-critical expression (the DuckDB oracles
+    embed its exact mirror; keep them in lock-step)."""
+    return (
         F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
         % denom
     )
-    return bucket < int(rate * denom)
+
+
+def hash_sample_flag(key: Column, rate: float, denom: int = DENOM) -> Column:
+    """Boolean keep-flag: md5-uniform bucket of ``key`` below rate·denom.
+    Exact integer math on the first 8 md5 hex digits (engine-portable)."""
+    return hash_bucket(key, denom) < int(rate * denom)
 
 
 def hash_sample(df: DataFrame, key: str, rate: float) -> DataFrame:
     """The rows of ``df`` whose ``key`` hashes into the sample."""
     return df.filter(hash_sample_flag(F.col(key), rate))
-
-
-def hash_bucket(key: Column, denom: int = DENOM) -> Column:
-    """md5-uniform integer bucket in [0, denom) of a stable key."""
-    return (
-        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
-        % denom
-    )
 
 
 # train/val/test boundaries in DENOM-ths (90 / 5 / 5)

@@ -53,6 +53,14 @@ def asof_join(
     or the carried row among ties is unspecified.
     """
     lcols = [c for c in left.columns if c not in on and c != left_ts]
+    # The matched row travels as ONE struct (timestamp + payloads), so a
+    # NULL payload on the latest right row stays NULL instead of falling
+    # back to an older row's value — and the tolerance check below judges
+    # the very row the payload came from (merge_asof row semantics).
+    r_struct = F.struct(
+        F.col("__ts").alias("__match_ts"),
+        *[F.col(f"__r_{c}").alias(c) for c in right_payload],
+    )
     l_tagged = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
@@ -72,36 +80,32 @@ def asof_join(
         .orderBy("__ts", "__tag")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    match_ts = F.last(
-        F.when(F.col("__tag") == 0, F.col("__ts")), ignorenulls=True
-    ).over(w)
     carried = l_tagged.unionByName(r_tagged).select(
         *on,
         "__ts",
         "__tag",
         *lcols,
-        match_ts.alias("__match_ts"),
+        F.last(F.when(F.col("__tag") == 0, r_struct), ignorenulls=True)
+        .over(w)
+        .alias("__m"),
+    )
+    out = carried.filter(F.col("__tag") == 1).drop("__tag")
+    keep = F.col("__m").isNotNull()
+    if tolerance_secs is not None:
+        keep = keep & (
+            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__m.__match_ts"))
+            <= tolerance_secs * 1_000_000
+        )
+    out = out.select(
+        *on,
+        "__ts",
+        *lcols,
         *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c)
+            F.when(keep, F.col(f"__m.{c}")).otherwise(F.lit(None)).alias(c)
             for c in right_payload
         ],
     )
-    out = carried.filter(F.col("__tag") == 1).drop("__tag")
-    if tolerance_secs is not None:
-        fresh = (
-            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__match_ts"))
-            <= tolerance_secs * 1_000_000
-        )
-        out = out.select(
-            *on,
-            "__ts",
-            *lcols,
-            *[
-                F.when(fresh, F.col(c)).otherwise(F.lit(None)).alias(c)
-                for c in right_payload
-            ],
-        )
-    return out.drop("__match_ts").withColumnRenamed("__ts", left_ts)
+    return out.withColumnRenamed("__ts", left_ts)
 
 
 def events_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:

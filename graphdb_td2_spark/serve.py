@@ -60,7 +60,7 @@ class _Handler(BaseHTTPRequestHandler):
             # /etl with a 1800 s budget and asserts .ok == true
             try:
                 result = run_etl(self.spark, self.sf_dir)
-                self._json({"ok": bool(result.get("ok")), **result})
+                self._json({**result, "ok": bool(result.get("ok"))})
             except Exception as exc:  # surface the failure, don't hang
                 self._json({"ok": False, "error": str(exc)}, status=500)
         elif url.path == "/recs":

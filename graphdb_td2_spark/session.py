@@ -74,13 +74,22 @@ def configure_existing(spark: SparkSession) -> SparkSession:
             pass
     # The session timezone is NOT performance-only: date→timestamp coercion
     # (asof join) and hour bucketing shift under a non-UTC session, silently
-    # producing wrong-but-plausible results. Set it and verify it stuck.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    actual = spark.conf.get("spark.sql.session.timeZone")
+    # producing wrong-but-plausible results. Set it and verify it stuck —
+    # the set itself raises in immutable-conf deployments, so both failure
+    # modes funnel into the one actionable error.
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        actual = spark.conf.get("spark.sql.session.timeZone")
+    except Exception as exc:
+        raise RuntimeError(
+            "spark.sql.session.timeZone must be UTC for correct timestamp "
+            "semantics, but this session refuses the update; rebuild the "
+            "session with get_spark()"
+        ) from exc
     if actual != "UTC":
         raise RuntimeError(
             "spark.sql.session.timeZone must be UTC for correct timestamp "
-            f"semantics, but the session reports {actual!r} and refused the "
-            "update; rebuild the session with get_spark()"
+            f"semantics, but the session reports {actual!r} after the set; "
+            "rebuild the session with get_spark()"
         )
     return spark

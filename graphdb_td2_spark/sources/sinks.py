@@ -100,5 +100,12 @@ def compact_parquet_dir(
         if name.endswith(".parquet"):
             total += f.getLen()
     n_files = max(1, math.ceil(total / target_file_bytes))
-    df.coalesce(n_files).write.mode("overwrite").parquet(dst_path)
+    # coalesce can only SHRINK the partition count; when the target exceeds
+    # the read parallelism (splitting few big files into many), repartition
+    out = (
+        df.coalesce(n_files)
+        if n_files <= df.rdd.getNumPartitions()
+        else df.repartition(n_files)
+    )
+    out.write.mode("overwrite").parquet(dst_path)
     return n_files

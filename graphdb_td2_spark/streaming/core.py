@@ -291,9 +291,15 @@ def stream_dedup_first_events(
     events: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:
     """Streaming exact-dedup: keep the FIRST event per (user_id,
-    event_type) — ``dropDuplicates`` over a watermarked stream, the
-    standard ingest-dedup shape (at-least-once sources deliver repeats;
-    state for a key expires once the watermark passes it)."""
+    event_type) — ``dropDuplicates`` over a watermarked stream.
+
+    State honesty: because the event-time column is NOT in the dedup
+    subset, this is a GLOBAL dedup — the state store keeps every key
+    forever (the watermark does not expire it). That is the right tool
+    here: the key domain is |users|x|event_types|, dimension-bounded.
+    For an unbounded key domain (e.g. dedup by event_id), use
+    ``dropDuplicatesWithinWatermark`` instead — it expires state but only
+    deduplicates repeats arriving within the watermark of each other."""
     return events.withWatermark("ts", watermark).dropDuplicates(
         ["user_id", "event_type"]
     )

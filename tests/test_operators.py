@@ -312,3 +312,28 @@ def test_asof_join_tolerance(spark):
         for r in asof_join(left, right, tolerance_secs=1800, **args).collect()
     }
     assert tol == {(1, "e1"): 100, (1, "e2"): None, (2, "e3"): None}
+
+
+def test_asof_join_tolerance_stale_payload_not_resurrected(spark):
+    """A NULL payload on the matched (fresh) row must NOT fall back to an
+    older row's stale value — the match is row-atomic."""
+    from datetime import datetime
+
+    from graphdb_td2_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 12, 0, 0), "e1")],
+        schema="k long, ts timestamp, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 9, 0, 0), 5),
+         (1, datetime(2024, 1, 1, 11, 59, 0), None)],
+        schema="k long, rts timestamp, payload long",
+    )
+    rows = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        right_payload=["payload"], tolerance_secs=1800,
+    ).collect()
+    # 11:59 row matches and is fresh, but ITS payload is NULL; the 09:00
+    # value 5 is 3 h stale and must not leak through
+    assert rows[0]["payload"] is None

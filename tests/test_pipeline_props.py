@@ -65,3 +65,16 @@ def test_compaction_hits_target_file_count(spark, tmp_path):
     assert spark.read.parquet(dst).count() == 20_000
     got = spark.read.parquet(dst).agg(F.sum("id")).first()[0]
     assert got == 20_000 * 19_999 // 2
+
+
+def test_compaction_can_split_few_big_files(spark, tmp_path):
+    """Growing the file count (splitting oversized files) must actually
+    repartition — coalesce alone cannot increase parallelism."""
+    src = str(tmp_path / "one_big")
+    dst = str(tmp_path / "split")
+    spark.range(50_000).coalesce(1).write.parquet(src)
+    n = compact_parquet_dir(spark, src, dst, target_file_bytes=16 * 1024)
+    files = list(__import__("pathlib").Path(dst).glob("*.parquet"))
+    assert n > 1
+    assert len(files) == n
+    assert spark.read.parquet(dst).count() == 50_000
