@@ -114,6 +114,7 @@ DEMOTED_TAIL = (
     "streaming_burst_pairs",  # stream-stream join variant of event_burst_pairs
     "daily_activity_full_join",  # full-outer variant of the join family
     "sql_brand_order_share",  # spark.sql API surface over the same plans
+    "props_map_stats",  # map-typed from_json variant of the JSON family
 )
 
 
@@ -197,6 +198,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_burst_pairs": streaming_burst_pairs,
         "daily_activity_full_join": rel.daily_activity_full_join,
         "sql_brand_order_share": sql_brand_order_share,
+        "props_map_stats": json_props.props_map_stats,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -928,6 +930,15 @@ SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10) * 10 A
 FROM events
 WHERE json_extract_string(props, '$.k') IS NOT NULL
 GROUP BY k_bucket ORDER BY k_bucket
+"""
+
+    sqls["props_map_stats"] = """
+SELECT key, COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct_values
+FROM (
+  SELECT key, json_extract_string(props, '$.' || key) AS v
+  FROM (SELECT props, unnest(json_keys(props)) AS key FROM events)
+) GROUP BY key ORDER BY key
 """
 
     sqls["event_type_stats"] = """

@@ -45,3 +45,24 @@ def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("avg_value", F.col("sum_value") / F.col("n_events"))
         .orderBy("event_type")
     )
+
+
+def props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-free JSON profiling: parse ``props`` as a MAP and explode
+    every key — per key, occurrence count and distinct-value cardinality.
+    The discovery query run before anyone writes extraction paths
+    (`get_json_object` needs to know the keys; this finds them).
+    Map-typed columns + explode are the §2.H surface the fixed-path
+    queries don't touch. Narrow explode + one partial-agg'd shuffle."""
+    events = read_table(spark, sf_dir, "events", ["props"])
+    kv = events.select(
+        F.explode(F.from_json("props", "map<string,string>")).alias("key", "value")
+    )
+    return (
+        kv.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("value").alias("n_distinct_values"),
+        )
+        .orderBy("key")
+    )

@@ -405,18 +405,33 @@ def build_graph_from_reference_tables(tables: dict[str, DataFrame]) -> GraphFram
     return GraphFrames(vertices=v, edges=edges)
 
 
-def run_etl(spark, sf_dir: str) -> dict:
+def run_etl(spark, sf_dir: str, out_dir: str | None = None) -> dict:
     """The reference's ``GET /etl`` pipeline (``app/main.py:16-19`` →
     ``app/etl.py:108-288``) as one batch job: build the property graph,
     materialize it (the load effect the checks container asserts on,
     ``docker-compose.yml:94-102``), and print the ``"ETL done."`` sentinel
-    (E10, ``app/etl.py:288``). Returns ``{"ok": True, counts}``."""
+    (E10, ``app/etl.py:288``). Returns ``{"ok": True, counts}``.
+
+    ``out_dir``: when given, the graph is persisted to the lake —
+    vertices partitioned by ``label``, edges by ``rel_type`` (the Neo4j
+    write of the reference, re-expressed as the layout every downstream
+    label/type-filtered scan partition-prunes against). Without it the
+    load effect is the counted materialization only."""
     import logging
 
     log = logging.getLogger("graphdb_td2_spark")
     from ..io import load_tables
 
     g = build_graph(load_tables(spark, sf_dir))
+    if out_dir is not None:
+        from ..sources.sinks import write_partitioned
+
+        write_partitioned(g.vertices, f"{out_dir}/vertices", ["label"])
+        write_partitioned(g.edges, f"{out_dir}/edges", ["rel_type"])
+        g = GraphFrames(
+            vertices=spark.read.parquet(f"{out_dir}/vertices"),
+            edges=spark.read.parquet(f"{out_dir}/edges"),
+        )
     n_vertices = g.vertices.count()
     n_edges = g.edges.count()
     log.info("[ETL] loaded %d vertices, %d edges", n_vertices, n_edges)

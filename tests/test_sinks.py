@@ -122,3 +122,24 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     )
     assert "PushedFilters" in plan and "p_partkey" in plan
     assert back.filter(F.col("p_partkey") == 1).count() == 1
+
+
+def test_run_etl_materializes_partitioned_graph(spark, sf_dir, tmp_path):
+    from graphdb_td2_spark.graph.build import run_etl
+
+    out = str(tmp_path / "graph")
+    result = run_etl(spark, sf_dir, out_dir=out)
+    assert result["ok"] is True
+    import pathlib
+
+    labels = {p.name for p in pathlib.Path(out, "vertices").glob("label=*")}
+    assert {"label=Customer", "label=Product", "label=Order", "label=Category"} <= labels
+    rels = {p.name for p in pathlib.Path(out, "edges").glob("rel_type=*")}
+    assert "rel_type=CONTAINS" in rels and "rel_type=PLACED" in rels
+    # label-filtered read partition-prunes (one partition dir scanned)
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{out}/vertices").filter(F.col("label") == "Customer")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(label" in plan
+    assert df.count() > 0
