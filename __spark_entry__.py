@@ -31,6 +31,7 @@ from graphdb_td2_spark.operators.asof import events_last_order
 from graphdb_td2_spark.operators.sql_api import sql_brand_order_share
 from graphdb_td2_spark.operators.range_join import event_burst_pairs
 from graphdb_td2_spark.operators.timeseries import hourly_event_rollup
+from graphdb_td2_spark.graph.bfs import bfs_level_sizes
 from graphdb_td2_spark.graph.components import component_sizes
 from graphdb_td2_spark.graph.triangles import triangle_stats
 from graphdb_td2_spark.functions import json_props, text
@@ -115,6 +116,8 @@ DEMOTED_TAIL = (
     "daily_activity_full_join",  # full-outer variant of the join family
     "sql_brand_order_share",  # spark.sql API surface over the same plans
     "props_map_stats",  # map-typed from_json variant of the JSON family
+    "bfs_level_sizes",  # BFS variant of the iterative graph family (L3
+                        # already has 4 driver-checked entries in the head)
 )
 
 
@@ -199,6 +202,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_activity_full_join": rel.daily_activity_full_join,
         "sql_brand_order_share": sql_brand_order_share,
         "props_map_stats": json_props.props_map_stats,
+        "bfs_level_sizes": bfs_level_sizes,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -369,6 +373,43 @@ SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components FROM (
   SELECT lbl, CAST(COUNT(*) AS BIGINT) AS size FROM l{rounds} GROUP BY lbl
 ) GROUP BY size ORDER BY size DESC
 """
+
+
+def _bfs_sql(seed: str = "C:1", max_hops: int = 6) -> str:
+    """BFS level sizes as chained min-distance relaxation CTEs — exactly
+    ``max_hops`` rounds, mirroring ``graph/bfs.py`` (both engines run the
+    same fixed round count, so no convergence detection is needed)."""
+    parts = [f"""
+WITH edges AS MATERIALIZED ({_graph_edges_sql()}),
+verts AS (SELECT DISTINCT id FROM
+          (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
+           UNION ALL SELECT 'C:' || CAST(c_custkey AS VARCHAR) FROM customer
+           UNION ALL SELECT 'P:' || CAST(p_partkey AS VARCHAR) FROM part
+           UNION ALL SELECT DISTINCT 'CAT:' || p_brand FROM part
+           UNION ALL SELECT 'O:' || CAST(o_orderkey AS VARCHAR) FROM orders)),
+und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM edges
+  UNION ALL SELECT dst AS src, src AS dst FROM edges)),
+d0 AS MATERIALIZED (
+  SELECT id, CASE WHEN id = '{seed}' THEN CAST(0 AS BIGINT) END AS distance
+  FROM verts)"""]
+    for i in range(1, max_hops + 1):
+        p = i - 1
+        parts.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT id, MIN(distance) AS distance FROM (
+    SELECT e.dst AS id, l.distance + 1 AS distance
+    FROM und e JOIN d{p} l ON e.src = l.id
+    WHERE l.distance IS NOT NULL
+    UNION ALL SELECT id, distance FROM d{p}
+  ) GROUP BY id
+)""")
+    parts.append(f"""
+SELECT distance, CAST(COUNT(*) AS BIGINT) AS n_vertices
+FROM d{max_hops} WHERE distance IS NOT NULL
+GROUP BY distance ORDER BY distance
+""")
+    return "".join(parts)
 
 
 def _dedup_clusters_sql(rounds: int = 6) -> str:
@@ -620,6 +661,7 @@ SELECT rel_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
         f"(CASE WHEN v.id = 'C:1' THEN {FP_SCALE} ELSE 0 END)"
     )
     sqls["component_sizes"] = _components_sql()
+    sqls["bfs_level_sizes"] = _bfs_sql()
 
     sqls["pricing_summary"] = f"""
 SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,84 @@
+"""Breadth-first distance levels from a seed vertex [extension to §2.L] —
+the ``shortestPath`` surface a Cypher user expects, as iterative
+min-distance relaxation (undirected, unit edge weights).
+
+Fixed round count (``MAX_HOPS``) instead of convergence detection: both
+engines then evaluate the identical recurrence the identical number of
+times, so the DuckDB twin (chained CTEs in ``__spark_entry__.py``)
+matches exactly even on a graph whose diameter exceeds the cap — rows
+past the cap simply stay unreached, in both engines.
+
+Same iterative-loop discipline as pagerank/components: one shuffle per
+round, ``localCheckpoint`` every round (the distance frame enters the
+next plan twice — without truncation Catalyst re-analysis goes
+exponential; see ``graph/pagerank.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .queries import cached_graph
+
+MAX_HOPS = 6
+
+
+def bfs_distances(
+    vertices: DataFrame,
+    edges: DataFrame,
+    seed: str,
+    max_hops: int = MAX_HOPS,
+    n_vertices: int | None = None,
+) -> DataFrame:
+    """``(id, distance)`` with distance NULL when the vertex is not
+    reachable within ``max_hops`` undirected hops of ``seed``."""
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    # Partition budget (same rationale as pagerank._iterate_fp): iteration
+    # state is vertex-sized; a dimension-sized graph should not shuffle at
+    # the session's full partition count every round.
+    if n_vertices is not None and n_vertices <= 5_000_000:
+        parts = max(1, int(n_vertices // 250_000) + 1)
+        und = und.repartition(parts, "src")
+        vertices = vertices.repartition(parts)
+    und = und.persist()
+    dist = vertices.select(
+        "id",
+        F.when(F.col("id") == seed, F.lit(0)).cast("long").alias("distance"),
+    ).localCheckpoint()
+    for _ in range(max_hops):
+        relaxed = (
+            und.join(
+                dist.filter(F.col("distance").isNotNull()),
+                und.src == F.col("id"),
+            )
+            .select(
+                F.col("dst").alias("id"), (F.col("distance") + 1).alias("distance")
+            )
+            .union(dist.select("id", "distance"))
+            .groupBy("id")
+            .agg(F.min("distance").alias("distance"))
+        ).localCheckpoint()
+        dist = relaxed
+    und.unpersist()
+    return dist
+
+
+def bfs_level_sizes(
+    spark: SparkSession, sf_dir: str, seed: str = "C:1", max_hops: int = MAX_HOPS
+) -> DataFrame:
+    """Level-size histogram of the BFS from one customer seed:
+    ``(distance, n_vertices)`` for every reached level, ordered."""
+    g = cached_graph(spark, sf_dir)
+    dist = bfs_distances(
+        g.vertices, g.edges, seed, max_hops, n_vertices=g.vertices.count()
+    )
+    return (
+        dist.filter(F.col("distance").isNotNull())
+        .groupBy("distance")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+        .orderBy("distance")
+    )

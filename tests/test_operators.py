@@ -337,3 +337,26 @@ def test_asof_join_tolerance_stale_payload_not_resurrected(spark):
     # 11:59 row matches and is fresh, but ITS payload is NULL; the 09:00
     # value 5 is 3 h stale and must not leak through
     assert rows[0]["payload"] is None
+
+
+def test_bfs_distances_on_known_graph(spark):
+    from pyspark.sql import functions as F
+
+    from graphdb_td2_spark.graph.bfs import bfs_distances
+
+    # path a-b-c-d plus isolated e; undirected hops from a
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], schema="src string, dst string"
+    )
+    verts = spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("e",)], "id string")
+    got = {
+        r["id"]: r["distance"]
+        for r in bfs_distances(verts, edges, seed="a", max_hops=6).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3, "e": None}
+    # hop cap truncates, matching the oracle's fixed-round semantics
+    capped = {
+        r["id"]: r["distance"]
+        for r in bfs_distances(verts, edges, seed="a", max_hops=2).collect()
+    }
+    assert capped == {"a": 0, "b": 1, "c": 2, "d": None, "e": None}
