@@ -118,6 +118,7 @@ DEMOTED_TAIL = (
     "props_map_stats",  # map-typed from_json variant of the JSON family
     "bfs_level_sizes",  # BFS variant of the iterative graph family (L3
                         # already has 4 driver-checked entries in the head)
+    "distinctive_terms",  # tf-idf variant of the text-analysis family
 )
 
 
@@ -203,6 +204,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_brand_order_share": sql_brand_order_share,
         "props_map_stats": json_props.props_map_stats,
         "bfs_level_sizes": bfs_level_sizes,
+        "distinctive_terms": text.distinctive_terms,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -1015,6 +1017,27 @@ SELECT doc_id,
   CAST(len(list_distinct({_TOKS})) AS DOUBLE)
     / CAST(len({_TOKS}) AS DOUBLE) AS type_token_ratio
 FROM documents ORDER BY doc_id
+"""
+
+    sqls["distinctive_terms"] = f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, source, unnest(list_distinct({_TOKS})) AS token FROM documents
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+tf AS (SELECT source, token, COUNT(*) AS tf FROM tok GROUP BY source, token),
+df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tok GROUP BY token),
+scored AS (
+  SELECT source, token, tf, df,
+    CAST(tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT source, rank, token, tf, df, score FROM (
+  SELECT source, token, tf, df, score,
+    CAST(row_number() OVER (PARTITION BY source ORDER BY score DESC, token ASC)
+         AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 5 ORDER BY source, rank
 """
 
     sqls["language_id"] = _lang_id_sql()

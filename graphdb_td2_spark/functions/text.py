@@ -199,6 +199,53 @@ def top_bigrams_per_source(
     )
 
 
+DISTINCTIVE_K = 5
+
+
+def distinctive_terms(
+    spark: SparkSession, sf_dir: str, k: int = DISTINCTIVE_K
+) -> DataFrame:
+    """TF-IDF-shaped distinctive terms per source: term frequency within
+    the source weighted by corpus-wide rarity. The idf is the exact ratio
+    ``n_docs_total / df`` instead of its log — same ranking for a fixed
+    corpus, but computed as ONE double multiply+divide from exact integer
+    counts, so the cross-engine hash cannot drift on transcendental
+    library differences (log/ln may differ in the last ulp across libms).
+
+    Scale: token explode → two partial-agg'd shuffles (per-source tf,
+    corpus df) joined on the token — df is token-dimension-sized; the
+    final per-source top-k is a window over source (dimension-sized)."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "source", "text"])
+    n_docs = docs.count()
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("token")
+    )
+    tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df_, "token").select(
+        "source",
+        "token",
+        "tf",
+        "df",
+        (
+            F.col("tf").cast("double")
+            * F.lit(float(n_docs))
+            / F.col("df").cast("double")
+        ).alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("score"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("source", "rank", "token", "tf", "df", "score")
+        .orderBy("source", "rank")
+    )
+
+
 def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: argmax of per-language stopword hit counts
     with a fixed preference order for ties; emitted as a (lang ×

@@ -99,3 +99,17 @@ def test_oracles_align_with_registry():
     # since round 2 every query — including the iterative graph algorithms,
     # via the integer fixed-point formulation — has an exact oracle
     assert not q - o, f"queries without an oracle: {q - o}"
+
+
+def test_queries_self_heal_foreign_session_timezone(spark, sf_dir):
+    """The driver harness builds its own SparkSession with its own confs.
+    A non-UTC session timezone silently shifts hour bucketing —
+    configure_existing (applied by the queries() wrapper) must reset it,
+    so results are identical to a UTC session's."""
+    utc_rows = entry.queries()["hourly_event_rollup"](spark, sf_dir).collect()
+
+    foreign = spark.newSession()
+    foreign.conf.set("spark.sql.session.timeZone", "America/New_York")
+    got_rows = entry.queries()["hourly_event_rollup"](foreign, sf_dir).collect()
+    assert foreign.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert got_rows == utc_rows
