@@ -119,6 +119,7 @@ DEMOTED_TAIL = (
     "bfs_level_sizes",  # BFS variant of the iterative graph family (L3
                         # already has 4 driver-checked entries in the head)
     "distinctive_terms",  # tf-idf variant of the text-analysis family
+    "top_lift_pairs",  # lift-scored variant of top_cooccurrence_pairs
 )
 
 
@@ -205,6 +206,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_map_stats": json_props.props_map_stats,
         "bfs_level_sizes": bfs_level_sizes,
         "distinctive_terms": text.distinctive_terms,
+        "top_lift_pairs": recs.top_lift_pairs,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -540,6 +542,30 @@ FROM contains a JOIN contains b
   ON a.order_id = b.order_id AND a.product_id < b.product_id
 GROUP BY product_a, product_b
 ORDER BY n_orders DESC, product_a ASC, product_b ASC
+LIMIT 20
+"""
+
+    sqls["top_lift_pairs"] = f"""
+WITH contains AS MATERIALIZED ({_CONTAINS}),
+n AS (SELECT CAST(COUNT(DISTINCT order_id) AS BIGINT) AS n_baskets FROM contains),
+per_prod AS (SELECT product_id, CAST(COUNT(*) AS BIGINT) AS n_p
+             FROM contains GROUP BY product_id),
+pair_counts AS (
+  SELECT a.product_id AS product_a, b.product_id AS product_b,
+         COUNT(*) AS n_ab
+  FROM contains a JOIN contains b
+    ON a.order_id = b.order_id AND a.product_id < b.product_id
+  GROUP BY product_a, product_b
+  HAVING COUNT(*) >= 2
+)
+SELECT product_a, product_b, n_ab,
+  (CAST(n_ab AS DOUBLE) * CAST(n.n_baskets AS DOUBLE))
+    / (CAST(na.n_p AS DOUBLE) * CAST(nb.n_p AS DOUBLE)) AS lift
+FROM pair_counts
+JOIN per_prod na ON na.product_id = product_a
+JOIN per_prod nb ON nb.product_id = product_b
+CROSS JOIN n
+ORDER BY lift DESC, product_a ASC, product_b ASC
 LIMIT 20
 """
 

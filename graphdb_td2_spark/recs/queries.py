@@ -349,3 +349,57 @@ def top_cooccurrence_pairs(spark: SparkSession, sf_dir: str, k: int = 20) -> Dat
         .orderBy(F.desc("n_orders"), F.asc("product_a"), F.asc("product_b"))
         .limit(k)
     )
+
+
+def top_lift_pairs(
+    spark: SparkSession, sf_dir: str, k: int = 20, min_support: int = 2
+) -> DataFrame:
+    """Lift-scored co-occurrence: ``lift = P(a,b) / (P(a)·P(b))`` over
+    baskets — the normalization that stops globally-popular products from
+    dominating pair rankings (raw counts reward popularity, lift rewards
+    association). ``min_support`` discards noise pairs.
+
+    Determinism: lift is computed as ONE double expression over exact
+    integer counts — ``(n_ab · n_baskets) / (n_a · n_b)`` with the same
+    parenthesization in the DuckDB oracle, so the IEEE ops match 1:1.
+    Scale: reuses the pair self-join shape of ``top_cooccurrence_pairs``
+    (AQE skew posture proven in tests/test_skew.py); the per-product
+    counts and the 1-row basket total are broadcast joins.
+    """
+    items = _dedup_pairs(_items(spark, sf_dir))
+    n_baskets = items.select("order_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    per_prod = items.groupBy("product_id").agg(F.count(F.lit(1)).alias("n_p"))
+    a, b = items.alias("a"), items.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.order_id") == F.col("b.order_id"))
+            & (F.col("a.product_id") < F.col("b.product_id")),
+        )
+        .groupBy(
+            F.col("a.product_id").alias("product_a"),
+            F.col("b.product_id").alias("product_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
+    na = per_prod.select(F.col("product_id").alias("product_a"), F.col("n_p").alias("n_a"))
+    nb = per_prod.select(F.col("product_id").alias("product_b"), F.col("n_p").alias("n_b"))
+    return (
+        pair_counts.join(F.broadcast(na), "product_a")
+        .join(F.broadcast(nb), "product_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "product_a",
+            "product_b",
+            "n_ab",
+            (
+                (F.col("n_ab").cast("double") * F.col("n_baskets").cast("double"))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("product_a"), F.asc("product_b"))
+        .limit(k)
+    )
