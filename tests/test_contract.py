@@ -113,3 +113,14 @@ def test_queries_self_heal_foreign_session_timezone(spark, sf_dir):
     got_rows = entry.queries()["hourly_event_rollup"](foreign, sf_dir).collect()
     assert foreign.conf.get("spark.sql.session.timeZone") == "UTC"
     assert got_rows == utc_rows
+
+
+def test_repeated_invocation_is_idempotent(spark, sf_dir):
+    """Session caches (graph, adjacency views, shingle table) must yield
+    identical results on repeat invocation within one session."""
+    q = entry.queries()
+    for name in ("recs_product_cooccurrence", "graph_edge_counts",
+                 "minhash_lsh_pairs", "dataset_splits"):
+        first = q[name](spark, sf_dir).collect()
+        second = q[name](spark, sf_dir).collect()
+        assert first == second, name
