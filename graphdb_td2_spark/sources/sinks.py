@@ -109,3 +109,41 @@ def compact_parquet_dir(
     )
     out.write.mode("overwrite").parquet(dst_path)
     return n_files
+
+
+def merge_upsert_parquet(
+    spark,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+) -> int:
+    """Batch MERGE upsert into a parquet directory — the lake-at-rest
+    analogue of the reference's Cypher ``MERGE`` (D4): rows whose keys
+    match are replaced by the update, new keys append, untouched rows
+    survive. Returns the resulting row count.
+
+    Mechanics: target left-anti updates on the keys, union the updates,
+    rewrite. The anti-join is broadcast when the update batch is
+    dimension-sized — the common case for incremental loads; a format
+    with transaction-log MERGE (Delta/Iceberg) replaces the rewrite at
+    scale, with identical semantics. Writes to a temp dir first so a
+    failed job never truncates the target (the read feeding the
+    overwrite would otherwise race its own output).
+    """
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    target = spark.read.parquet(target_path)
+    merged = target.join(
+        F.broadcast(updates.select(*keys).distinct()), keys, "left_anti"
+    ).unionByName(updates)
+    tmp = target_path.rstrip("/") + "__merge_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    result = spark.read.parquet(tmp)
+    n = result.count()
+    result.write.mode("overwrite").parquet(target_path)
+    # best-effort cleanup of the staging dir
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(tmp)
+    p.getFileSystem(conf).delete(p, True)
+    return n

@@ -143,3 +143,21 @@ def test_run_etl_materializes_partitioned_graph(spark, sf_dir, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(label" in plan
     assert df.count() > 0
+
+
+def test_merge_upsert_parquet(spark, tmp_path):
+    from graphdb_td2_spark.sources.sinks import merge_upsert_parquet
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    ).write.parquet(path)
+    updates = spark.createDataFrame([(2, "B"), (4, "d")], "k long, v string")
+    n = merge_upsert_parquet(spark, path, updates, keys=["k"])
+    assert n == 4
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+    # MERGE idempotency (D4): re-applying the same batch changes nothing
+    n2 = merge_upsert_parquet(spark, path, updates, keys=["k"])
+    assert n2 == 4
+    assert {r["k"]: r["v"] for r in spark.read.parquet(path).collect()} == got
