@@ -28,7 +28,10 @@ from graphdb_td2_spark.graph import queries as gq
 from graphdb_td2_spark.operators import relational as rel
 from graphdb_td2_spark.operators import windows as win
 from graphdb_td2_spark.operators.asof import events_last_order
-from graphdb_td2_spark.operators.sql_api import sql_brand_order_share
+from graphdb_td2_spark.operators.sql_api import (
+    sales_grouping_sets,
+    sql_brand_order_share,
+)
 from graphdb_td2_spark.operators.range_join import event_burst_pairs
 from graphdb_td2_spark.operators.timeseries import hourly_event_rollup
 from graphdb_td2_spark.graph.bfs import bfs_level_sizes
@@ -120,6 +123,8 @@ DEMOTED_TAIL = (
                         # already has 4 driver-checked entries in the head)
     "distinctive_terms",  # tf-idf variant of the text-analysis family
     "top_lift_pairs",  # lift-scored variant of top_cooccurrence_pairs
+    "sales_grouping_sets",  # grouping-sets variant of rollup/cube
+    "weighted_pagerank_top20",  # edge-weighted variant of pagerank_top20
 )
 
 
@@ -207,6 +212,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_level_sizes": bfs_level_sizes,
         "distinctive_terms": text.distinctive_terms,
         "top_lift_pairs": recs.top_lift_pairs,
+        "sales_grouping_sets": sales_grouping_sets,
+        "weighted_pagerank_top20": gq.weighted_pagerank_top20,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -282,7 +289,41 @@ def _graph_edges_sql() -> str:
 """
 
 
-def _pagerank_fp_sql(reset_expr: str, num_iter: int = 5) -> str:
+def _graph_edges_weighted_sql() -> str:
+    """The same edge multiset as ``_graph_edges_sql`` with an integer
+    weight column: CONTAINS carries its last-write-wins quantity
+    (``arg_max(l_quantity, l_linenumber)``, mirroring
+    ``graph/build.py:contains_edges``); every other family weighs 1."""
+    return f"""
+  SELECT 'P:' || CAST(p_partkey AS VARCHAR) AS src, 'CAT:' || p_brand AS dst,
+         CAST(1 AS BIGINT) AS w FROM part
+  UNION ALL
+  SELECT 'C:' || CAST(o_custkey AS VARCHAR), 'O:' || CAST(o_orderkey AS VARCHAR),
+         CAST(1 AS BIGINT)
+  FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer)
+  UNION ALL
+  SELECT 'O:' || CAST(l_orderkey AS VARCHAR), 'P:' || CAST(l_partkey AS VARCHAR),
+         CAST(q AS BIGINT)
+  FROM (SELECT l_orderkey, l_partkey,
+               arg_max(l_quantity, l_linenumber * 1000000.0 + l_quantity) AS q
+        FROM lineitem GROUP BY l_orderkey, l_partkey)
+  WHERE l_orderkey IN (SELECT o_orderkey FROM orders)
+    AND l_partkey IN (SELECT p_partkey FROM part)
+  UNION ALL
+  SELECT 'C:' || CAST(customer_id AS VARCHAR), 'P:' || CAST(product_id AS VARCHAR),
+         CAST(1 AS BIGINT)
+  FROM (SELECT DISTINCT user_id AS customer_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS product_id,
+               {_EVENT_REL} AS rel_type
+        FROM events WHERE lower(event_type) IN ('view', 'click', 'add_to_cart'))
+  WHERE customer_id IN (SELECT c_custkey FROM customer)
+    AND product_id IN (SELECT p_partkey FROM part)
+"""
+
+
+def _pagerank_fp_sql(
+    reset_expr: str, num_iter: int = 5, weighted: bool = False
+) -> str:
     """Integer fixed-point PageRank, iterations unrolled as chained CTEs.
 
     Mirrors ``graph/pagerank.py:_iterate_fp`` exactly: scaled-BIGINT ranks,
@@ -297,12 +338,15 @@ def _pagerank_fp_sql(reset_expr: str, num_iter: int = 5) -> str:
     # AS MATERIALIZED is load-bearing: each iteration references its
     # predecessor 3x (dangling aggregate, message join, state join); inlined
     # CTEs would re-evaluate the whole chain ~3^num_iter times.
+    edges_sql = _graph_edges_weighted_sql() if weighted else _graph_edges_sql()
+    deg_expr = "SUM(w)" if weighted else "COUNT(*)"
+    contrib = "(r.rank * e.w) // r.out_degree" if weighted else "r.rank // r.out_degree"
     parts = [f"""
-WITH edges AS MATERIALIZED ({_graph_edges_sql()}),
+WITH edges AS MATERIALIZED ({edges_sql}),
 verts AS MATERIALIZED (SELECT DISTINCT id FROM
           (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
 nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM verts),
-deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_degree
+deg AS MATERIALIZED (SELECT src, CAST({deg_expr} AS BIGINT) AS out_degree
                      FROM edges GROUP BY src),
 r0 AS MATERIALIZED (
   SELECT v.id, CAST({reset_expr} AS BIGINT) AS reset, d.out_degree,
@@ -314,7 +358,7 @@ r0 AS MATERIALIZED (
         parts.append(f""",
 d{i} AS (SELECT CAST(COALESCE(SUM(CASE WHEN out_degree IS NULL THEN rank END), 0)
                 AS BIGINT) AS dm FROM r{p}),
-m{i} AS (SELECT e.dst AS id, CAST(SUM(r.rank // r.out_degree) AS BIGINT) AS msg
+m{i} AS (SELECT e.dst AS id, CAST(SUM({contrib}) AS BIGINT) AS msg
          FROM edges e JOIN r{p} r ON e.src = r.id GROUP BY e.dst),
 r{i} AS MATERIALIZED (
   SELECT r.id, r.reset, r.out_degree,
@@ -688,6 +732,9 @@ SELECT rel_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
     sqls["ppr_top20"] = _pagerank_fp_sql(
         f"(CASE WHEN v.id = 'C:1' THEN {FP_SCALE} ELSE 0 END)"
     )
+    sqls["weighted_pagerank_top20"] = _pagerank_fp_sql(
+        f"({FP_SCALE} // (SELECT n FROM nv))", weighted=True
+    )
     sqls["component_sizes"] = _components_sql()
     sqls["bfs_level_sizes"] = _bfs_sql()
 
@@ -753,6 +800,19 @@ SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_
 FROM lineitem
 GROUP BY CUBE(l_returnflag, l_linestatus)
 ORDER BY grouping_id, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+    sqls["sales_grouping_sets"] = """
+SELECT r.r_name, c.c_mktsegment,
+  CAST(GROUPING(r.r_name) * 2 + GROUPING(c.c_mktsegment) AS BIGINT) AS grouping_id,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_sales
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY GROUPING SETS ((r.r_name), (c.c_mktsegment), ())
+ORDER BY grouping_id, r_name NULLS FIRST, c_mktsegment NULLS FIRST
 """
 
     sqls["market_segment_stats"] = """

@@ -86,13 +86,26 @@ def contains_pairs(lineitem: DataFrame) -> DataFrame:
 def contains_edges(lineitem: DataFrame) -> DataFrame:
     """CONTAINS with its ``quantity`` property: MERGE dedup per
     (order, product) + last-write-wins ``SET r.quantity``
-    (``app/etl.py:239-246``), deterministic via highest ``l_linenumber``."""
+    (``app/etl.py:239-246``).
+
+    Determinism: the corpus contains duplicated (order, product,
+    linenumber) rows with DIFFERENT quantities, so ``l_linenumber`` alone
+    is not a total order — ``max_by`` ties would be engine- and
+    partitioning-arbitrary. The composite key ``linenumber·10^6 +
+    quantity`` breaks such ties by quantity (remaining ties imply equal
+    quantity, making the pick immaterial); the DuckDB oracle uses the
+    identical scalar expression."""
     return (
         lineitem.groupBy(
             F.col("l_orderkey").alias("order_id"),
             F.col("l_partkey").alias("product_id"),
         )
-        .agg(F.max_by("l_quantity", "l_linenumber").alias("quantity"))
+        .agg(
+            F.max_by(
+                "l_quantity",
+                F.col("l_linenumber") * F.lit(1_000_000.0) + F.col("l_quantity"),
+            ).alias("quantity")
+        )
     )
 
 

@@ -163,18 +163,33 @@ def _iterate_fp(
     src: str,
     dst: str,
     n_vertices: int | None = None,
+    weight: str | None = None,
 ) -> DataFrame:
     """Integer power iteration; same loop discipline as ``_iterate``
     (broadcast rank vector while dimension-sized, localCheckpoint every
-    iteration, exactly one driver action per iteration)."""
+    iteration, exactly one driver action per iteration).
+
+    ``weight``: optional positive integer edge-weight column — each edge
+    then carries ``rank·w div W(u)`` (W = total outgoing weight) instead
+    of ``rank div out_degree``. Still exact: rank ≤ FP_SCALE and corpus
+    weights are small, so rank·w stays far inside int64."""
     small = n_vertices is not None and n_vertices <= _BROADCAST_RANKS_MAX
     if small:
         parts = max(1, int(n_vertices // 250_000) + 1)
         vertices = vertices.repartition(parts)
         reset = reset.repartition(parts)
         edges = edges.repartition(parts, F.col(src))
-    edges = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+    if weight is None:
+        edges = edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"), F.lit(1).cast("long").alias("w")
+        )
+    else:
+        edges = edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("long").alias("w"),
+        )
+    out_deg = edges.groupBy("src").agg(F.sum("w").alias("out_degree"))
     edges = edges.persist()
     out_deg = out_deg.persist()
 
@@ -209,7 +224,7 @@ def _iterate_fp(
             .join(out_deg, "src")
             .select(
                 F.col("dst").alias("id"),
-                F.expr("rank div out_degree").alias("contrib"),
+                F.expr("(rank * w) div out_degree").alias("contrib"),
             )
             .groupBy("id")
             .agg(F.sum("contrib").alias("msg"))
@@ -239,13 +254,17 @@ def pagerank_fp(
     num_iter: int = 10,
     src: str = "src",
     dst: str = "dst",
+    weight: str | None = None,
 ) -> DataFrame:
     """Uniform-teleport integer PageRank → ``(id, rank_fp)`` with
-    ``rank_fp ~ rank * FP_SCALE`` (exactly reproducible cross-engine)."""
+    ``rank_fp ~ rank * FP_SCALE`` (exactly reproducible cross-engine).
+    With ``weight``, mass flows proportionally to edge weights."""
     vertices = _vertices_of(edges, src, dst).persist()
     n = vertices.count()
     reset = vertices.withColumn("reset", F.lit(FP_SCALE // n).cast("long"))
-    return _iterate_fp(edges, vertices, reset, num_iter, src, dst, n_vertices=n)
+    return _iterate_fp(
+        edges, vertices, reset, num_iter, src, dst, n_vertices=n, weight=weight
+    )
 
 
 def personalized_pagerank_fp(

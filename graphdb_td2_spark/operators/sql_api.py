@@ -44,3 +44,29 @@ def sql_brand_order_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY b.n_orders DESC, b.p_brand
         """
     )
+
+
+def sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the generalized form of ROLLUP/CUBE (both covered
+    elsewhere): region-level totals, market-segment-level totals, and the
+    grand total in ONE aggregation pass (Catalyst expands the sets and
+    hash-aggregates once), instead of three unioned jobs. SQL-only
+    surface in Spark's DataFrame-free form, hence it lives here."""
+    register_corpus_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r.r_name,
+               c.c_mktsegment,
+               CAST(GROUPING(r.r_name) * 2 + GROUPING(c.c_mktsegment) AS BIGINT)
+                 AS grouping_id,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS total_sales
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY GROUPING SETS ((r.r_name), (c.c_mktsegment), ())
+        ORDER BY grouping_id, r_name NULLS FIRST, c_mktsegment NULLS FIRST
+        """
+    )
