@@ -125,6 +125,7 @@ DEMOTED_TAIL = (
     "top_lift_pairs",  # lift-scored variant of top_cooccurrence_pairs
     "sales_grouping_sets",  # grouping-sets variant of rollup/cube
     "weighted_pagerank_top20",  # edge-weighted variant of pagerank_top20
+    "customer_order_intervals",  # lead-based SCD2 variant of the window family
 )
 
 
@@ -214,6 +215,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_lift_pairs": recs.top_lift_pairs,
         "sales_grouping_sets": sales_grouping_sets,
         "weighted_pagerank_top20": gq.weighted_pagerank_top20,
+        "customer_order_intervals": win.customer_order_intervals,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -897,6 +899,16 @@ SELECT event_type,
   CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 500
       THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS sample_share
 FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+    sqls["customer_order_intervals"] = """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+  o_orderdate AS valid_from,
+  lead(o_orderdate) OVER w AS valid_to,
+  CAST(row_number() OVER w AS BIGINT) AS version
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY custkey, version
 """
 
     sqls["user_trailing_value"] = """

@@ -168,3 +168,29 @@ def user_trailing_value(
         )
         .orderBy("user_id", "event_id")
     )
+
+
+def customer_order_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-shaped validity intervals: each customer's order stream turned
+    into half-open [valid_from, valid_to) rows via ``lead`` — the
+    dimension-history build every warehouse runs (the current row gets a
+    NULL valid_to). A point-in-time lookup then joins
+    ``valid_from <= ts < valid_to`` instead of an as-of window.
+
+    Determinism: same-date orders are ordered by orderkey, so intervals
+    (possibly empty, from == to) are identical cross-engine. One
+    user-partitioned shuffle; codegen window."""
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"]
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("valid_from"),
+            F.lead("o_orderdate").over(w).alias("valid_to"),
+            F.row_number().over(w).cast("long").alias("version"),
+        )
+        .orderBy("custkey", "version")
+    )

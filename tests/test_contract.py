@@ -124,3 +124,11 @@ def test_repeated_invocation_is_idempotent(spark, sf_dir):
         first = q[name](spark, sf_dir).collect()
         second = q[name](spark, sf_dir).collect()
         assert first == second, name
+
+
+def test_cli_list_matches_registry(capsys):
+    from graphdb_td2_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == list(entry.queries())

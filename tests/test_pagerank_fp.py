@@ -76,3 +76,29 @@ def test_fp_mass_conservation_envelope(spark):
     total = ranks.agg(F.sum("rank_fp").cast("long")).first()[0]
     loss_bound = n + it * (len(EDGES) + 3 * n)  # init split + per-iter floors
     assert FP_SCALE - loss_bound <= total <= FP_SCALE
+
+
+def test_fp_weighted_matches_python_reference(spark):
+    """Weighted recurrence: contribution rank·w // W(u)."""
+    weighted = [(s, d, (i % 3) + 1) for i, (s, d) in enumerate(EDGES)]
+    edges = spark.createDataFrame(weighted, schema="src string, dst string, w long")
+    verts = sorted({v for s, d, _ in weighted for v in (s, d)})
+    reset = {v: FP_SCALE // len(verts) for v in verts}
+
+    out_w = {}
+    for s, _, w in weighted:
+        out_w[s] = out_w.get(s, 0) + w
+    rank = dict(reset)
+    for _ in range(4):
+        dangling = sum(rank[v] for v in verts if v not in out_w)
+        msg = {v: 0 for v in verts}
+        for s, d, w in weighted:
+            msg[d] += (rank[s] * w) // out_w[s]
+        rank = {
+            v: ((FP_DDEN - FP_DNUM) * reset[v]) // FP_DDEN
+            + (FP_DNUM * (msg[v] + (dangling * reset[v]) // FP_SCALE)) // FP_DDEN
+            for v in verts
+        }
+
+    got = _spark_ranks(pagerank_fp(edges, num_iter=4, weight="w"))
+    assert got == rank
