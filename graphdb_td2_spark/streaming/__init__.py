@@ -1,3 +1,8 @@
+from .ivm import (
+    apply_cooccurrence_delta,
+    maintained_counts,
+    run_incremental_cooccurrence,
+)
 from .core import (
     events_stream,
     first_seen_stream,
@@ -15,6 +20,9 @@ from .core import (
 )
 
 __all__ = [
+    "apply_cooccurrence_delta",
+    "maintained_counts",
+    "run_incremental_cooccurrence",
     "events_stream",
     "first_seen_stream",
     "incremental_event_edges",
