@@ -53,6 +53,7 @@ from graphdb_td2_spark.similarity import (
     ann_topk_lsh,
 )
 from graphdb_td2_spark.multimodal import multimodal_feature_stats
+from graphdb_td2_spark.streaming.ivm import ivm_cooccurrence_top20
 from graphdb_td2_spark.streaming import (
     streaming_burst_pairs,
     streaming_dedup_counts,
@@ -126,6 +127,8 @@ DEMOTED_TAIL = (
     "sales_grouping_sets",  # grouping-sets variant of rollup/cube
     "weighted_pagerank_top20",  # edge-weighted variant of pagerank_top20
     "customer_order_intervals",  # lead-based SCD2 variant of the window family
+    "ivm_cooccurrence_top20",  # incrementally-maintained variant of
+                               # top_cooccurrence_pairs (same oracle)
 )
 
 
@@ -216,6 +219,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_grouping_sets": sales_grouping_sets,
         "weighted_pagerank_top20": gq.weighted_pagerank_top20,
         "customer_order_intervals": win.customer_order_intervals,
+        "ivm_cooccurrence_top20": ivm_cooccurrence_top20,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -614,6 +618,10 @@ CROSS JOIN n
 ORDER BY lift DESC, product_a ASC, product_b ASC
 LIMIT 20
 """
+
+    # the IVM-maintained view must be indistinguishable from the batch
+    # recompute — so it shares top_cooccurrence_pairs' oracle verbatim
+    sqls["ivm_cooccurrence_top20"] = sqls["top_cooccurrence_pairs"]
 
     sqls["recs_product_same_brand"] = """
 SELECT p2.p_partkey AS product_id, CAST(1.0 AS DOUBLE) AS score,

@@ -131,3 +131,38 @@ def run_incremental_cooccurrence(
 
 def maintained_counts(spark: SparkSession, state_dir: str) -> DataFrame:
     return spark.read.parquet(f"{state_dir}/counts")
+
+
+# Session-scoped IVM state (one maintenance run per (application, sf_dir);
+# registry re-invocations read the maintained view, they don't re-stream).
+_IVM_CACHE: dict[tuple[str, str], str] = {}
+
+
+def ivm_cooccurrence_top20(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    """Registry entry: maintain the co-occurrence view INCREMENTALLY (the
+    corpus streamed in single-file micro-batches with orders straddling
+    batch boundaries), then top-k it. The oracle is the plain batch SQL —
+    IVM correctness means the maintained view is indistinguishable from a
+    recompute, which is exactly what the value-hash asserts."""
+    import tempfile
+
+    from ..io import read_table
+
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    state_dir = _IVM_CACHE.get(key)
+    if state_dir is None:
+        li = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        root = tempfile.mkdtemp(prefix="spark_ivm_")
+        stream_dir = f"{root}/stream"
+        li.repartition(4).write.parquet(stream_dir)
+        state_dir = f"{root}/state"
+        run_incremental_cooccurrence(spark, stream_dir, state_dir, schema=li.schema)
+        _IVM_CACHE[key] = state_dir
+    return (
+        maintained_counts(spark, state_dir)
+        .filter(F.col("n_orders") > 0)
+        .orderBy(F.desc("n_orders"), F.asc("product_a"), F.asc("product_b"))
+        .limit(k)
+    )
