@@ -297,9 +297,12 @@ def _graph_edges_sql() -> str:
 
 def _graph_edges_weighted_sql() -> str:
     """The same edge multiset as ``_graph_edges_sql`` with an integer
-    weight column: CONTAINS carries its last-write-wins quantity
-    (``arg_max(l_quantity, l_linenumber)``, mirroring
-    ``graph/build.py:contains_edges``); every other family weighs 1."""
+    weight column: CONTAINS carries its last-write-wins quantity via the
+    composite tie-break key ``l_linenumber·10^6 + l_quantity`` (the corpus
+    duplicates (order, product, linenumber) rows with different
+    quantities, so linenumber alone is not a total order — this MUST stay
+    in lock-step with ``graph/build.py:contains_edges``); every other
+    family weighs 1."""
     return f"""
   SELECT 'P:' || CAST(p_partkey AS VARCHAR) AS src, 'CAT:' || p_brand AS dst,
          CAST(1 AS BIGINT) AS w FROM part
@@ -1086,7 +1089,7 @@ GROUP BY k_bucket ORDER BY k_bucket
 SELECT key, COUNT(*) AS n_events,
        CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct_values
 FROM (
-  SELECT key, json_extract_string(props, '$.' || key) AS v
+  SELECT key, json_extract_string(props, '$."' || key || '"') AS v
   FROM (SELECT props, unnest(json_keys(props)) AS key FROM events)
 ) GROUP BY key ORDER BY key
 """

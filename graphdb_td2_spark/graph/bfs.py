@@ -49,18 +49,29 @@ def bfs_distances(
         "id",
         F.when(F.col("id") == seed, F.lit(0)).cast("long").alias("distance"),
     ).localCheckpoint()
+    # Frontier BFS: only vertices settled in the PREVIOUS round emit
+    # messages (unit edge weights → a settled distance never improves), so
+    # round k shuffles the frontier's edges, not all settled vertices' —
+    # identical fixpoint, a fraction of the join volume on later rounds.
+    frontier = dist.filter(F.col("distance").isNotNull()).localCheckpoint()
     for _ in range(max_hops):
         relaxed = (
-            und.join(
-                dist.filter(F.col("distance").isNotNull()),
-                und.src == F.col("id"),
-            )
+            und.join(frontier, und.src == F.col("id"))
             .select(
                 F.col("dst").alias("id"), (F.col("distance") + 1).alias("distance")
             )
             .union(dist.select("id", "distance"))
             .groupBy("id")
             .agg(F.min("distance").alias("distance"))
+        ).localCheckpoint()
+        frontier = (
+            relaxed.alias("new")
+            .join(dist.alias("old"), "id")
+            .filter(
+                F.col("old.distance").isNull()
+                & F.col("new.distance").isNotNull()
+            )
+            .select("id", F.col("new.distance").alias("distance"))
         ).localCheckpoint()
         dist = relaxed
     und.unpersist()

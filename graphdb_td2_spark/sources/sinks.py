@@ -111,6 +111,28 @@ def compact_parquet_dir(
     return n_files
 
 
+def staged_overwrite(df: DataFrame, target_path: str, stage_path: str) -> int:
+    """Materialize ``df`` into ``stage_path``, then copy it over
+    ``target_path``; returns the row count. The stage breaks the
+    read-your-own-overwrite race (the plan reading the target cannot feed
+    an overwrite of the target) and is the recovery point if the final
+    copy fails — but plain parquet has NO atomic dir swap, so a crash
+    DURING the final overwrite still leaves the target partial (recover
+    from the stage dir, which is only cleaned up on success). A
+    transaction-log format removes that window entirely; the versioned
+    pointer-flip in ``streaming/ivm.py`` is the no-log workaround."""
+    spark = df.sparkSession
+    df.write.mode("overwrite").parquet(stage_path)
+    staged = spark.read.parquet(stage_path)
+    n = staged.count()
+    staged.write.mode("overwrite").parquet(target_path)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(stage_path)
+    p.getFileSystem(conf).delete(p, True)
+    return n
+
+
 def merge_upsert_parquet(
     spark,
     target_path: str,
@@ -122,28 +144,32 @@ def merge_upsert_parquet(
     match are replaced by the update, new keys append, untouched rows
     survive. Returns the resulting row count.
 
+    The updates batch must be unique per key (MERGE's one-row-per-key
+    contract) — enforced here with an explicit check rather than a silent
+    arbitrary-winner dedup, because which duplicate should win is
+    caller-specific (pre-aggregate with ``max_by`` over your ordering).
+
     Mechanics: target left-anti updates on the keys, union the updates,
-    rewrite. The anti-join is broadcast when the update batch is
-    dimension-sized — the common case for incremental loads; a format
-    with transaction-log MERGE (Delta/Iceberg) replaces the rewrite at
-    scale, with identical semantics. Writes to a temp dir first so a
-    failed job never truncates the target (the read feeding the
-    overwrite would otherwise race its own output).
+    ``staged_overwrite`` rewrite (see its docstring for the exact
+    durability guarantees). The anti-join is broadcast when the update
+    batch is dimension-sized — the common case for incremental loads; a
+    transaction-log format replaces the rewrite with MERGE INTO at scale.
     """
     from pyspark.sql import functions as F  # noqa: F811 (local clarity)
 
+    counts = updates.agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct(*[F.col(k) for k in keys]).alias("d")
+    ).first()
+    if counts["n"] != counts["d"]:
+        raise ValueError(
+            f"updates batch has {counts['n'] - counts['d']} duplicate key "
+            f"rows on {keys}; MERGE needs one row per key — pre-aggregate "
+            "with a deterministic last-write-wins first"
+        )
     target = spark.read.parquet(target_path)
     merged = target.join(
         F.broadcast(updates.select(*keys).distinct()), keys, "left_anti"
     ).unionByName(updates)
-    tmp = target_path.rstrip("/") + "__merge_tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    result = spark.read.parquet(tmp)
-    n = result.count()
-    result.write.mode("overwrite").parquet(target_path)
-    # best-effort cleanup of the staging dir
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(tmp)
-    p.getFileSystem(conf).delete(p, True)
-    return n
+    return staged_overwrite(
+        merged, target_path, target_path.rstrip("/") + "__merge_tmp"
+    )

@@ -12,48 +12,80 @@ i.e. cross-batch pairs against STATE plus within-batch pairs — so an
 order whose items straddle micro-batches still counts every pair exactly
 once. Counts are additive, so the view merge is a full-outer sum.
 
-State lives as two parquet dirs (items, counts) maintained by
-``foreachBatch`` with staged rewrites (same no-self-overwrite discipline
-as ``sources/sinks.py:merge_upsert_parquet``); on a transaction-log
-format both merges become ``MERGE INTO``/append and the shapes are
-unchanged. At 100 TB the items state is order-partitioned so the
-per-batch join touches only the orders present in the batch.
+Durability & replay-idempotency (foreachBatch is at-least-once): state is
+VERSIONED — batch ``b`` writes brand-new ``v{b}/items`` + ``v{b}/counts``
+dirs derived from the previous version, then flips the ``_LATEST``
+pointer (one tiny file: the atomic commit point). A replayed batch whose
+id is already committed is skipped; a crash before the pointer flip
+leaves the previous version live, and the replay re-derives ``v{b}`` from
+it — never a double-count, never a half-written view, and no overwrite
+ever touches live data. This is exactly the transaction-log discipline a
+lake format (Delta/Iceberg) provides natively; on one of those, the two
+writes become MERGE INTO + append inside a single commit.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+_ITEMS_SCHEMA = "order_id long, product_id long"
+_COUNTS_SCHEMA = "product_a long, product_b long, n_orders long"
 
-def _write_staged(df: DataFrame, path: str) -> None:
-    spark = df.sparkSession
-    tmp = path.rstrip("/") + "__stage"
-    df.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+
+def _fs(spark: SparkSession, path: str):
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(tmp)
-    p.getFileSystem(conf).delete(p, True)
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf), p, jvm
 
 
-def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+def _latest_version(spark: SparkSession, state_dir: str) -> int:
+    """Committed batch id, or -1 before the first commit. Only the
+    pointer-missing case means 'empty state' — any other read error is a
+    real failure and propagates (silently resetting maintained state to
+    empty would be data loss)."""
+    fs, p, jvm = _fs(spark, f"{state_dir}/_LATEST")
+    if not fs.exists(p):
+        return -1
+    stream = fs.open(p)
     try:
-        return spark.read.parquet(path)
-    except Exception:
+        data = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    return int(data.decode().strip())
+
+
+def _commit_version(spark: SparkSession, state_dir: str, bid: int) -> None:
+    fs, p, jvm = _fs(spark, f"{state_dir}/_LATEST")
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/_LATEST.tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(str(bid).encode())
+    finally:
+        out.close()
+    fs.delete(p, False)
+    if not fs.rename(tmp, p):
+        raise RuntimeError(f"could not commit IVM version {bid} at {state_dir}")
+
+
+def _read_version(
+    spark: SparkSession, state_dir: str, version: int, name: str, schema: str
+) -> DataFrame:
+    if version < 0:
         return spark.createDataFrame([], schema)
+    return spark.read.parquet(f"{state_dir}/v{version}/{name}")
 
 
 def apply_cooccurrence_delta(
-    spark: SparkSession, batch: DataFrame, state_dir: str
+    spark: SparkSession, batch: DataFrame, batch_id: int, state_dir: str
 ) -> None:
     """Fold one micro-batch of (order_id, product_id) into the maintained
-    items/counts state."""
-    items_path = f"{state_dir}/items"
-    counts_path = f"{state_dir}/counts"
-    state_items = _read_or_empty(
-        spark, items_path, "order_id long, product_id long"
-    )
-    # new items only: MERGE-dedup against both the batch and the state
+    state as version ``batch_id``; no-op if that version is already
+    committed (at-least-once replay)."""
+    latest = _latest_version(spark, state_dir)
+    if batch_id <= latest:
+        return  # replayed batch — already committed
+    state_items = _read_version(spark, state_dir, latest, "items", _ITEMS_SCHEMA)
     batch_items = batch.select("order_id", "product_id").distinct()
     new_items = batch_items.join(
         state_items, ["order_id", "product_id"], "left_anti"
@@ -85,23 +117,29 @@ def apply_cooccurrence_delta(
         .groupBy("product_a", "product_b")
         .agg(F.count(F.lit(1)).alias("dn"))
     )
-    counts = _read_or_empty(
-        spark, counts_path, "product_a long, product_b long, n_orders long"
+    counts = _read_version(spark, state_dir, latest, "counts", _COUNTS_SCHEMA)
+    merged = counts.join(delta, ["product_a", "product_b"], "full_outer").select(
+        "product_a",
+        "product_b",
+        (
+            F.coalesce(F.col("n_orders"), F.lit(0))
+            + F.coalesce(F.col("dn"), F.lit(0))
+        ).cast("long").alias("n_orders"),
     )
-    merged = (
-        counts.join(delta, ["product_a", "product_b"], "full_outer")
-        .select(
-            "product_a",
-            "product_b",
-            (
-                F.coalesce(F.col("n_orders"), F.lit(0))
-                + F.coalesce(F.col("dn"), F.lit(0))
-            ).cast("long").alias("n_orders"),
-        )
+    # new version dirs first (never touching live data), pointer flip last
+    merged.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}/counts")
+    state_items.unionByName(new_items).write.mode("overwrite").parquet(
+        f"{state_dir}/v{batch_id}/items"
     )
-    _write_staged(merged, counts_path)
-    _write_staged(state_items.unionByName(new_items), items_path)
     new_items.unpersist()
+    _commit_version(spark, state_dir, batch_id)
+    # retire versions older than the previous one (kept as the recovery point)
+    fs, root, jvm = _fs(spark, state_dir)
+    if latest >= 0:
+        for old in range(latest):
+            oldp = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/v{old}")
+            if fs.exists(oldp):
+                fs.delete(oldp, True)
 
 
 def run_incremental_cooccurrence(
@@ -120,17 +158,23 @@ def run_incremental_cooccurrence(
     )
     q = (
         stream.writeStream.foreachBatch(
-            lambda batch, _bid: apply_cooccurrence_delta(spark, batch, state_dir)
+            lambda batch, bid: apply_cooccurrence_delta(spark, batch, bid, state_dir)
         )
         .option("checkpointLocation", f"{state_dir}/_checkpoint")
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "IVM stream did not finish within 600 s — maintained state is "
+            "at the last committed version, not the full input"
+        )
 
 
 def maintained_counts(spark: SparkSession, state_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{state_dir}/counts")
+    version = _latest_version(spark, state_dir)
+    return _read_version(spark, state_dir, version, "counts", _COUNTS_SCHEMA)
 
 
 # Session-scoped IVM state (one maintenance run per (application, sf_dir);
