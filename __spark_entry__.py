@@ -129,6 +129,7 @@ DEMOTED_TAIL = (
     "customer_order_intervals",  # lead-based SCD2 variant of the window family
     "ivm_cooccurrence_top20",  # incrementally-maintained variant of
                                # top_cooccurrence_pairs (same oracle)
+    "event_funnel",  # sequential-pattern variant of the window family
 )
 
 
@@ -220,6 +221,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_pagerank_top20": gq.weighted_pagerank_top20,
         "customer_order_intervals": win.customer_order_intervals,
         "ivm_cooccurrence_top20": ivm_cooccurrence_top20,
+        "event_funnel": win.event_funnel,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -910,6 +912,27 @@ SELECT event_type,
   CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 500
       THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS sample_share
 FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+    sqls["event_funnel"] = """
+WITH t1 AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+  FROM events GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, ANY_VALUE(t1.t1) AS t1,
+         MIN(CASE WHEN e.event_type = 'click' AND e.ts > t1.t1 THEN e.ts END) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, ANY_VALUE(t2.t1) AS t1, ANY_VALUE(t2.t2) AS t2,
+         MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > t2.t2 THEN e.ts END) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id GROUP BY e.user_id
+)
+SELECT COUNT(CASE WHEN t1 IS NOT NULL THEN 1 END) AS n_view,
+       COUNT(CASE WHEN t2 IS NOT NULL THEN 1 END) AS n_view_click,
+       COUNT(CASE WHEN t3 IS NOT NULL THEN 1 END) AS n_view_click_purchase
+FROM t3
 """
 
     sqls["customer_order_intervals"] = """

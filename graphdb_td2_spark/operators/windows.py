@@ -194,3 +194,59 @@ def customer_order_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey", "version")
     )
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern (funnel) analysis: how many users progress
+    view → click → purchase in strict timestamp order — each stage's
+    anchor is the EARLIEST qualifying event after the previous stage's
+    anchor (the standard product-analytics funnel; no lookback).
+
+    Implementation is three chained conditional aggregations (one hash
+    agg per stage over the user-partitioned events — no self-joins): the
+    stage anchor t_{k} = min(ts | type=stage_k, ts > t_{k-1}) per user.
+    Ties inside a user's stream resolve by the strict '>' itself:
+    same-timestamp events cannot advance the funnel, identically in both
+    engines. Output: one row per stage with the user count reaching it.
+    """
+    events = read_table(spark, sf_dir, "events", ["user_id", "event_type", "ts"])
+    t1 = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == FUNNEL_STAGES[0], F.col("ts"))).alias("t1")
+    )
+    t2 = (
+        events.join(t1, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.first("t1").alias("t1"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == FUNNEL_STAGES[1])
+                    & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).alias("t2"),
+        )
+    )
+    t3 = (
+        events.join(t2, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.first("t1").alias("t1"),
+            F.first("t2").alias("t2"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == FUNNEL_STAGES[2])
+                    & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).alias("t3"),
+        )
+    )
+    return t3.agg(
+        F.count(F.when(F.col("t1").isNotNull(), 1)).alias("n_view"),
+        F.count(F.when(F.col("t2").isNotNull(), 1)).alias("n_view_click"),
+        F.count(F.when(F.col("t3").isNotNull(), 1)).alias("n_view_click_purchase"),
+    )
