@@ -130,6 +130,7 @@ DEMOTED_TAIL = (
     "ivm_cooccurrence_top20",  # incrementally-maintained variant of
                                # top_cooccurrence_pairs (same oracle)
     "event_funnel",  # sequential-pattern variant of the window family
+    "weekly_cohort_retention",  # cohort variant of the window family
 )
 
 
@@ -222,6 +223,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_intervals": win.customer_order_intervals,
         "ivm_cooccurrence_top20": ivm_cooccurrence_top20,
         "event_funnel": win.event_funnel,
+        "weekly_cohort_retention": win.weekly_cohort_retention,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -912,6 +914,21 @@ SELECT event_type,
   CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 500
       THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS sample_share
 FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+    sqls["weekly_cohort_retention"] = """
+WITH weekly AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+),
+cohorts AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM weekly GROUP BY user_id
+)
+SELECT c.cohort_week,
+  CAST(datediff('day', c.cohort_week, w.week) // 7 AS BIGINT) AS week_offset,
+  COUNT(*) AS n_users
+FROM weekly w JOIN cohorts c ON w.user_id = c.user_id
+GROUP BY c.cohort_week, week_offset
+ORDER BY c.cohort_week, week_offset
 """
 
     sqls["event_funnel"] = """

@@ -250,3 +250,33 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("t2").isNotNull(), 1)).alias("n_view_click"),
         F.count(F.when(F.col("t3").isNotNull(), 1)).alias("n_view_click_purchase"),
     )
+
+
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted in
+    each subsequent week they were active — the (cohort_week,
+    week_offset, n_users) long-form of the classic retention triangle.
+
+    Determinism: weeks are UTC Monday-truncated in both engines, and the
+    offset is an exact integer division of epoch-second deltas (truncated
+    timestamps differ by multiples of 7 days under UTC — no DST shifts).
+    Two hash aggregations + a user-keyed join; the cohort dimension is
+    weeks — dimension-sized at any corpus scale."""
+    events = read_table(spark, sf_dir, "events", ["user_id", "ts"])
+    # DATE-typed weeks (DuckDB's date_trunc('week') is DATE-typed; Spark's
+    # is timestamp — normalize so the typed value-hash agrees)
+    weekly = events.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("week")
+    ).distinct()
+    cohorts = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weekly.join(cohorts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.expr("datediff(week, cohort_week) div 7").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
