@@ -316,7 +316,7 @@ def _graph_edges_weighted_sql() -> str:
   FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer)
   UNION ALL
   SELECT 'O:' || CAST(l_orderkey AS VARCHAR), 'P:' || CAST(l_partkey AS VARCHAR),
-         CAST(q AS BIGINT)
+         CAST(floor(q) AS BIGINT)
   FROM (SELECT l_orderkey, l_partkey,
                arg_max(l_quantity, l_linenumber * 1000000.0 + l_quantity) AS q
         FROM lineitem GROUP BY l_orderkey, l_partkey)

@@ -145,10 +145,15 @@ def weighted_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``rank·w div W(u)`` stays exact (corpus weights ≤ ~50), so the
     weighted variant is oracle-checked too."""
     g = cached_graph(spark, sf_dir)
+    # explicit floor on BOTH engines: Spark's decimal→long cast truncates
+    # while DuckDB's rounds half away from zero, so a fractional quantity
+    # (2.5) would silently diverge; floor() first makes the composite
+    # exact for any decimal corpus (the oracle uses CAST(floor(q) AS
+    # BIGINT) in lock-step — see _graph_edges_weighted_sql)
     edges = g.edges.select(
         "src",
         "dst",
-        F.coalesce(F.col("quantity"), F.lit(1.0)).cast("long").alias("w"),
+        F.floor(F.coalesce(F.col("quantity"), F.lit(1.0))).cast("long").alias("w"),
     )
     pr = pagerank_fp(edges, num_iter=5, weight="w")
     return (

@@ -65,14 +65,20 @@ class _Handler(BaseHTTPRequestHandler):
                 self._json({"ok": False, "error": str(exc)}, status=500)
         elif url.path == "/recs":
             qs = parse_qs(url.query)
-            self._json(
-                recommend(
-                    self.spark,
-                    self.sf_dir,
-                    product_id=_int_or_none(qs, "product_id"),
-                    customer_id=_int_or_none(qs, "customer_id"),
+            # same degrade-gracefully guard as /etl: an internal failure
+            # (bad sf_dir, Spark error) must yield a valid 500 JSON body,
+            # never a dropped connection
+            try:
+                self._json(
+                    recommend(
+                        self.spark,
+                        self.sf_dir,
+                        product_id=_int_or_none(qs, "product_id"),
+                        customer_id=_int_or_none(qs, "customer_id"),
+                    )
                 )
-            )
+            except Exception as exc:
+                self._json({"ok": False, "error": str(exc)}, status=500)
         else:
             self._json({"error": "not found"}, status=404)
 

@@ -155,16 +155,38 @@ def merge_upsert_parquet(
     batch is dimension-sized — the common case for incremental loads; a
     transaction-log format replaces the rewrite with MERGE INTO at scale.
     """
+    import functools
+    import operator
+
     from pyspark.sql import functions as F  # noqa: F811 (local clarity)
 
-    counts = updates.agg(
-        F.count(F.lit(1)).alias("n"), F.count_distinct(*[F.col(k) for k in keys]).alias("d")
-    ).first()
-    if counts["n"] != counts["d"]:
+    # one job: group by the keys, then check (a) no group repeats and
+    # (b) no group carries a NULL key. count_distinct would skip NULL keys
+    # and mis-report a single NULL-key row as a duplicate; NULL keys are
+    # rejected outright because they can never anti-join-match the target.
+    any_null = functools.reduce(
+        operator.or_, [F.col(k).isNull() for k in keys]
+    )
+    stats = (
+        updates.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.max("c").alias("max_c"),
+            F.sum(F.when(any_null, 1).otherwise(0)).alias("null_key_groups"),
+        )
+        .first()
+    )
+    if stats["null_key_groups"]:
         raise ValueError(
-            f"updates batch has {counts['n'] - counts['d']} duplicate key "
-            f"rows on {keys}; MERGE needs one row per key — pre-aggregate "
-            "with a deterministic last-write-wins first"
+            f"updates batch has rows with NULL in key columns {keys}; "
+            "MERGE keys must be non-null (a NULL key can never match a "
+            "target row)"
+        )
+    if (stats["max_c"] or 0) > 1:
+        raise ValueError(
+            f"updates batch has duplicate key rows on {keys}; MERGE needs "
+            "one row per key — pre-aggregate with a deterministic "
+            "last-write-wins first"
         )
     target = spark.read.parquet(target_path)
     merged = target.join(

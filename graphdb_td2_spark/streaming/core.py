@@ -256,7 +256,15 @@ def streaming_burst_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry: the stream-stream join run batch-finite,
     aggregated per user (pair count + exact average gap). Oracle-exact:
     the strict ``b.ts > a.ts`` bound makes the pair set a pure function of
-    the data (no arrival-order dependence)."""
+    the data (no arrival-order dependence) — PROVIDED no join state
+    expires mid-replay. A production watermark sized for live lateness
+    ("2 hours") only matches the batch oracle if the whole corpus arrives
+    as one micro-batch; if the source ever split into several batches,
+    left-side rows older than watermark+gap would be evicted and their
+    pairs silently dropped. For this finite replay the watermark is
+    therefore sized to exceed the corpus event-time span (~years ≫ the
+    corpus's days), making the result batch-equivalent regardless of how
+    the file source batches — state is bounded by the finite corpus."""
     import uuid
 
     name = "stream_ssj_" + uuid.uuid4().hex[:8]
@@ -264,7 +272,7 @@ def streaming_burst_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, ts_unit="ns", file_glob="events.parquet"
     ).select("user_id", "event_id", "ts")
     q = (
-        stream_burst_pairs(mk(), mk())
+        stream_burst_pairs(mk(), mk(), watermark="3650 days")
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")

@@ -12,24 +12,43 @@ i.e. cross-batch pairs against STATE plus within-batch pairs — so an
 order whose items straddle micro-batches still counts every pair exactly
 once. Counts are additive, so the view merge is a full-outer sum.
 
-Durability & replay-idempotency (foreachBatch is at-least-once): state is
-VERSIONED — batch ``b`` writes brand-new ``v{b}/items`` + ``v{b}/counts``
-dirs derived from the previous version, then flips the ``_LATEST``
-pointer (one tiny file: the atomic commit point). A replayed batch whose
-id is already committed is skipped; a crash before the pointer flip
-leaves the previous version live, and the replay re-derives ``v{b}`` from
-it — never a double-count, never a half-written view, and no overwrite
-ever touches live data. This is exactly the transaction-log discipline a
-lake format (Delta/Iceberg) provides natively; on one of those, the two
-writes become MERGE INTO + append inside a single commit.
+State layout (the 100 TB posture): both state relations are HASH-
+PARTITIONED — ``items`` by ``order_id`` into ``bucket=K`` dirs, ``counts``
+by ``(product_a, product_b)`` — and each version carries a MANIFEST
+mapping bucket → the parquet dir that last wrote it. A micro-batch only
+reads and rewrites the buckets its delta touches; untouched buckets are
+inherited by manifest reference from earlier versions, so per-batch I/O is
+O(Δ · fanout/n_buckets), not O(state). (Items partitioned by order_id
+alone keeps BOTH state joins bucket-prunable: the dedup anti-join and the
+cross-batch join each only involve state rows sharing an order_id with the
+batch, and those all live in the batch's order buckets.) This is exactly
+the file-pruning discipline a lake format's MERGE gives; the manifest is
+the no-txn-log stand-in.
+
+Durability & replay-idempotency (foreachBatch is at-least-once): batch
+``b`` writes brand-new ``v{b}`` bucket dirs + manifest, writes a
+``_COMMITTED`` marker, then flips the ``_LATEST`` pointer (one tiny file:
+the atomic commit point). A replayed batch whose id is already committed
+is skipped; a crash before the pointer flip leaves the previous version
+live and the replay re-derives ``v{b}`` from it — never a double-count,
+never a half-written view. The markers also make pointer LOSS detectable:
+``_latest_version`` treats a missing ``_LATEST`` as "empty state" ONLY
+when no ``_COMMITTED`` marker exists; committed versions with no pointer
+raise instead of silently replaying from empty (which would undercount).
+Garbage collection runs after each commit and deletes only bucket dirs
+referenced by neither the new nor the previous manifest (the previous
+version stays intact as the crash-recovery point).
 """
 
 from __future__ import annotations
+
+import json
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 _ITEMS_SCHEMA = "order_id long, product_id long"
 _COUNTS_SCHEMA = "product_a long, product_b long, n_orders long"
+N_BUCKETS = 16
 
 
 def _fs(spark: SparkSession, path: str):
@@ -40,12 +59,24 @@ def _fs(spark: SparkSession, path: str):
 
 
 def _latest_version(spark: SparkSession, state_dir: str) -> int:
-    """Committed batch id, or -1 before the first commit. Only the
-    pointer-missing case means 'empty state' — any other read error is a
-    real failure and propagates (silently resetting maintained state to
-    empty would be data loss)."""
+    """Committed batch id, or -1 before the first commit. Distinguishes
+    never-initialized from pointer-lost: a missing ``_LATEST`` with
+    committed version dirs present is CORRUPTION (replaying from empty
+    would silently undercount) and raises; only a state dir with no
+    ``_COMMITTED`` markers at all means genuinely empty."""
     fs, p, jvm = _fs(spark, f"{state_dir}/_LATEST")
     if not fs.exists(p):
+        markers = fs.globStatus(
+            jvm.org.apache.hadoop.fs.Path(f"{state_dir}/v*/_COMMITTED")
+        )
+        if markers is not None and len(markers) > 0:
+            raise RuntimeError(
+                f"IVM state at {state_dir} has committed versions but no "
+                "_LATEST pointer — the pointer was lost (crash between "
+                "delete and rename, or manual tampering). Refusing to "
+                "treat maintained state as empty; restore _LATEST to the "
+                "highest committed version to recover."
+            )
         return -1
     stream = fs.open(p)
     try:
@@ -55,7 +86,21 @@ def _latest_version(spark: SparkSession, state_dir: str) -> int:
     return int(data.decode().strip())
 
 
+def _write_small_file(spark: SparkSession, path: str, data: bytes) -> None:
+    fs, p, jvm = _fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(data)
+    finally:
+        out.close()
+
+
 def _commit_version(spark: SparkSession, state_dir: str, bid: int) -> None:
+    """Marker first, pointer flip last. The delete+rename pair is not
+    atomic on every FS, but a crash in the gap now leaves the _COMMITTED
+    marker behind and ``_latest_version`` raises instead of silently
+    rebuilding from empty."""
+    _write_small_file(spark, f"{state_dir}/v{bid}/_COMMITTED", b"1")
     fs, p, jvm = _fs(spark, f"{state_dir}/_LATEST")
     tmp = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/_LATEST.tmp")
     out = fs.create(tmp, True)
@@ -68,26 +113,89 @@ def _commit_version(spark: SparkSession, state_dir: str, bid: int) -> None:
         raise RuntimeError(f"could not commit IVM version {bid} at {state_dir}")
 
 
-def _read_version(
-    spark: SparkSession, state_dir: str, version: int, name: str, schema: str
-) -> DataFrame:
+def _read_manifest(spark: SparkSession, state_dir: str, version: int) -> dict:
+    """Manifest of a version: {"items": {bucket: relpath}, "counts": {...}}
+    with paths relative to ``state_dir`` (state dirs are relocatable)."""
     if version < 0:
+        return {"items": {}, "counts": {}}
+    fs, p, jvm = _fs(spark, f"{state_dir}/v{version}/manifest.json")
+    stream = fs.open(p)
+    try:
+        return json.loads(bytes(stream.readAllBytes()).decode())
+    finally:
+        stream.close()
+
+
+def _read_buckets(
+    spark: SparkSession,
+    state_dir: str,
+    manifest_part: dict,
+    schema: str,
+    buckets: list[int] | None = None,
+) -> DataFrame:
+    """Union-read the parquet dirs of the selected buckets (all buckets
+    when ``buckets`` is None). The bucket id is directory-encoded, not a
+    data column, so reads pin the data schema explicitly."""
+    keys = (
+        sorted(manifest_part)
+        if buckets is None
+        else [str(b) for b in sorted(buckets) if str(b) in manifest_part]
+    )
+    paths = [f"{state_dir}/{manifest_part[k]}" for k in keys]
+    if not paths:
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(f"{state_dir}/v{version}/{name}")
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def _touched(df: DataFrame) -> list[int]:
+    """Distinct bucket ids in a delta frame — a ≤N_BUCKETS-row collect
+    (bucket metadata, not data)."""
+    return sorted(r[0] for r in df.select("bucket").distinct().collect())
 
 
 def apply_cooccurrence_delta(
-    spark: SparkSession, batch: DataFrame, batch_id: int, state_dir: str
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    n_buckets: int = N_BUCKETS,
 ) -> None:
     """Fold one micro-batch of (order_id, product_id) into the maintained
     state as version ``batch_id``; no-op if that version is already
-    committed (at-least-once replay)."""
+    committed (at-least-once replay). Only state buckets the batch touches
+    are read and rewritten; the rest are inherited via the manifest."""
     latest = _latest_version(spark, state_dir)
     if batch_id <= latest:
         return  # replayed batch — already committed
-    state_items = _read_version(spark, state_dir, latest, "items", _ITEMS_SCHEMA)
-    batch_items = batch.select("order_id", "product_id").distinct()
-    new_items = batch_items.join(
+    manifest = _read_manifest(spark, state_dir, latest)
+
+    item_bucket = F.pmod(F.hash("order_id"), F.lit(n_buckets)).alias("bucket")
+    batch_items = (
+        batch.select("order_id", "product_id")
+        .distinct()
+        .withColumn("bucket", item_bucket)
+        .persist()
+    )
+    touched_item_buckets = _touched(batch_items)
+    if not touched_item_buckets:
+        # empty batch: commit a version inheriting the old manifest so the
+        # batch id is durably marked done (replay skip stays correct)
+        batch_items.unpersist()
+        _write_small_file(
+            spark,
+            f"{state_dir}/v{batch_id}/manifest.json",
+            json.dumps(manifest).encode(),
+        )
+        _commit_version(spark, state_dir, batch_id)
+        return
+
+    # state rows sharing an order with the batch all live in the batch's
+    # order buckets — both the dedup anti-join and the cross join prune to
+    # these buckets
+    state_items = _read_buckets(
+        spark, state_dir, manifest["items"], _ITEMS_SCHEMA, touched_item_buckets
+    )
+    new_items = batch_items.drop("bucket").join(
         state_items, ["order_id", "product_id"], "left_anti"
     ).persist()
 
@@ -112,34 +220,101 @@ def apply_cooccurrence_delta(
         )
         .select(*as_pair(F.col("x.product_id"), F.col("y.product_id")))
     )
+    pair_bucket = F.pmod(F.hash("product_a", "product_b"), F.lit(n_buckets)).alias(
+        "bucket"
+    )
     delta = (
         cross.unionByName(within)
         .groupBy("product_a", "product_b")
         .agg(F.count(F.lit(1)).alias("dn"))
+        .withColumn("bucket", pair_bucket)
+        .persist()
     )
-    counts = _read_version(spark, state_dir, latest, "counts", _COUNTS_SCHEMA)
-    merged = counts.join(delta, ["product_a", "product_b"], "full_outer").select(
-        "product_a",
-        "product_b",
-        (
-            F.coalesce(F.col("n_orders"), F.lit(0))
-            + F.coalesce(F.col("dn"), F.lit(0))
-        ).cast("long").alias("n_orders"),
+    touched_count_buckets = _touched(delta)
+
+    new_manifest = {
+        "items": dict(manifest["items"]),
+        "counts": dict(manifest["counts"]),
+    }
+    if touched_count_buckets:
+        counts = _read_buckets(
+            spark, state_dir, manifest["counts"], _COUNTS_SCHEMA, touched_count_buckets
+        )
+        merged = (
+            counts.join(delta.drop("bucket"), ["product_a", "product_b"], "full_outer")
+            .select(
+                "product_a",
+                "product_b",
+                (
+                    F.coalesce(F.col("n_orders"), F.lit(0))
+                    + F.coalesce(F.col("dn"), F.lit(0))
+                ).cast("long").alias("n_orders"),
+            )
+            .withColumn("bucket", pair_bucket)
+        )
+        # new version dirs only for touched buckets, never touching live data
+        merged.repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(f"{state_dir}/v{batch_id}/counts")
+        for k in touched_count_buckets:
+            new_manifest["counts"][str(k)] = f"v{batch_id}/counts/bucket={k}"
+
+    updated_items = state_items.unionByName(new_items).withColumn(
+        "bucket", item_bucket
     )
-    # new version dirs first (never touching live data), pointer flip last
-    merged.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}/counts")
-    state_items.unionByName(new_items).write.mode("overwrite").parquet(
-        f"{state_dir}/v{batch_id}/items"
-    )
+    updated_items.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{state_dir}/v{batch_id}/items")
+    for k in touched_item_buckets:
+        new_manifest["items"][str(k)] = f"v{batch_id}/items/bucket={k}"
+
+    batch_items.unpersist()
     new_items.unpersist()
+    delta.unpersist()
+    _write_small_file(
+        spark,
+        f"{state_dir}/v{batch_id}/manifest.json",
+        json.dumps(new_manifest).encode(),
+    )
     _commit_version(spark, state_dir, batch_id)
-    # retire versions older than the previous one (kept as the recovery point)
+    _gc(spark, state_dir, keep_manifests=[new_manifest, manifest], upto=latest)
+
+
+def _gc(
+    spark: SparkSession, state_dir: str, keep_manifests: list[dict], upto: int
+) -> None:
+    """Delete bucket dirs in versions ≤ ``upto`` that no kept manifest
+    references (current + previous — the previous version stays whole as
+    the recovery point via its manifest's references)."""
+    if upto < 0:
+        return
+    referenced = {
+        f"{state_dir}/{rel}"
+        for m in keep_manifests
+        for part in ("items", "counts")
+        for rel in m[part].values()
+    }
     fs, root, jvm = _fs(spark, state_dir)
-    if latest >= 0:
-        for old in range(latest):
-            oldp = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/v{old}")
-            if fs.exists(oldp):
-                fs.delete(oldp, True)
+    mkpath = jvm.org.apache.hadoop.fs.Path
+    for v in range(upto + 1):
+        vdir = f"{state_dir}/v{v}"
+        if not fs.exists(mkpath(vdir)):
+            continue
+        kept_any = False
+        for part in ("items", "counts"):
+            pdir = mkpath(f"{vdir}/{part}")
+            if not fs.exists(pdir):
+                continue
+            for st in fs.listStatus(pdir):
+                name = st.getPath().getName()
+                if not name.startswith("bucket="):
+                    continue
+                if f"{vdir}/{part}/{name}" in referenced:
+                    kept_any = True
+                else:
+                    fs.delete(st.getPath(), True)
+        if not kept_any:
+            fs.delete(mkpath(vdir), True)
 
 
 def run_incremental_cooccurrence(
@@ -174,7 +349,8 @@ def run_incremental_cooccurrence(
 
 def maintained_counts(spark: SparkSession, state_dir: str) -> DataFrame:
     version = _latest_version(spark, state_dir)
-    return _read_version(spark, state_dir, version, "counts", _COUNTS_SCHEMA)
+    manifest = _read_manifest(spark, state_dir, version)
+    return _read_buckets(spark, state_dir, manifest["counts"], _COUNTS_SCHEMA)
 
 
 # Session-scoped IVM state (one maintenance run per (application, sf_dir);
