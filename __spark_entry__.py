@@ -480,7 +480,8 @@ def _dedup_clusters_sql(rounds: int = 6) -> str:
     band buckets), so diameter is tiny and 6 jump rounds are generous."""
     return f"""
 WITH sigs AS MATERIALIZED ({_minhash_sig_sql()}),
-buckets AS MATERIALIZED ({_band_buckets_sql()}),
+raw_buckets AS MATERIALIZED ({_band_buckets_sql()}),
+buckets AS MATERIALIZED ({_CAPPED_BUCKETS}),
 pairs AS MATERIALIZED (
   SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
   FROM buckets a JOIN buckets b
@@ -518,6 +519,17 @@ def _minhash_sig_sql(n_hashes: int = 16) -> str:
       SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h
       FROM (SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents)
     ) GROUP BY doc_id"""
+
+
+# mirrors dedup/minhash.py:capped_band_buckets — drop (band, bucket)
+# groups above BUCKET_CAP members (degenerate near-identical clusters)
+# before the quadratic candidate self-join
+from graphdb_td2_spark.dedup.minhash import BUCKET_CAP as _BUCKET_CAP  # noqa: E402
+
+_CAPPED_BUCKETS = (
+    "SELECT doc_id, band, bucket FROM raw_buckets "
+    f"QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= {_BUCKET_CAP}"
+)
 
 
 def _band_buckets_sql(n_hashes: int = 16, n_bands: int = 4) -> str:
@@ -1283,7 +1295,8 @@ FROM documents GROUP BY source ORDER BY source
 
     sqls["minhash_lsh_pairs"] = f"""
 WITH sigs AS ({_minhash_sig_sql()}),
-buckets AS ({_band_buckets_sql()})
+raw_buckets AS ({_band_buckets_sql()}),
+buckets AS ({_CAPPED_BUCKETS})
 SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_shared_bands
 FROM buckets a JOIN buckets b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
