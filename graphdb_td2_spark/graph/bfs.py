@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .checkpointing import truncate_lineage
+
 from .queries import cached_graph
 
 MAX_HOPS = 6
@@ -48,12 +50,12 @@ def bfs_distances(
     dist = vertices.select(
         "id",
         F.when(F.col("id") == seed, F.lit(0)).cast("long").alias("distance"),
-    ).localCheckpoint()
+    ).transform(truncate_lineage)
     # Frontier BFS: only vertices settled in the PREVIOUS round emit
     # messages (unit edge weights → a settled distance never improves), so
     # round k shuffles the frontier's edges, not all settled vertices' —
     # identical fixpoint, a fraction of the join volume on later rounds.
-    frontier = dist.filter(F.col("distance").isNotNull()).localCheckpoint()
+    frontier = dist.filter(F.col("distance").isNotNull()).transform(truncate_lineage)
     for _ in range(max_hops):
         relaxed = (
             und.join(frontier, und.src == F.col("id"))
@@ -63,7 +65,7 @@ def bfs_distances(
             .union(dist.select("id", "distance"))
             .groupBy("id")
             .agg(F.min("distance").alias("distance"))
-        ).localCheckpoint()
+        ).transform(truncate_lineage)
         frontier = (
             relaxed.alias("new")
             .join(dist.alias("old"), "id")
@@ -72,7 +74,7 @@ def bfs_distances(
                 & F.col("new.distance").isNotNull()
             )
             .select("id", F.col("new.distance").alias("distance"))
-        ).localCheckpoint()
+        ).transform(truncate_lineage)
         dist = relaxed
     und.unpersist()
     return dist

@@ -1,0 +1,55 @@
+"""Per-iteration lineage truncation for the iterative algorithms
+(PageRank/PPR, connected components, BFS, triangles).
+
+WHY truncate at all: the state vector enters each iteration's plan twice
+(message join + state join), so without truncation the logical plan
+doubles every round — caching prevents re-execution but not re-analysis,
+and analysis over a 2^i-node tree dominates wall-clock (measured in
+round 1: the 4th un-truncated iteration cost 50× the 1st).
+
+Two modes, selected per-session:
+
+- ``local`` (default): ``DataFrame.localCheckpoint`` — blocks live in
+  executor storage. Fast (no FS round-trip) and correct on ``local[*]``
+  or any run where executor loss aborts the job anyway. NOT durable: on a
+  real cluster an executor death loses its blocks and the job must
+  restart from scratch.
+- ``reliable``: ``DataFrame.checkpoint`` to
+  ``spark.sparkContext.setCheckpointDir`` — HDFS/object-store durable;
+  the 1000-executor posture where the loop survives executor churn. Costs
+  one write+read of the (vertex-sized, small relative to edges) state
+  vector per iteration.
+
+``use_reliable_checkpoints(spark, dir)`` flips the session to reliable
+mode; the iterative loops call ``truncate_lineage`` and never name a
+mode themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_RELIABLE: set[str] = set()  # applicationIds flipped to reliable mode
+
+
+def use_reliable_checkpoints(spark, checkpoint_dir: str) -> None:
+    """Flip this session's iterative algorithms to reliable (FS-backed)
+    checkpointing. ``checkpoint_dir`` should be HDFS/object-store on a
+    real cluster (a local path only makes sense in tests)."""
+    spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    _RELIABLE.add(spark.sparkContext.applicationId)
+
+
+def use_local_checkpoints(spark) -> None:
+    """Revert to executor-local checkpointing (the local-mode default)."""
+    _RELIABLE.discard(spark.sparkContext.applicationId)
+
+
+def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Cut ``df``'s lineage via the session's configured checkpoint mode.
+    Non-eager callers materialize via their own follow-up action (the
+    iterative loops' one-action-per-round discipline holds in both
+    modes)."""
+    if df.sparkSession.sparkContext.applicationId in _RELIABLE:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

@@ -7,11 +7,12 @@ vertex takes the minimum label among itself and its neighbors (edges
 treated as undirected). Converges in O(component diameter) rounds —
 checked each round, with a hard cap.
 
-Iterative-loop discipline (same as pagerank): the label frame is
-``localCheckpoint``-ed EVERY round. The labels enter the next round's
-plan through both the join and the union leg, so without truncation the
-plan doubles per round and Catalyst re-analysis goes exponential. On a
-durable cluster run, ``checkpoint`` (reliable) replaces ``localCheckpoint``.
+Iterative-loop discipline (same as pagerank): the label frame's lineage
+is truncated EVERY round. The labels enter the next round's plan through
+both the join and the union leg, so without truncation the plan doubles
+per round and Catalyst re-analysis goes exponential. The truncation mode
+is session-configurable (``graph/checkpointing.py``): executor-local by
+default, reliable FS-backed ``checkpoint()`` for durable cluster runs.
 
 Not SQL-expressible in one query → the driver records the weaker
 rows-only check (like pagerank/ppr); semantics are unit-tested on
@@ -21,6 +22,8 @@ fixtures with known components.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .checkpointing import truncate_lineage
 
 from .queries import cached_graph
 
@@ -41,7 +44,7 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = vertices.select("id", F.col("id").alias("component")).localCheckpoint()
+    labels = vertices.select("id", F.col("id").alias("component")).transform(truncate_lineage)
     for _ in range(max_iter):
         neighbor_min = (
             und.join(labels, und.src == labels.id)
@@ -49,7 +52,7 @@ def connected_components(
             .union(labels)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-        ).localCheckpoint()
+        ).transform(truncate_lineage)
         changed = (
             labels.alias("old")
             .join(neighbor_min.alias("new"), "id")

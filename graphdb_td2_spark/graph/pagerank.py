@@ -13,14 +13,18 @@ non-GraphX paths).
 Scale notes: each iteration is one shuffle (groupBy dst), with the rank
 vector broadcast into the message join when it is dimension-sized (the
 shuffle join co-partitioning edges and ranks takes over past
-``_BROADCAST_RANKS_MAX``). Lineage is truncated with ``localCheckpoint``
-EVERY iteration — see the in-loop comment for why that is load-bearing —
-and each iteration costs exactly one driver action.
+``_BROADCAST_RANKS_MAX``). Lineage is truncated EVERY iteration — see the
+in-loop comment for why that is load-bearing — via the session's
+checkpoint mode (``graph/checkpointing.py``: executor-local by default,
+reliable FS-backed on a real cluster), and each iteration costs exactly
+one driver action.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+from .checkpointing import truncate_lineage
 
 def _vertices_of(edges: DataFrame, src: str, dst: str) -> DataFrame:
     return (
@@ -70,9 +74,11 @@ def _iterate(
     # so WITHOUT per-iteration lineage truncation the logical plan doubles
     # every iteration — caching prevents re-execution but not re-analysis,
     # and analysis over a 2^i-node tree dominated wall-clock (measured: the
-    # 4th un-truncated iteration cost 50x the 1st). localCheckpoint every
-    # iteration keeps the plan O(1) and iterations flat (cluster: swap for
-    # checkpoint() to a reliable dir).
+    # 4th un-truncated iteration cost 50x the 1st). truncate_lineage every
+    # iteration keeps the plan O(1) and iterations flat; its mode is
+    # session-configurable (local[.] default: localCheckpoint; cluster:
+    # use_reliable_checkpoints → FS-backed checkpoint(), survives executor
+    # death — see graph/checkpointing.py).
     state = (
         vertices.join(out_deg.select(F.col("src").alias("id"), "out_degree"), "id", "left")
         .join(reset, "id", "left")
@@ -82,7 +88,7 @@ def _iterate(
             F.col("out_degree").isNull().alias("is_dangling"),
         )
         .withColumn("rank", F.col("reset"))
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage, eager=True)
     )
 
     def materialize_and_dangling_mass(df: DataFrame) -> float:
@@ -129,7 +135,7 @@ def _iterate(
         )
         # Lazy checkpoint + one action: the dangling-mass aggregate both
         # materializes the checkpoint and yields the next iteration's term.
-        new_ranks = new_ranks.localCheckpoint(eager=False)
+        new_ranks = new_ranks.transform(truncate_lineage, eager=False)
         dangling = materialize_and_dangling_mass(new_ranks)
         ranks = new_ranks
     return ranks.select("id", "rank")
@@ -202,7 +208,7 @@ def _iterate_fp(
             F.col("out_degree").isNull().alias("is_dangling"),
         )
         .withColumn("rank", F.col("reset"))
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage, eager=True)
     )
 
     def dangling_mass(df: DataFrame) -> int:
@@ -243,7 +249,7 @@ def _iterate_fp(
                 ).alias("rank"),
             )
         )
-        new_ranks = new_ranks.localCheckpoint(eager=False)
+        new_ranks = new_ranks.transform(truncate_lineage, eager=False)
         dangling = dangling_mass(new_ranks)
         ranks = new_ranks
     return ranks.select("id", F.col("rank").alias("rank_fp"))

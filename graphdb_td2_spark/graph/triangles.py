@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .checkpointing import truncate_lineage
+
 from ..io import read_table
 from .build import contains_pairs
 
@@ -60,7 +62,7 @@ def triangle_stats(
     # self-join (and its lineitem scans) replays per leg (12 scans, audited
     # in PLANS.md). At 100 TB this is "materialize the co-occurrence edge
     # table", the artifact a production graph pipeline persists anyway.
-    edges = cooccurrence_edges(lineitem, min_weight).localCheckpoint()
+    edges = cooccurrence_edges(lineitem, min_weight).transform(truncate_lineage)
 
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     triangles = (
