@@ -50,6 +50,7 @@ from graphdb_td2_spark.dedup import (
 from graphdb_td2_spark.similarity import (
     ann_topk_bruteforce,
     ann_topk_ivf,
+    ann_topk_ivf_trained,
     ann_topk_lsh,
 )
 from graphdb_td2_spark.multimodal import multimodal_feature_stats
@@ -131,6 +132,8 @@ DEMOTED_TAIL = (
                                # top_cooccurrence_pairs (same oracle)
     "event_funnel",  # sequential-pattern variant of the window family
     "weekly_cohort_retention",  # cohort variant of the window family
+    "ann_topk_ivf_trained",  # k-means-trained + multiprobe variant of
+                             # ann_topk_ivf (same assignment/probe plan)
 )
 
 
@@ -224,6 +227,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_cooccurrence_top20": ivm_cooccurrence_top20,
         "event_funnel": win.event_funnel,
         "weekly_cohort_retention": win.weekly_cohort_retention,
+        "ann_topk_ivf_trained": ann_topk_ivf_trained,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -498,6 +502,86 @@ SELECT lbl AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(COUNT(*) - 1 AS BIGINT) AS n_redundant
 FROM l{rounds} GROUP BY lbl ORDER BY cluster_id
 """
+
+
+def _ivf_trained_sql(
+    n_cells: int = 8,
+    n_iter: int = 4,
+    n_queries: int = 5,
+    k: int = 5,
+    nprobe: int = 2,
+) -> str:
+    """Trained-IVF ANN as unrolled SQL, mirroring
+    ``similarity/ann.py:train_ivf_centroids`` + multiprobe search exactly:
+    md5 order-statistics init, ``n_iter`` Lloyd steps (argmax-cosine
+    assignment with lowest-cent-id tie-break; element-wise exact-integer
+    mean, ``CAST(SUM ..) AS BIGINT) // COUNT`` — DuckDB ``//`` and Spark
+    ``div`` both truncate toward zero; empty cells keep their previous
+    centroid), then each query probes its ``nprobe`` nearest cells.
+    Chained CTEs are MATERIALIZED (DuckDB re-inlines otherwise and the
+    4-deep chain goes exponential)."""
+
+    def assign(cent_cte: str) -> str:
+        return f"""
+  SELECT vec_id, qe, cent_id AS cell FROM (
+    SELECT q.vec_id, q.qe, c.cent_id,
+      row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY {_cosine_sql("c.cent_qe", "q.qe")} DESC, c.cent_id ASC
+      ) AS rn
+    FROM q CROSS JOIN {cent_cte} c
+  ) WHERE rn = 1"""
+
+    parts = [f"""
+WITH q AS MATERIALIZED (SELECT vec_id, {_QE} AS qe FROM embeddings),
+c0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cent_id,
+         qe AS cent_qe
+  FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_cells}
+)"""]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(f""",
+a{p} AS MATERIALIZED ({assign(f"c{p}")}
+),
+u{i} AS MATERIALIZED (
+  SELECT cell, list(m ORDER BY pos) AS cent_qe FROM (
+    SELECT cell, i AS pos, CAST(SUM(qe[i]) AS BIGINT) // COUNT(*) AS m
+    FROM a{p} CROSS JOIN range(1, 65) t(i)
+    GROUP BY cell, i
+  ) GROUP BY cell
+),
+c{i} AS MATERIALIZED (
+  SELECT c.cent_id, COALESCE(u.cent_qe, c.cent_qe) AS cent_qe
+  FROM c{p} c LEFT JOIN u{i} u ON c.cent_id = u.cell
+)""")
+    parts.append(f""",
+assigned AS MATERIALIZED ({assign(f"c{n_iter}")}
+),
+queries AS (SELECT vec_id AS query_id, qe AS query_qe FROM q WHERE vec_id < {n_queries}),
+qcells AS (
+  SELECT query_id, query_qe, cent_id AS cell FROM (
+    SELECT queries.query_id, queries.query_qe, c.cent_id,
+      row_number() OVER (
+        PARTITION BY queries.query_id
+        ORDER BY {_cosine_sql("c.cent_qe", "queries.query_qe")} DESC, c.cent_id ASC
+      ) AS rn
+    FROM queries CROSS JOIN c{n_iter} c
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT query_id, assigned.vec_id AS vec_id,
+         {_cosine_sql("query_qe", "assigned.qe")} AS cosine
+  FROM assigned JOIN qcells USING (cell)
+  WHERE assigned.vec_id <> query_id
+)
+SELECT query_id, rank, vec_id, cosine FROM (
+  SELECT query_id, vec_id, cosine,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {k} ORDER BY query_id, rank
+""")
+    return "".join(parts)
 
 
 def _cosine_sql(a: str, b: str) -> str:
@@ -1410,6 +1494,8 @@ SELECT query_id, rank, vec_id, cosine FROM (
   FROM scored
 ) WHERE rank <= 5 ORDER BY query_id, rank
 """
+
+    sqls["ann_topk_ivf_trained"] = _ivf_trained_sql()
 
     sqls["local_supplier_volume"] = f"""
 SELECT n_name, CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue,

@@ -135,13 +135,41 @@ def _assign_cells(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
 
 
 def _probe_topk(
-    assigned: DataFrame, queries: DataFrame, k: int
+    assigned: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroids: DataFrame | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """nprobe=1 cell-equi-join search over an assigned corpus."""
-    query_cells = assigned.join(
-        queries.select(F.col("query_id").alias("vec_id"), "query_qe"),
-        "vec_id",
-    ).select(F.col("vec_id").alias("query_id"), "query_qe", "cell")
+    """Cell-equi-join search over an assigned corpus.
+
+    With ``centroids``/``nprobe`` the query probes its ``nprobe``
+    NEAREST cells (closest-centroid order, ties → lowest cent_id) —
+    standard IVF multiprobe: recall climbs toward brute force while each
+    query still touches ~nprobe/n_cells of the corpus. Without, the query
+    probes only the cell it was itself assigned to (nprobe = 1; the two
+    are identical for nprobe = 1 since assignment IS the top-1 centroid).
+    Each corpus vector lives in exactly one cell and (query, cell) probes
+    are distinct, so no candidate dedup is needed."""
+    if centroids is None:
+        query_cells = assigned.join(
+            queries.select(F.col("query_id").alias("vec_id"), "query_qe"),
+            "vec_id",
+        ).select(F.col("vec_id").alias("query_id"), "query_qe", "cell")
+    else:
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cent_cos"), F.asc("cent_id")
+        )
+        query_cells = (
+            queries.crossJoin(F.broadcast(centroids))
+            .withColumn(
+                "cent_cos",
+                cosine_similarity_q(F.col("cent_qe"), F.col("query_qe")),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= nprobe)
+            .select("query_id", "query_qe", F.col("cent_id").alias("cell"))
+        )
     scored = (
         assigned.join(F.broadcast(query_cells), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -255,6 +283,9 @@ def train_ivf_centroids(
     )
 
 
+NPROBE = 2
+
+
 def ann_topk_ivf_trained(
     spark: SparkSession,
     sf_dir: str,
@@ -262,17 +293,30 @@ def ann_topk_ivf_trained(
     n_queries: int = DEFAULT_N_QUERIES,
     n_cells: int = N_CELLS,
     n_iter: int = KMEANS_ITER,
+    nprobe: int = NPROBE,
 ) -> DataFrame:
-    """IVF top-k with k-means-trained centroids behind the identical
-    assignment/probe plan as ``ann_topk_ivf``.
+    """Registry entry: IVF top-k with k-means-TRAINED centroids and
+    MULTIPROBE (each query searches its ``nprobe`` nearest cells) behind
+    the identical assignment/probe plan as ``ann_topk_ivf``. Training is
+    fully deterministic (md5 order-statistics init + exact-integer Lloyd
+    steps), so the DuckDB oracle unrolls the same ``n_iter`` iterations
+    and reproduces the index — and therefore the search result —
+    bit-exactly.
 
     ``tests/test_ann_trained.py`` proves the recall claim where it is
     provable: on a clustered fixture the trained quantizer beats the
     id-quantizer by a wide margin, while on the corpus — whose embeddings
     are isotropic (measured intra-label avg cosine ~ inter-label ~ 0, so
     there is no structure for ANY quantizer to exploit) — it is held to
-    the above-random-cell-baseline bar."""
+    the above-random-cell-baseline bar; multiprobe recall is additionally
+    pinned ≥ single-probe on the clustered fixture."""
     queries, corpus = _queries_and_corpus(spark, sf_dir, n_queries)
     corpus = corpus.persist()
     centroids = train_ivf_centroids(spark, corpus, n_cells, n_iter)
-    return _probe_topk(_assign_cells(corpus, centroids), queries, k)
+    return _probe_topk(
+        _assign_cells(corpus, centroids),
+        queries,
+        k,
+        centroids=centroids,
+        nprobe=nprobe,
+    )

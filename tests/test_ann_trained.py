@@ -129,6 +129,23 @@ def test_corpus_recall_stays_above_random_cell_baseline(spark, sf_dir):
     assert trained > 1.0 / 8
 
 
+def test_multiprobe_recall_dominates_single_probe(spark, clustered):
+    """nprobe=2 must recall at least as much as nprobe=1 (its candidate
+    set is a superset) and strictly help on the clustered fixture, where
+    boundary queries' true neighbors straddle two cells; nprobe=n_cells
+    degenerates to brute force (recall 1.0)."""
+    corpus, queries, truth = clustered
+    cents = train_ivf_centroids(spark, corpus, n_cells=N_CLUSTERS)
+    assigned = _assign_cells(corpus, cents).persist()
+    r1 = _recall(_probe_topk(assigned, queries, K, centroids=cents, nprobe=1), truth)
+    r2 = _recall(_probe_topk(assigned, queries, K, centroids=cents, nprobe=2), truth)
+    rall = _recall(
+        _probe_topk(assigned, queries, K, centroids=cents, nprobe=N_CLUSTERS), truth
+    )
+    assert r2 >= r1
+    assert rall == 1.0
+
+
 def test_kmeans_training_is_deterministic(spark, sf_dir):
     _, corpus = _queries_and_corpus(spark, sf_dir, 20)
     corpus = corpus.persist()
