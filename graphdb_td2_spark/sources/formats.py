@@ -67,9 +67,10 @@ def read_jdbc(
 
     Always pass ``partition_column`` + bounds in production: without them
     the whole table arrives through ONE task (the same single-heap wall the
-    reference's psycopg2 extract hits). Untested in this container (no
-    JDBC driver/database available) — the call surfaces Spark's own error
-    if the driver class is absent.
+    reference's psycopg2 extract hits). Exercised end-to-end against the
+    embedded Derby engine Spark ships for its metastore
+    (``tests/test_jdbc.py``: write → partitioned read round-trip); against
+    Postgres, swap the url and add the driver jar.
     """
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column is not None:
@@ -82,6 +83,19 @@ def read_jdbc(
     for k, v in properties.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def write_jdbc(
+    df: DataFrame, url: str, table: str, mode: str = "error", **properties: str
+) -> None:
+    """JDBC table write — the relational-sink counterpart of ``read_jdbc``
+    (each partition opens one connection and batch-inserts; parallelism =
+    ``df`` partition count, so coalesce small frames before writing to a
+    connection-limited database)."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in properties.items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()
 
 
 def corpus_schema(name: str) -> T.StructType:
