@@ -12,6 +12,7 @@ from graphdb_td2_spark.io import read_table
 from graphdb_td2_spark.multimodal import (
     FEATURE_SCHEMA,
     MEDIA_SCHEMA,
+    codec_available,
     decode_media,
     frame_sample,
     media_features,
@@ -46,13 +47,71 @@ def test_features_match_direct_computation(spark, media):
         assert r.meta.n_bytes == len(payload)
 
 
-def test_decode_fake_is_deterministic_and_real_is_stubbed(media):
+def test_decode_fake_is_deterministic_and_missing_codecs_raise(media):
     a = {r.media_id: r.samples for r in decode_media(media).collect()}
     b = {r.media_id: r.samples for r in decode_media(media).collect()}
     assert a == b
     assert all(len(s) <= 16 and all(0.0 <= x <= 255.0 for x in s) for s in a.values())
-    with pytest.raises(NotImplementedError):
-        decode_media(media, fake=False)
+    if not codec_available("image"):
+        # requesting a kind whose codec is absent fails fast, driver-side
+        with pytest.raises(NotImplementedError, match="image"):
+            decode_media(media, fake=False, kinds=("image",))
+
+
+def _wav_bytes(samples: list[int]) -> bytes:
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def test_real_audio_decode_via_stdlib_wave(spark):
+    """The real-codec path executes for audio in ANY container: stdlib
+    ``wave`` parses genuine WAV payloads and the decoded samples must be
+    the PCM values that went in."""
+    pcm = {1: [100, -200, 300, -400], 2: list(range(16)), 3: [0] * 20}
+    rows = [
+        (mid, "audio", _wav_bytes(v), (len(v) * 2, "t", "en"))
+        for mid, v in pcm.items()
+    ] + [(9, "image", b"\x00" * 8, (8, "t", "en"))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {
+        r.media_id: r.samples
+        for r in decode_media(media, fake=False, kinds=("audio",)).collect()
+    }
+    assert set(out) == set(pcm)  # non-audio rows filtered, not mis-decoded
+    for mid, v in pcm.items():
+        assert out[mid] == [float(x) for x in v[:16]]
+
+
+@pytest.mark.skipif(not codec_available("image"), reason="Pillow not installed")
+def test_real_image_decode_via_pillow(spark):
+    from PIL import Image
+    import io
+
+    buf = io.BytesIO()
+    Image.new("L", (8, 8), color=7).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image", buf.getvalue(), (len(buf.getvalue()), "t", "en"))],
+        MEDIA_SCHEMA,
+    )
+    out = decode_media(media, fake=False, kinds=("image",)).collect()
+    assert out[0].samples == [7.0] * 16
+
+
+@pytest.mark.skipif(not codec_available("video"), reason="PyAV not installed")
+def test_real_video_decode_via_pyav(spark):
+    import av  # noqa: F401 — presence gates the test; fixture needs an encoder
+
+    pytest.skip("video fixture generation needs an encoder; seam covered by "
+                "codec_available gating and the audio/image paths")
 
 
 def test_frame_sample_jvm_only(media):
