@@ -29,6 +29,7 @@ from graphdb_td2_spark.operators import relational as rel
 from graphdb_td2_spark.operators import windows as win
 from graphdb_td2_spark.operators.asof import events_last_order
 from graphdb_td2_spark.operators.sql_api import (
+    order_priority_exists,
     sales_grouping_sets,
     sql_brand_order_share,
 )
@@ -38,7 +39,11 @@ from graphdb_td2_spark.graph.bfs import bfs_level_sizes
 from graphdb_td2_spark.graph.components import component_sizes
 from graphdb_td2_spark.graph.triangles import triangle_stats
 from graphdb_td2_spark.functions import json_props, text
-from graphdb_td2_spark.functions.sampling import dataset_splits, sampled_event_stats
+from graphdb_td2_spark.functions.sampling import (
+    dataset_splits,
+    sampled_event_stats,
+    stratified_sample_stats,
+)
 from graphdb_td2_spark.dedup import (
     dedup_clusters,
     embedding_neardup_pairs,
@@ -134,6 +139,12 @@ DEMOTED_TAIL = (
     "weekly_cohort_retention",  # cohort variant of the window family
     "ann_topk_ivf_trained",  # k-means-trained + multiprobe variant of
                              # ann_topk_ivf (same assignment/probe plan)
+    "doc_repetition_stats",  # Gopher-repetition variant of the text-quality
+                             # family (token_stats/text_quality checked in head)
+    "contamination_overlap",  # shingle-overlap variant of the dedup family
+                              # (shares the cached shingle table)
+    "stratified_sample_stats",  # per-source-rate variant of dataset_splits
+    "order_priority_exists",  # correlated-EXISTS variant of the join family
 )
 
 
@@ -228,6 +239,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": win.event_funnel,
         "weekly_cohort_retention": win.weekly_cohort_retention,
         "ann_topk_ivf_trained": ann_topk_ivf_trained,
+        "doc_repetition_stats": text.doc_repetition_stats,
+        "contamination_overlap": text.contamination_overlap,
+        "stratified_sample_stats": stratified_sample_stats,
+        "order_priority_exists": order_priority_exists,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -1496,6 +1511,75 @@ SELECT query_id, rank, vec_id, cosine FROM (
 """
 
     sqls["ann_topk_ivf_trained"] = _ivf_trained_sql()
+
+    sqls["doc_repetition_stats"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+b AS (SELECT doc_id, toks,
+        CASE WHEN len(toks) >= 2
+             THEN list_transform(range(1, len(toks)),
+                    i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+             ELSE CAST([] AS VARCHAR[]) END AS bigrams
+      FROM t)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(list_max(list_transform(list_distinct(toks),
+        d -> len(list_filter(toks, x -> x = d)))), 0) AS BIGINT) AS top_token_n,
+  CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+  CAST(COALESCE(list_max(list_transform(list_distinct(bigrams),
+        d -> len(list_filter(bigrams, x -> x = d)))), 0) AS BIGINT) AS top_bigram_n,
+  CAST(len(list_filter(toks, x -> len(list_filter(toks, y -> y = x)) >= 2)) AS DOUBLE)
+    / CAST(len(toks) AS DOUBLE) AS dup_token_frac
+FROM b ORDER BY doc_id
+"""
+
+    sqls["contamination_overlap"] = f"""
+WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+ev AS (SELECT doc_id AS eval_doc_id, shingle FROM sh WHERE doc_id < 10),
+corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 10),
+pairs AS (
+  SELECT eval_doc_id, corpus.doc_id AS doc_id, COUNT(*) AS n_shared
+  FROM corpus JOIN ev USING (shingle)
+  GROUP BY eval_doc_id, corpus.doc_id
+)
+SELECT eval_doc_id, COUNT(*) AS n_candidates,
+       CAST(SUM(CASE WHEN n_shared >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(MAX(n_shared) AS BIGINT) AS max_shared
+FROM pairs GROUP BY eval_doc_id ORDER BY eval_doc_id
+"""
+
+    _BUCKET10K = (
+        "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+        " % 10000)"
+    )
+    sqls["stratified_sample_stats"] = f"""
+WITH c AS (SELECT source, COUNT(*) AS n_source FROM documents GROUP BY source),
+t AS (SELECT MIN(n_source) AS n_target FROM c),
+f AS (
+  SELECT d.source, c.n_source, t.n_target,
+         CASE WHEN {_BUCKET10K} * c.n_source < t.n_target * 10000
+              THEN 1 ELSE 0 END AS kept
+  FROM documents d JOIN c USING (source) CROSS JOIN t
+)
+SELECT source,
+       CAST(MAX(n_source) AS BIGINT) AS n_docs,
+       CAST(MAX(n_target) AS BIGINT) AS n_target,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(SUM(kept) AS DOUBLE) / CAST(MAX(n_source) AS DOUBLE) AS kept_share
+FROM f GROUP BY source ORDER BY source
+"""
+
+    sqls["order_priority_exists"] = """
+SELECT o_orderpriority, COUNT(*) AS n_late_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
 
     sqls["local_supplier_volume"] = f"""
 SELECT n_name, CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue,

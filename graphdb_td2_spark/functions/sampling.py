@@ -80,6 +80,45 @@ def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "split")
 
 
+def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified rebalancing — the domain-mixing primitive: down-sample
+    every source to (about) the SMALLEST source's size so the mixture is
+    balanced, deterministically. A document survives iff
+    ``bucket(doc_id) · n_source < n_target · DENOM`` — pure integer
+    cross-multiplication (no float rate), so the kept set is exact and
+    engine-portable; the per-source keep rate is n_target/n_source by
+    md5-uniformity.
+
+    Scale: one count aggregate over source (dimension-sized), the min
+    broadcast back, then a narrow per-row predicate — the corpus itself
+    is never shuffled. The audit output is one row per source."""
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "source"])
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
+    target = counts.agg(F.min("n_source").alias("n_target"))
+    flagged = docs.join(F.broadcast(counts), "source").join(
+        F.broadcast(target)
+    ).withColumn(
+        "kept",
+        (
+            hash_bucket(F.col("doc_id")) * F.col("n_source")
+            < F.col("n_target") * F.lit(DENOM)
+        ).cast("long"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.first("n_source").alias("n_docs"),
+            F.first("n_target").alias("n_target"),
+            F.sum("kept").alias("n_kept"),
+        )
+        .withColumn(
+            "kept_share",
+            F.col("n_kept").cast("double") / F.col("n_docs").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
 def sampled_event_stats(
     spark: SparkSession, sf_dir: str, rate: float = 0.05
 ) -> DataFrame:

@@ -272,6 +272,112 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document — the filter family
+    that catches templated/looping text exact-dedup misses: most-frequent
+    token count, most-frequent bigram count, and the fraction of token
+    occurrences belonging to a token that repeats (≥2 occurrences).
+
+    Shape: explode → per-(doc, gram) count → per-doc aggregate — two
+    partial-agg'd shuffles over the token stream (NOT per-row nested
+    array scans: an O(n·distinct) higher-order-function formulation is
+    measured orders of magnitude slower under interpreted lambda eval
+    and would re-do quadratic work per row at 100 TB; the exploded
+    aggregate is the same map-side-combined shape as every word-count).
+    All counts are exact integers; the single double division is the
+    repeated-token fraction."""
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    toks = tokens_col(F.col("text"))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    tok_stats = (
+        docs.select("doc_id", F.explode(toks).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.max("c").alias("top_token_n"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("dup_occ"),
+        )
+    )
+    big_stats = (
+        docs.select("doc_id", F.explode(bigrams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_n"))
+    )
+    return (
+        tok_stats.join(big_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("top_token_n").cast("long").alias("top_token_n"),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("top_bigram_n"), F.lit(0))
+            .cast("long")
+            .alias("top_bigram_n"),
+            (F.col("dup_occ").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "dup_token_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CONTAM_EVAL_DOCS = 10  # doc_id < 10 plays the held-out benchmark set
+CONTAM_MIN_SHARED = 5  # shared distinct shingles to call a doc contaminated
+
+
+def contamination_overlap(
+    spark: SparkSession,
+    sf_dir: str,
+    n_eval: int = CONTAM_EVAL_DOCS,
+    min_shared: int = CONTAM_MIN_SHARED,
+) -> DataFrame:
+    """Benchmark-contamination screen: for each held-out "eval" document
+    (``doc_id < n_eval``), how much of the training corpus shares its
+    k-token shingles — candidate count (any overlap), contaminated count
+    (≥ ``min_shared`` shared shingles), and the worst offender's overlap.
+
+    Reuses the session shingle table (one tokenize pass corpus-wide); the
+    eval side is dimension-sized, so the shingle equi-join broadcasts it
+    and the corpus side streams. At full scale the shingle join IS the
+    standard exact decontamination pass (the Gopher/LLaMA recipe); a
+    banded/LSH variant trades exactness for cheaper candidate generation
+    when the eval suite itself is huge."""
+    from ..dedup.shingles import cached_doc_shingles
+
+    sh = cached_doc_shingles(spark, sf_dir).select("doc_id", "shingle")
+    ev = sh.filter(F.col("doc_id") < n_eval).select(
+        F.col("doc_id").alias("eval_doc_id"), "shingle"
+    )
+    corpus = sh.filter(F.col("doc_id") >= n_eval)
+    pairs = (
+        corpus.join(F.broadcast(ev), "shingle")
+        .groupBy("eval_doc_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        pairs.groupBy("eval_doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum((F.col("n_shared") >= min_shared).cast("long")).alias(
+                "n_contaminated"
+            ),
+            F.max("n_shared").alias("max_shared"),
+        )
+        .orderBy("eval_doc_id")
+    )
+
+
 def fingerprint_col(text: Column) -> Column:
     """Polynomial rolling hash over the token stream: each token is mapped
     to a 28-bit integer via an md5 prefix, then folded with

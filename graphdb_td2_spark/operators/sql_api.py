@@ -46,6 +46,33 @@ def sql_brand_order_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped CORRELATED SUBQUERY: per order priority, how many
+    orders had at least one late shipment — ``EXISTS`` referencing BOTH
+    the outer key and the outer order date (a genuine correlated
+    predicate, not a plain key semi-join; the corpus carries no
+    commit/receipt dates, so lateness is ship > order date + 60 days).
+
+    Catalyst decorrelates the EXISTS into a left-semi join with the date
+    condition pulled into the join predicate — the plan a hand-written
+    semi-join would get, scans pruned to the three referenced columns.
+    That rewrite is the operator under test here."""
+    register_corpus_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_late_orders
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
 def sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS — the generalized form of ROLLUP/CUBE (both covered
     elsewhere): region-level totals, market-segment-level totals, and the
