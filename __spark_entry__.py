@@ -36,6 +36,7 @@ from graphdb_td2_spark.operators.sql_api import (
 from graphdb_td2_spark.operators.range_join import event_burst_pairs
 from graphdb_td2_spark.operators.timeseries import hourly_event_rollup
 from graphdb_td2_spark.graph.bfs import bfs_level_sizes
+from graphdb_td2_spark.graph.kcore import kcore_sizes
 from graphdb_td2_spark.graph.components import component_sizes
 from graphdb_td2_spark.graph.triangles import triangle_stats
 from graphdb_td2_spark.functions import json_props, text
@@ -145,6 +146,7 @@ DEMOTED_TAIL = (
                               # (shares the cached shingle table)
     "stratified_sample_stats",  # per-source-rate variant of dataset_splits
     "order_priority_exists",  # correlated-EXISTS variant of the join family
+    "kcore_sizes",  # peeling variant of the iterative graph family (L3)
 )
 
 
@@ -243,6 +245,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_overlap": text.contamination_overlap,
         "stratified_sample_stats": stratified_sample_stats,
         "order_priority_exists": order_priority_exists,
+        "kcore_sizes": kcore_sizes,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -489,6 +492,32 @@ SELECT distance, CAST(COUNT(*) AS BIGINT) AS n_vertices
 FROM d{max_hops} WHERE distance IS NOT NULL
 GROUP BY distance ORDER BY distance
 """)
+    return "".join(parts)
+
+
+def _kcore_sql(k: int = 2, rounds: int = 6) -> str:
+    """k-core peeling unrolled as chained CTEs — mirrors
+    ``graph/kcore.py:kcore_round_sizes`` exactly (fixed round count both
+    engines; round r reports the vertices surviving the r-th degree
+    filter)."""
+    parts = [f"""
+WITH edges AS MATERIALIZED ({_graph_edges_sql()}),
+e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges))"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f""",
+d{r} AS MATERIALIZED (
+  SELECT src AS id FROM e{p} GROUP BY src HAVING COUNT(*) >= {k}),
+e{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{p} e
+  WHERE e.src IN (SELECT id FROM d{r}) AND e.dst IN (SELECT id FROM d{r}))""")
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, "
+        f"(SELECT CAST(COUNT(*) AS BIGINT) FROM d{r}) AS n_vertices"
+        for r in range(1, rounds + 1)
+    )
+    parts.append(f"\nSELECT round, n_vertices FROM ({selects}) ORDER BY round\n")
     return "".join(parts)
 
 
@@ -865,6 +894,7 @@ SELECT rel_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
     )
     sqls["component_sizes"] = _components_sql()
     sqls["bfs_level_sizes"] = _bfs_sql()
+    sqls["kcore_sizes"] = _kcore_sql()
 
     sqls["pricing_summary"] = f"""
 SELECT l_returnflag, l_linestatus,
