@@ -206,3 +206,63 @@ def test_first_seen_stream_matches_batch_distinct(spark, chunked_source):
         .count()
     )
     assert len(set(triples)) == want and want > 0
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    """Late-data semantics, pinned explicitly: a row older than the
+    watermark arriving in a LATER micro-batch must be excluded from its
+    (already finalizable) window, while on-time rows count — the §2.J
+    correctness contract that batch-parity tests can't see (batch has no
+    notion of lateness)."""
+    import os
+    import uuid
+    from datetime import datetime
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def write_chunk(name, rows, mtime):
+        path = str(src / name)
+        spark.createDataFrame(
+            [(1, datetime(2024, 1, 1, h, m)) for h, m in rows],
+            "user_id long, ts timestamp",
+        ).coalesce(1).write.parquet(path)
+        for dirpath, _dirs, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(dirpath, f), (mtime, mtime))
+        os.utime(path, (mtime, mtime))
+
+    # batch 1: two rows in window 10:00-10:10, one at 10:59 (pushes the
+    # 10-minute watermark to 10:49 — past the first window's end)
+    write_chunk("c1", [(10, 1), (10, 3), (10, 59)], 1_700_000_000)
+    # batch 2: a LATE row for the first window (10:04 < watermark) that
+    # must be dropped + an 11:30 row that closes the 10:50 window
+    write_chunk("c2", [(10, 4), (11, 30)], 1_700_000_100)
+
+    name = "late_" + uuid.uuid4().hex[:8]
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {
+        r["w"]["start"].strftime("%H:%M"): r["n"]
+        for r in spark.table(name).collect()
+    }
+    # the late 10:04 row did NOT make it into the 10:00 window
+    assert out["10:00"] == 2
+    # the 10:50 window (10:59 row) was finalized by batch 2's watermark
+    assert out["10:50"] == 1
+    # the 11:30 row's window never passed the watermark -> not emitted
+    assert "11:30" not in out
