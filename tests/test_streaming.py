@@ -213,56 +213,77 @@ def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
     watermark arriving in a LATER micro-batch must be excluded from its
     (already finalizable) window, while on-time rows count — the §2.J
     correctness contract that batch-parity tests can't see (batch has no
-    notion of lateness)."""
-    import os
-    import uuid
+    notion of lateness).
+
+    Batch separation is guaranteed by running TWO separate ``availableNow``
+    queries against the SAME checkpoint dir, writing chunk 2 between runs —
+    the file-source offsets and watermark state persist across runs, so the
+    second run sees only the new file with the run-1 watermark already at
+    10:49. (A single availableNow run coalesces all files into one batch on
+    Spark 4.1.2 regardless of maxFilesPerTrigger, so the two-run shape is
+    the only reliable way to pin this contract locally.) The sink is the
+    parquet FILE sink — the memory sink refuses checkpoint recovery — so
+    each run's emissions accumulate in one output dir and we diff between
+    runs."""
     from datetime import datetime
 
     src = tmp_path / "late_src"
     src.mkdir()
+    ck = str(tmp_path / "late_ck")
+    out_dir = str(tmp_path / "late_out")
 
-    def write_chunk(name, rows, mtime):
-        path = str(src / name)
+    def write_chunk(chunk_name, rows):
         spark.createDataFrame(
             [(1, datetime(2024, 1, 1, h, m)) for h, m in rows],
             "user_id long, ts timestamp",
-        ).coalesce(1).write.parquet(path)
-        for dirpath, _dirs, files in os.walk(path):
-            for f in files:
-                os.utime(os.path.join(dirpath, f), (mtime, mtime))
-        os.utime(path, (mtime, mtime))
+        ).coalesce(1).write.parquet(str(src / chunk_name))
 
-    # batch 1: two rows in window 10:00-10:10, one at 10:59 (pushes the
-    # 10-minute watermark to 10:49 — past the first window's end)
-    write_chunk("c1", [(10, 1), (10, 3), (10, 59)], 1_700_000_000)
-    # batch 2: a LATE row for the first window (10:04 < watermark) that
-    # must be dropped + an 11:30 row that closes the 10:50 window
-    write_chunk("c2", [(10, 4), (11, 30)], 1_700_000_100)
+    def run_once():
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .parquet(str(src) + "/*")
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["ws"].strftime("%H:%M"): r["n"]
+            for r in spark.read.parquet(out_dir).collect()
+        }
 
-    name = "late_" + uuid.uuid4().hex[:8]
-    stream = (
-        spark.readStream.schema("user_id long, ts timestamp")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(src))
-        .withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", "10 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"))
+    # run 1: two rows in window 10:00-10:10, one at 10:59 (pushes the
+    # 10-minute watermark to 10:49 — past the first window's end, so the
+    # 10:00 window is finalized and emitted; 10:50 stays open in state)
+    write_chunk("c1", [(10, 1), (10, 3), (10, 59)])
+    out1 = run_once()
+    assert out1 == {"10:00": 2}
+
+    # run 2 (same checkpoint): a LATE row for the first window
+    # (10:04 < watermark 10:49) that must be dropped + an 11:30 row that
+    # advances the watermark to 11:20, closing the 10:50 window
+    write_chunk("c2", [(10, 4), (11, 30)])
+    out2 = run_once()
+    # the 10:50 window (10:59 row) was finalized by run 2's watermark
+    assert out2.get("10:50") == 1
+    # the late 10:04 row was DROPPED: the 10:00 window count is unchanged
+    # (file-sink output accumulates, so a re-emission would bump it to 3
+    # or add a duplicate row — collect() into a dict would then keep 3)
+    assert out2["10:00"] == 2
+    rows_1000 = (
+        spark.read.parquet(out_dir)
+        .where(F.date_format("ws", "HH:mm") == "10:00")
+        .collect()
     )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    out = {
-        r["w"]["start"].strftime("%H:%M"): r["n"]
-        for r in spark.table(name).collect()
-    }
-    # the late 10:04 row did NOT make it into the 10:00 window
-    assert out["10:00"] == 2
-    # the 10:50 window (10:59 row) was finalized by batch 2's watermark
-    assert out["10:50"] == 1
+    assert len(rows_1000) == 1 and rows_1000[0]["n"] == 2
     # the 11:30 row's window never passed the watermark -> not emitted
-    assert "11:30" not in out
+    assert "11:30" not in out2
