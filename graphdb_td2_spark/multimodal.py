@@ -140,8 +140,17 @@ def _decode_real(kind: str, payload: bytes) -> list[float]:
             width = w.getsampwidth()
         if width == 2:
             vals = struct.unpack(f"<{len(raw) // 2}h", raw)
-        else:  # 8-bit unsigned PCM
+        elif width == 1:  # 8-bit unsigned PCM
             vals = list(raw)
+        elif width == 4:  # 32-bit signed PCM
+            vals = struct.unpack(f"<{len(raw) // 4}i", raw)
+        else:
+            # 24-bit (width 3) and anything exotic: rejecting beats
+            # byte-wise mis-decoding — the contract is "filtered or
+            # decoded, never silently wrong"
+            raise NotImplementedError(
+                f"WAV sample width {width} not supported (1/2/4 are)"
+            )
         return [float(v) for v in vals[:_N_SAMPLES]]
     if kind == "image":
         from PIL import Image

@@ -95,12 +95,48 @@ def _write_small_file(spark: SparkSession, path: str, data: bytes) -> None:
         out.close()
 
 
-def _commit_version(spark: SparkSession, state_dir: str, bid: int) -> None:
+def _commit_version(
+    spark: SparkSession, state_dir: str, bid: int, manifest_bytes: bytes
+) -> None:
     """Marker first, pointer flip last. The delete+rename pair is not
     atomic on every FS, but a crash in the gap now leaves the _COMMITTED
     marker behind and ``_latest_version`` raises instead of silently
-    rebuilding from empty."""
-    _write_small_file(spark, f"{state_dir}/v{bid}/_COMMITTED", b"1")
+    rebuilding from empty.
+
+    Concurrent-writer guard: the marker is created with overwrite=False —
+    an atomic create-if-absent. If another attempt (speculative retry, a
+    second maintainer) already committed this version, the create fails;
+    we then require the on-disk manifest to be byte-identical to ours. A
+    mismatch means two writers derived DIFFERENT state for the same batch
+    id (e.g. different n_buckets, or different base versions) — that is
+    unrecoverable double-write corruption and raises rather than letting
+    the last pointer flip silently pick a winner."""
+    fs0, marker, jvm0 = _fs(spark, f"{state_dir}/v{bid}/_COMMITTED")
+    try:
+        out = fs0.create(marker, False)
+        try:
+            out.write(b"1")
+        finally:
+            out.close()
+    except Exception:
+        if not fs0.exists(marker):
+            raise  # real I/O failure, not a lost race
+        mf = jvm0.org.apache.hadoop.fs.Path(f"{state_dir}/v{bid}/manifest.json")
+        stream = fs0.open(mf)
+        try:
+            existing = bytes(stream.readAllBytes())
+        finally:
+            stream.close()
+        if json.loads(existing.decode()) != json.loads(manifest_bytes.decode()):
+            raise RuntimeError(
+                f"IVM version v{bid} at {state_dir} was committed by a "
+                "concurrent writer with a DIFFERENT manifest — two "
+                "maintainers produced divergent state for the same batch "
+                "id. Refusing to flip the pointer over it."
+            )
+        # same manifest → the other writer did identical work; the pointer
+        # flip below is idempotent, fall through so a crash after ITS
+        # marker but before ITS flip still completes the commit
     fs, p, jvm = _fs(spark, f"{state_dir}/_LATEST")
     tmp = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/_LATEST.tmp")
     out = fs.create(tmp, True)
@@ -117,7 +153,7 @@ def _read_manifest(spark: SparkSession, state_dir: str, version: int) -> dict:
     """Manifest of a version: {"items": {bucket: relpath}, "counts": {...}}
     with paths relative to ``state_dir`` (state dirs are relocatable)."""
     if version < 0:
-        return {"items": {}, "counts": {}}
+        return {"items": {}, "counts": {}, "n_buckets": None}
     fs, p, jvm = _fs(spark, f"{state_dir}/v{version}/manifest.json")
     stream = fs.open(p)
     try:
@@ -168,6 +204,15 @@ def apply_cooccurrence_delta(
     if batch_id <= latest:
         return  # replayed batch — already committed
     manifest = _read_manifest(spark, state_dir, latest)
+    state_buckets = manifest.get("n_buckets")
+    if state_buckets is not None and state_buckets != n_buckets:
+        raise ValueError(
+            f"IVM state at {state_dir} was built with n_buckets="
+            f"{state_buckets} but this run uses n_buckets={n_buckets}; "
+            "bucket assignment would diverge (the dedup anti-join would "
+            "prune the WRONG buckets and double-count pairs). Rebuild the "
+            "state or pass the original n_buckets."
+        )
 
     item_bucket = F.pmod(F.hash("order_id"), F.lit(n_buckets)).alias("bucket")
     batch_items = (
@@ -181,12 +226,13 @@ def apply_cooccurrence_delta(
         # empty batch: commit a version inheriting the old manifest so the
         # batch id is durably marked done (replay skip stays correct)
         batch_items.unpersist()
+        inherited = dict(manifest)
+        inherited["n_buckets"] = n_buckets
+        payload = json.dumps(inherited).encode()
         _write_small_file(
-            spark,
-            f"{state_dir}/v{batch_id}/manifest.json",
-            json.dumps(manifest).encode(),
+            spark, f"{state_dir}/v{batch_id}/manifest.json", payload
         )
-        _commit_version(spark, state_dir, batch_id)
+        _commit_version(spark, state_dir, batch_id, payload)
         return
 
     # state rows sharing an order with the batch all live in the batch's
@@ -235,6 +281,7 @@ def apply_cooccurrence_delta(
     new_manifest = {
         "items": dict(manifest["items"]),
         "counts": dict(manifest["counts"]),
+        "n_buckets": n_buckets,
     }
     if touched_count_buckets:
         counts = _read_buckets(
@@ -271,21 +318,39 @@ def apply_cooccurrence_delta(
     batch_items.unpersist()
     new_items.unpersist()
     delta.unpersist()
-    _write_small_file(
+    payload = json.dumps(new_manifest).encode()
+    _write_small_file(spark, f"{state_dir}/v{batch_id}/manifest.json", payload)
+    _commit_version(spark, state_dir, batch_id, payload)
+    _gc(
         spark,
-        f"{state_dir}/v{batch_id}/manifest.json",
-        json.dumps(new_manifest).encode(),
+        state_dir,
+        keep_manifests=[new_manifest, manifest],
+        upto=latest,
+        keep_versions={batch_id, latest},
     )
-    _commit_version(spark, state_dir, batch_id)
-    _gc(spark, state_dir, keep_manifests=[new_manifest, manifest], upto=latest)
 
 
 def _gc(
-    spark: SparkSession, state_dir: str, keep_manifests: list[dict], upto: int
+    spark: SparkSession,
+    state_dir: str,
+    keep_manifests: list[dict],
+    upto: int,
+    keep_versions: set[int],
 ) -> None:
     """Delete bucket dirs in versions ≤ ``upto`` that no kept manifest
     references (current + previous — the previous version stays whole as
-    the recovery point via its manifest's references)."""
+    the recovery point via its manifest's references). Versions in
+    ``keep_versions`` are never deleted even when they hold no bucket dirs
+    (a manifest-only version from an empty micro-batch IS the recovery
+    point when it is the previous version — deleting it would destroy a
+    committed manifest).
+
+    Scan cost is O(versions since the low-water mark), not O(all versions):
+    ``_GC_FLOOR`` records the lowest version that may still exist on disk
+    and the scan starts there. The floor file is written AFTER the sweep
+    completes, so a crash mid-GC just means the next sweep rescans the
+    same range — advisory-only, losing it is a full rescan, never
+    corruption."""
     if upto < 0:
         return
     referenced = {
@@ -296,9 +361,21 @@ def _gc(
     }
     fs, root, jvm = _fs(spark, state_dir)
     mkpath = jvm.org.apache.hadoop.fs.Path
-    for v in range(upto + 1):
+    floor_path = mkpath(f"{state_dir}/_GC_FLOOR")
+    start = 0
+    if fs.exists(floor_path):
+        stream = fs.open(floor_path)
+        try:
+            start = int(bytes(stream.readAllBytes()).decode().strip())
+        finally:
+            stream.close()
+    surviving: list[int] = []
+    for v in range(start, upto + 1):
         vdir = f"{state_dir}/v{v}"
         if not fs.exists(mkpath(vdir)):
+            continue
+        if v in keep_versions:
+            surviving.append(v)
             continue
         kept_any = False
         for part in ("items", "counts"):
@@ -313,8 +390,12 @@ def _gc(
                     kept_any = True
                 else:
                     fs.delete(st.getPath(), True)
-        if not kept_any:
+        if kept_any:
+            surviving.append(v)
+        else:
             fs.delete(mkpath(vdir), True)
+    new_floor = min(surviving) if surviving else upto + 1
+    _write_small_file(spark, f"{state_dir}/_GC_FLOOR", str(new_floor).encode())
 
 
 def run_incremental_cooccurrence(

@@ -58,17 +58,23 @@ def test_decode_fake_is_deterministic_and_missing_codecs_raise(media):
             decode_media(media, fake=False, kinds=("image",))
 
 
-def _wav_bytes(samples: list[int]) -> bytes:
+def _wav_bytes(samples: list[int], width: int = 2) -> bytes:
     import io
     import struct
     import wave
 
+    fmt = {1: "B", 2: "h", 4: "i"}
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
-        w.setsampwidth(2)
+        w.setsampwidth(width)
         w.setframerate(8000)
-        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        if width == 3:  # 24-bit: hand-packed little-endian triples
+            w.writeframes(
+                b"".join(v.to_bytes(3, "little", signed=True) for v in samples)
+            )
+        else:
+            w.writeframes(struct.pack(f"<{len(samples)}{fmt[width]}", *samples))
     return buf.getvalue()
 
 
@@ -89,6 +95,22 @@ def test_real_audio_decode_via_stdlib_wave(spark):
     assert set(out) == set(pcm)  # non-audio rows filtered, not mis-decoded
     for mid, v in pcm.items():
         assert out[mid] == [float(x) for x in v[:16]]
+
+
+def test_audio_decode_widths_32bit_ok_24bit_rejected():
+    """Sample widths 1/2/4 decode to their true PCM values; 24-bit (width
+    3) raises instead of being byte-wise mis-decoded — the 'filtered or
+    decoded, never silently wrong' contract."""
+    from graphdb_td2_spark.multimodal import _decode_real
+
+    assert _decode_real("audio", _wav_bytes([7, 250, 0], width=1)) == [
+        7.0, 250.0, 0.0,
+    ]
+    assert _decode_real("audio", _wav_bytes([1_000_000, -2_000_000], width=4)) == [
+        1_000_000.0, -2_000_000.0,
+    ]
+    with pytest.raises(NotImplementedError, match="width 3"):
+        _decode_real("audio", _wav_bytes([1, 2, 3], width=3))
 
 
 @pytest.mark.skipif(not codec_available("image"), reason="Pillow not installed")
