@@ -125,10 +125,14 @@ def codec_available(kind: str) -> bool:
         return False
 
 
-def _decode_real(kind: str, payload: bytes) -> list[float]:
-    """Real per-item decode → first ``_N_SAMPLES`` samples as doubles.
-    Runs executor-side inside the Arrow batch loop; imports resolve once
-    per worker (module cache)."""
+def _decode_real(kind: str, payload: bytes) -> list[float] | None:
+    """Real per-item decode → first ``_N_SAMPLES`` samples as doubles, or
+    ``None`` for a payload whose format is recognized but unsupported
+    (e.g. 24-bit WAV). Runs executor-side inside the Arrow batch loop; a
+    per-payload raise here would fail the whole Spark job on one bad row,
+    so unsupported-but-valid payloads are filtered to null instead —
+    "filtered or decoded, never silently wrong". Imports resolve once per
+    worker (module cache)."""
     import io
 
     if kind == "audio":
@@ -145,12 +149,9 @@ def _decode_real(kind: str, payload: bytes) -> list[float]:
         elif width == 4:  # 32-bit signed PCM
             vals = struct.unpack(f"<{len(raw) // 4}i", raw)
         else:
-            # 24-bit (width 3) and anything exotic: rejecting beats
-            # byte-wise mis-decoding — the contract is "filtered or
-            # decoded, never silently wrong"
-            raise NotImplementedError(
-                f"WAV sample width {width} not supported (1/2/4 are)"
-            )
+            # 24-bit (width 3) and anything exotic: null beats byte-wise
+            # mis-decoding AND beats failing the job over one payload
+            return None
         return [float(v) for v in vals[:_N_SAMPLES]]
     if kind == "image":
         from PIL import Image
@@ -184,6 +185,10 @@ def decode_media(
     stdlib ``wave`` for audio (always available), Pillow for image and
     PyAV for video when installed. Missing codecs for a requested kind
     raise ``NotImplementedError`` up front on the driver, not per-task.
+    Individual payloads in an UNSUPPORTED-but-recognized format (e.g.
+    24-bit WAV) decode to ``samples = null`` rather than failing the job
+    executor-side; truly malformed bytes (codec parse errors) still fail
+    the task, as they would any decoder.
     """
     schema = T.StructType(
         [
