@@ -68,26 +68,35 @@ def main() -> None:
     spark.range(1).count()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Per-query isolation: one broken query must not erase the other
+    # timings (r5 lost the whole round's bench artifact to a single
+    # AnalysisException). Failures are recorded under "errors" and the
+    # summary line is always emitted.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = queries[name]
         t0 = time.time()
-        n = len(fn(spark, sf_dir).collect())
+        try:
+            n = len(fn(spark, sf_dir).collect())
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:300]}"
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_clock_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_query_wall_clock_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

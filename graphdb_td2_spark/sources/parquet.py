@@ -48,13 +48,20 @@ def _read_with_nanos_fallback(
     if expected is not None:
         actual = dict(df.dtypes)
         for field in expected.fields:
-            if (
-                isinstance(field.dataType, T.TimestampType)
-                and actual.get(field.name) == "bigint"
-            ):
+            if not isinstance(field.dataType, T.TimestampType):
+                continue
+            got = actual.get(field.name)
+            if got == "bigint":
                 df = df.withColumn(
                     field.name,
                     F.timestamp_micros(F.expr(f"{field.name} div 1000")),
+                )
+            elif got == "timestamp_ntz":
+                # Plain timestamp[us] with no tz flag reads as TIMESTAMP_NTZ;
+                # the engine pins the session to UTC (session.py), so this
+                # cast is an exact reinterpretation of the same instant.
+                df = df.withColumn(
+                    field.name, F.col(field.name).cast("timestamp")
                 )
     return df
 

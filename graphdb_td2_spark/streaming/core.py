@@ -35,22 +35,51 @@ EVENT_REL_TYPES = {
 
 
 def _events_read_schema(ts_unit: str) -> T.StructType:
-    """The stream read schema. Parquet TIMESTAMP(NANOS) columns (the driver
-    corpus ``events`` file) must be read as bigint (``nanosAsLong``) and
-    converted; micro-precision sources read timestamps directly."""
+    """The stream read schema for a given ``ts`` encoding: TIMESTAMP(NANOS)
+    sources must be read as bigint (``nanosAsLong``) and converted;
+    tz-naive micro-precision sources read as TIMESTAMP_NTZ then cast;
+    ordinary tz'd timestamps read directly."""
     fields = []
     for f in CORPUS["events"].fields:
         if f.name == "ts" and ts_unit == "ns":
             fields.append(T.StructField("ts", T.LongType()))
+        elif f.name == "ts" and ts_unit == "ntz":
+            fields.append(T.StructField("ts", T.TimestampNTZType()))
         else:
             fields.append(f)
     return T.StructType(fields)
 
 
+def _detect_ts_unit(spark: SparkSession, source_dir: str, file_glob: str) -> str:
+    """Learn how ``ts`` is physically encoded by probing the parquet footer
+    with a batch read of the same path+glob the stream will use. The corpus
+    encoding has changed under the engine before (TIMESTAMP(NANOS) →
+    tz-naive timestamp[us]); a hard-coded unit silently compresses or
+    stretches the time axis 1000×, so the unit must come from the data."""
+    try:
+        schema = (
+            spark.read.option("pathGlobFilter", file_glob)
+            .parquet(source_dir)
+            .schema
+        )
+    except Exception as exc:
+        if "PARQUET_TYPE_ILLEGAL" in str(exc):
+            return "ns"  # TIMESTAMP(NANOS) footer, nanosAsLong not yet set
+        raise
+    if "ts" not in schema.fieldNames():
+        return "us"
+    dt = schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return "ns"  # nanosAsLong already set by an earlier read
+    if isinstance(dt, T.TimestampNTZType):
+        return "ntz"
+    return "us"
+
+
 def events_stream(
     spark: SparkSession,
     source_dir: str,
-    ts_unit: str = "ns",
+    ts_unit: str = "auto",
     max_files_per_trigger: int | None = None,
     file_glob: str = "*.parquet",
 ) -> DataFrame:
@@ -61,11 +90,16 @@ def events_stream(
     corpus directory holds every table in sibling files, so stream it with
     ``file_glob="events.parquet"``.
 
-    ``ts_unit='ns'`` handles the driver corpus parquet (TIMESTAMP(NANOS));
-    ``'us'`` reads ordinary micro-precision files (e.g. test fixtures).
+    ``ts_unit='auto'`` (default) detects the physical encoding from the
+    parquet footer; ``'ns'``/``'ntz'``/``'us'`` force TIMESTAMP(NANOS),
+    tz-naive timestamp, or ordinary micro-precision handling respectively.
     """
-    if ts_unit not in ("ns", "us"):
-        raise ValueError(f"ts_unit must be 'ns' or 'us', got {ts_unit!r}")
+    if ts_unit not in ("auto", "ns", "ntz", "us"):
+        raise ValueError(
+            f"ts_unit must be 'auto', 'ns', 'ntz' or 'us', got {ts_unit!r}"
+        )
+    if ts_unit == "auto":
+        ts_unit = _detect_ts_unit(spark, source_dir, file_glob)
     if ts_unit == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(_events_read_schema(ts_unit)).option(
@@ -76,6 +110,9 @@ def events_stream(
     df = reader.parquet(source_dir)
     if ts_unit == "ns":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_unit == "ntz":
+        # Exact under the engine's enforced UTC session tz (session.py).
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -158,7 +195,7 @@ def streaming_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = "stream_etw_" + uuid.uuid4().hex[:8]
     events = events_stream(
-        spark, sf_dir, ts_unit="ns", file_glob="events.parquet"
+        spark, sf_dir, ts_unit="auto", file_glob="events.parquet"
     ).withColumn("value", F.col("value").cast(T.DecimalType(12, 2)))
     q = (
         stream_event_type_windows(events)
@@ -192,7 +229,7 @@ def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = "stream_slw_" + uuid.uuid4().hex[:8]
     events = events_stream(
-        spark, sf_dir, ts_unit="ns", file_glob="events.parquet"
+        spark, sf_dir, ts_unit="auto", file_glob="events.parquet"
     ).withColumn("value", F.col("value").cast(T.DecimalType(12, 2)))
     q = (
         events.withWatermark("ts", "2 hours")
@@ -269,7 +306,7 @@ def streaming_burst_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = "stream_ssj_" + uuid.uuid4().hex[:8]
     mk = lambda: events_stream(  # noqa: E731 - two independent stream DFs
-        spark, sf_dir, ts_unit="ns", file_glob="events.parquet"
+        spark, sf_dir, ts_unit="auto", file_glob="events.parquet"
     ).select("user_id", "event_id", "ts")
     q = (
         stream_burst_pairs(mk(), mk(), watermark="3650 days")
@@ -321,7 +358,7 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     name = "stream_ddp_" + uuid.uuid4().hex[:8]
-    events = events_stream(spark, sf_dir, ts_unit="ns", file_glob="events.parquet")
+    events = events_stream(spark, sf_dir, ts_unit="auto", file_glob="events.parquet")
     q = (
         stream_dedup_first_events(events)
         .select("user_id", "event_type")
@@ -351,7 +388,7 @@ def streaming_enriched_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "stream_enw_" + uuid.uuid4().hex[:8]
     customer = read_table(spark, sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     events = events_stream(
-        spark, sf_dir, ts_unit="ns", file_glob="events.parquet"
+        spark, sf_dir, ts_unit="auto", file_glob="events.parquet"
     ).withColumn("value", F.col("value").cast(T.DecimalType(12, 2)))
     q = (
         events.join(

@@ -99,8 +99,9 @@ def test_real_audio_decode_via_stdlib_wave(spark):
 
 def test_audio_decode_widths_32bit_ok_24bit_rejected():
     """Sample widths 1/2/4 decode to their true PCM values; 24-bit (width
-    3) raises instead of being byte-wise mis-decoded — the 'filtered or
-    decoded, never silently wrong' contract."""
+    3) decodes to null (filtered) instead of being byte-wise mis-decoded
+    or failing the whole job on one payload — the 'filtered or decoded,
+    never silently wrong' contract."""
     from graphdb_td2_spark.multimodal import _decode_real
 
     assert _decode_real("audio", _wav_bytes([7, 250, 0], width=1)) == [
@@ -109,8 +110,7 @@ def test_audio_decode_widths_32bit_ok_24bit_rejected():
     assert _decode_real("audio", _wav_bytes([1_000_000, -2_000_000], width=4)) == [
         1_000_000.0, -2_000_000.0,
     ]
-    with pytest.raises(NotImplementedError, match="width 3"):
-        _decode_real("audio", _wav_bytes([1, 2, 3], width=3))
+    assert _decode_real("audio", _wav_bytes([1, 2, 3], width=3)) is None
 
 
 @pytest.mark.skipif(not codec_available("image"), reason="Pillow not installed")

@@ -146,20 +146,22 @@ def test_incremental_event_edges_idempotent(spark, chunked_source, tmp_path):
     assert n1 == want
 
 
-def test_corpus_nanos_stream_source(spark):
-    """The driver corpus events file (TIMESTAMP(NANOS)) streams with correct
-    timestamp conversion: row count and min/max ts match the batch reader."""
-    stream = events_stream(spark, SF_DIR, ts_unit="ns", file_glob="events.parquet")
+def test_corpus_stream_source_any_encoding(spark):
+    """The driver corpus events file streams with correct timestamp
+    handling WHATEVER its physical encoding (the corpus has shipped as
+    both TIMESTAMP(NANOS) and tz-naive timestamp[us] across driver
+    versions): count and min/max ts match the batch reader."""
+    stream = events_stream(spark, SF_DIR, file_glob="events.parquet")
     _run_to_memory(
         stream.groupBy().agg(
             F.count(F.lit(1)).alias("n"),
             F.min("ts").alias("lo"),
             F.max("ts").alias("hi"),
         ),
-        "nanos_agg",
+        "corpus_agg",
         "complete",
     )
-    got = spark.sql("SELECT * FROM nanos_agg").collect()[0]
+    got = spark.sql("SELECT * FROM corpus_agg").collect()[0]
     want = (
         read_table(spark, SF_DIR, "events")
         .groupBy()
@@ -167,6 +169,52 @@ def test_corpus_nanos_stream_source(spark):
         .collect()[0]
     )
     assert (got.n, got.lo, got.hi) == (want.n, want.lo, want.hi)
+
+
+@pytest.mark.parametrize("unit", ["ns", "us_ntz", "us_tz"])
+def test_stream_auto_detects_ts_encoding(spark, tmp_path, unit):
+    """``events_stream`` auto-detects the physical ``ts`` encoding from
+    the parquet footer: identical logical rows written as nanos, tz-naive
+    micros, and tz'd micros all stream to the same UTC instants."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    instants = [
+        dt.datetime(2024, 1, 1, 0, 0, 0),
+        dt.datetime(2024, 1, 1, 0, 30, 0),
+        dt.datetime(2024, 1, 1, 2, 0, 0),
+    ]
+    ts_type = {
+        "ns": pa.timestamp("ns"),
+        "us_ntz": pa.timestamp("us"),
+        "us_tz": pa.timestamp("us", tz="UTC"),
+    }[unit]
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(instants, ts_type),
+            "user_id": pa.array([10, 10, 11], pa.int64()),
+            "event_type": pa.array(["view", "click", "view"]),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            "props": pa.array(["{}", "{}", "{}"]),
+        }
+    )
+    src = tmp_path / f"enc_{unit}"
+    src.mkdir()
+    pq.write_table(table, src / "events.parquet")
+
+    stream = events_stream(spark, str(src), file_glob="events.parquet")
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    _run_to_memory(
+        stream.select("event_id", "ts"), f"enc_rows_{unit}", "append"
+    )
+    got = {
+        r.event_id: r.ts
+        for r in spark.sql(f"SELECT * FROM enc_rows_{unit}").collect()
+    }
+    assert got == {i + 1: instants[i] for i in range(3)}
 
 
 def test_first_seen_stream_matches_batch_distinct(spark, chunked_source):
