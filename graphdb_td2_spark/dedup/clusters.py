@@ -56,5 +56,4 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             (F.col("n_docs") - F.lit(1)).cast("long").alias("n_redundant"),
         )
-        .orderBy("cluster_id")
     )

@@ -45,5 +45,4 @@ def embedding_neardup_pairs(
             cosine_similarity_q(F.col("a.qe"), F.col("b.qe")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
-        .orderBy("vec_id_a", "vec_id_b")
     )

@@ -70,5 +70,4 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id_a", "doc_id_b", "n_common", "jaccard")
-        .orderBy("doc_id_a", "doc_id_b")
     )

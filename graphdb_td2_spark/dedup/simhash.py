@@ -51,7 +51,6 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fps.withColumn("group_size", F.count(F.lit(1)).over(w).cast("long"))
         .select("doc_id", "simhash", "group_size")
-        .orderBy("doc_id")
     )
 
 
