@@ -4,7 +4,7 @@ the same parquet tables, then compare row count, column names, and an
 order-insensitive value comparison (exact, including float bits — the
 driver hashes values, so "close" is not good enough).
 
-Usage: python tools/oracle_check.py [sf_dir] [query ...]
+Usage: python tools/oracle_check.py [--json OUT.json] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -42,8 +42,14 @@ def canon_rows(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    results: dict[str, dict] = {}
 
     con = duckdb.connect()
     for t in TABLE_NAMES:
@@ -66,6 +72,7 @@ def main() -> int:
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:
             print(f"FAIL {name}: spark error: {exc}")
+            results[name] = {"status": "fail", "err": f"spark: {exc}"[:500]}
             n_fail += 1
             continue
         spark_s = time.time() - t0
@@ -73,6 +80,11 @@ def main() -> int:
         sql = oracles.get(name)
         if sql is None:
             print(f"ROWS-ONLY {name}: {len(s_rows)} rows ({spark_s:.1f}s spark)")
+            results[name] = {
+                "status": "rows_only",
+                "spark_rows": len(s_rows),
+                "spark_sec": round(spark_s, 2),
+            }
             n_rows_only += 1
             continue
         try:
@@ -81,6 +93,7 @@ def main() -> int:
             d_rows = res.fetchall()
         except Exception as exc:
             print(f"FAIL {name}: duckdb error: {exc}")
+            results[name] = {"status": "fail", "err": f"duckdb: {exc}"[:500]}
             n_fail += 1
             continue
 
@@ -99,12 +112,37 @@ def main() -> int:
                 problems.append(f"values differ, first diffs: {diffs}")
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
+            results[name] = {
+                "status": "fail",
+                "err": "; ".join(problems)[:500],
+                "spark_rows": len(s_rows),
+                "oracle_rows": len(d_rows),
+            }
             n_fail += 1
         else:
             print(f"PASS {name}: {len(s_rows)} rows ({spark_s:.1f}s spark)")
+            results[name] = {
+                "status": "pass",
+                "spark_rows": len(s_rows),
+                "oracle_rows": len(d_rows),
+                "spark_sec": round(spark_s, 2),
+            }
             n_pass += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if json_out:
+        import json
+
+        summary = {
+            "sf_dir": sf_dir,
+            "n_pass": n_pass,
+            "n_fail": n_fail,
+            "n_rows_only": n_rows_only,
+            "results": results,
+        }
+        with open(json_out, "w") as fh:
+            json.dump(summary, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
