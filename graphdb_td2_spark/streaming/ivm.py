@@ -103,14 +103,20 @@ def _commit_version(
     marker behind and ``_latest_version`` raises instead of silently
     rebuilding from empty.
 
-    Concurrent-writer guard: the marker is created with overwrite=False —
+    Concurrent-writer guard (BEST-EFFORT detection, not prevention — there
+    is no lock service here): the marker is created with overwrite=False —
     an atomic create-if-absent. If another attempt (speculative retry, a
     second maintainer) already committed this version, the create fails;
-    we then require the on-disk manifest to be byte-identical to ours. A
+    we then require the on-disk manifest to be JSON-identical to ours. A
     mismatch means two writers derived DIFFERENT state for the same batch
-    id (e.g. different n_buckets, or different base versions) — that is
-    unrecoverable double-write corruption and raises rather than letting
-    the last pointer flip silently pick a winner."""
+    id (e.g. different n_buckets, or different base versions) — that
+    raises rather than letting the last pointer flip silently pick a
+    winner. Two writers racing BEFORE either commits can still interleave
+    data writes; the manifest create-if-absent in ``_publish_version`` plus
+    the ``_COMMITTED`` pre-check in ``apply_cooccurrence_delta`` guarantee
+    the loser raises loudly — the pointer never flips over divergent state
+    undetected, but a detected divergence requires deleting ``v{bid}`` and
+    re-running the batch."""
     fs0, marker, jvm0 = _fs(spark, f"{state_dir}/v{bid}/_COMMITTED")
     try:
         out = fs0.create(marker, False)
@@ -147,6 +153,57 @@ def _commit_version(
     fs.delete(p, False)
     if not fs.rename(tmp, p):
         raise RuntimeError(f"could not commit IVM version {bid} at {state_dir}")
+
+
+def _publish_version(
+    spark: SparkSession, state_dir: str, bid: int, payload: bytes
+) -> None:
+    """Write ``v{bid}/manifest.json`` with create-if-absent, then commit.
+
+    The create-if-absent is the divergence tripwire for writers racing
+    before either has committed: the loser's create fails, and if the
+    winner's manifest differs this raises instead of publishing —
+    complementing the post-marker compare in :func:`_commit_version`."""
+    fs, mf, jvm = _fs(spark, f"{state_dir}/v{bid}/manifest.json")
+    try:
+        out = fs.create(mf, False)
+        try:
+            out.write(payload)
+        finally:
+            out.close()
+    except Exception:
+        if not fs.exists(mf):
+            raise  # real I/O failure, not a lost race
+        stream = fs.open(mf)
+        try:
+            existing = bytes(stream.readAllBytes())
+        finally:
+            stream.close()
+        if json.loads(existing.decode()) != json.loads(payload.decode()):
+            raise RuntimeError(
+                f"IVM version v{bid} at {state_dir} already has a manifest "
+                "from a concurrent writer that DIVERGES from this run's — "
+                "two maintainers derived different state for the same batch "
+                "id. Refusing to publish; delete the uncommitted v{bid} dir "
+                "and re-run the batch."
+            )
+    _commit_version(spark, state_dir, bid, payload)
+
+
+def _committed_manifest_bytes(
+    spark: SparkSession, state_dir: str, bid: int
+) -> bytes | None:
+    """The manifest bytes of an already-committed (marker present) version
+    ``bid``, or None when no ``_COMMITTED`` marker exists."""
+    fs, marker, jvm = _fs(spark, f"{state_dir}/v{bid}/_COMMITTED")
+    if not fs.exists(marker):
+        return None
+    mf = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/v{bid}/manifest.json")
+    stream = fs.open(mf)
+    try:
+        return bytes(stream.readAllBytes())
+    finally:
+        stream.close()
 
 
 def _read_manifest(spark: SparkSession, state_dir: str, version: int) -> dict:
@@ -203,6 +260,15 @@ def apply_cooccurrence_delta(
     latest = _latest_version(spark, state_dir)
     if batch_id <= latest:
         return  # replayed batch — already committed
+    committed = _committed_manifest_bytes(spark, state_dir, batch_id)
+    if committed is not None:
+        # another writer fully committed this version but crashed between
+        # its marker and its pointer flip — complete ITS commit from the
+        # on-disk manifest instead of clobbering its data dirs with a
+        # re-derivation (the guard ADVICE flagged: never overwrite a
+        # committed version's buckets)
+        _commit_version(spark, state_dir, batch_id, committed)
+        return
     manifest = _read_manifest(spark, state_dir, latest)
     state_buckets = manifest.get("n_buckets")
     if state_buckets is not None and state_buckets != n_buckets:
@@ -227,12 +293,13 @@ def apply_cooccurrence_delta(
         # batch id is durably marked done (replay skip stays correct)
         batch_items.unpersist()
         inherited = dict(manifest)
+        # Legacy manifests (pre-n_buckets) carry None here; stamping the
+        # current run's n_buckets onto them is a documented backward-compat
+        # tradeoff — a legacy state built with a DIFFERENT bucket count
+        # cannot be detected after the fact (ADVICE r4, accepted).
         inherited["n_buckets"] = n_buckets
         payload = json.dumps(inherited).encode()
-        _write_small_file(
-            spark, f"{state_dir}/v{batch_id}/manifest.json", payload
-        )
-        _commit_version(spark, state_dir, batch_id, payload)
+        _publish_version(spark, state_dir, batch_id, payload)
         return
 
     # state rows sharing an order with the batch all live in the batch's
@@ -319,8 +386,7 @@ def apply_cooccurrence_delta(
     new_items.unpersist()
     delta.unpersist()
     payload = json.dumps(new_manifest).encode()
-    _write_small_file(spark, f"{state_dir}/v{batch_id}/manifest.json", payload)
-    _commit_version(spark, state_dir, batch_id, payload)
+    _publish_version(spark, state_dir, batch_id, payload)
     _gc(
         spark,
         state_dir,

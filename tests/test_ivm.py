@@ -153,6 +153,170 @@ def test_untouched_buckets_not_rewritten(spark, tmp_path):
     assert len(got) == 41
 
 
+def test_resume_with_different_n_buckets_raises(spark, tmp_path):
+    """State built with one bucket count must refuse maintenance under
+    another — bucket pruning would anti-join against the WRONG buckets and
+    double-count pairs."""
+    import pytest as _pytest
+
+    from graphdb_td2_spark.streaming.ivm import apply_cooccurrence_delta
+
+    state = str(tmp_path / "st")
+    b0 = spark.createDataFrame([(1, 10), (1, 11)], "order_id long, product_id long")
+    apply_cooccurrence_delta(spark, b0, 0, state, n_buckets=4)
+    b1 = spark.createDataFrame([(2, 20), (2, 21)], "order_id long, product_id long")
+    with _pytest.raises(ValueError, match="n_buckets"):
+        apply_cooccurrence_delta(spark, b1, 1, state, n_buckets=8)
+
+
+def test_empty_batch_recovery_point_survives_gc(spark, tmp_path):
+    """An empty micro-batch commits a manifest-only version; when it is the
+    PREVIOUS version it IS the crash-recovery point and GC must not delete
+    it — and the state it references must stay readable."""
+    from graphdb_td2_spark.streaming.ivm import (
+        _fs,
+        _read_manifest,
+        apply_cooccurrence_delta,
+    )
+
+    state = str(tmp_path / "st")
+    b0 = spark.createDataFrame([(1, 10), (1, 11)], "order_id long, product_id long")
+    apply_cooccurrence_delta(spark, b0, 0, state)
+    empty = spark.createDataFrame([], "order_id long, product_id long")
+    apply_cooccurrence_delta(spark, empty, 1, state)  # manifest-only v1
+    b2 = spark.createDataFrame([(2, 20), (2, 21)], "order_id long, product_id long")
+    apply_cooccurrence_delta(spark, b2, 2, state)  # GC runs; previous = v1
+
+    fs, _, jvm = _fs(spark, state)
+    assert fs.exists(jvm.org.apache.hadoop.fs.Path(f"{state}/v1/manifest.json"))
+    # the recovery point's manifest still resolves to readable data
+    m1 = _read_manifest(spark, state, 1)
+    for part in ("items", "counts"):
+        for rel in m1[part].values():
+            assert fs.exists(jvm.org.apache.hadoop.fs.Path(f"{state}/{rel}"))
+    got = dict(
+        ((r["product_a"], r["product_b"]), r["n_orders"])
+        for r in maintained_counts(spark, state).collect()
+    )
+    assert got == {(10, 11): 1, (20, 21): 1}
+
+
+def test_divergent_concurrent_manifest_raises(spark, tmp_path):
+    """Two maintainers deriving DIFFERENT state for the same batch id must
+    be detected, not silently last-writer-wins — both at publish time
+    (manifest create-if-absent) and at commit time (marker compare)."""
+    import json
+
+    import pytest as _pytest
+
+    from graphdb_td2_spark.streaming.ivm import (
+        _commit_version,
+        _fs,
+        _write_small_file,
+        apply_cooccurrence_delta,
+    )
+
+    state = str(tmp_path / "st")
+    b0 = spark.createDataFrame([(1, 10), (1, 11)], "order_id long, product_id long")
+    apply_cooccurrence_delta(spark, b0, 0, state)
+
+    # publish-time: a concurrent writer's divergent manifest already sits at
+    # v1 (no marker yet) → this run's publish must raise, not overwrite
+    divergent = json.dumps({"items": {}, "counts": {}, "n_buckets": 999}).encode()
+    _write_small_file(spark, f"{state}/v1/manifest.json", divergent)
+    b1 = spark.createDataFrame([(2, 20), (2, 21)], "order_id long, product_id long")
+    with _pytest.raises(RuntimeError, match="DIVERGES"):
+        apply_cooccurrence_delta(spark, b1, 1, state)
+
+    # commit-time: marker present with a divergent manifest → the pointer
+    # must not flip over it
+    fs, marker, jvm = _fs(spark, f"{state}/v1/_COMMITTED")
+    out = fs.create(marker, True)
+    try:
+        out.write(b"1")
+    finally:
+        out.close()
+    ours = json.dumps({"items": {}, "counts": {}, "n_buckets": 16}).encode()
+    with _pytest.raises(RuntimeError, match="DIFFERENT manifest"):
+        _commit_version(spark, state, 1, ours)
+
+
+def test_double_writer_completes_committed_version_without_clobber(spark, tmp_path):
+    """Writer B commits v1 but crashes before its pointer flip; writer A
+    (late, with DIFFERENT batch content from a divergent source) must
+    complete B's commit from the on-disk manifest — never overwrite a
+    committed version's buckets with its own derivation."""
+    from graphdb_td2_spark.streaming.ivm import (
+        _read_manifest,
+        _write_small_file,
+        apply_cooccurrence_delta,
+    )
+
+    state = str(tmp_path / "st")
+    b0 = spark.createDataFrame([(1, 10), (1, 11)], "order_id long, product_id long")
+    apply_cooccurrence_delta(spark, b0, 0, state)
+    # writer B fully commits v1…
+    b1_b = spark.createDataFrame([(2, 20), (2, 21)], "order_id long, product_id long")
+    apply_cooccurrence_delta(spark, b1_b, 1, state)
+    m1_before = _read_manifest(spark, state, 1)
+    # …but "crashes before the flip": rewind the pointer to v0
+    _write_small_file(spark, f"{state}/_LATEST", b"0")
+
+    # writer A arrives with different content for the same batch id
+    b1_a = spark.createDataFrame([(3, 30), (3, 31)], "order_id long, product_id long")
+    apply_cooccurrence_delta(spark, b1_a, 1, state)
+
+    # B's commit was completed, not clobbered: manifest unchanged, counts
+    # reflect B's derivation, A's rows are nowhere
+    assert _read_manifest(spark, state, 1) == m1_before
+    got = dict(
+        ((r["product_a"], r["product_b"]), r["n_orders"])
+        for r in maintained_counts(spark, state).collect()
+    )
+    assert got == {(10, 11): 1, (20, 21): 1}
+
+
+def test_gc_floor_skips_deleted_ranges(spark, tmp_path):
+    """_GC_FLOOR records the lowest version that may still exist; the sweep
+    resumes there instead of rescanning from v0, and losing the floor file
+    is only a rescan, never corruption."""
+    from graphdb_td2_spark.streaming.ivm import (
+        _fs,
+        apply_cooccurrence_delta,
+    )
+
+    state = str(tmp_path / "st")
+    for bid in range(5):
+        b = spark.createDataFrame(
+            [(100 + bid, 10 * bid), (100 + bid, 10 * bid + 1)],
+            "order_id long, product_id long",
+        )
+        apply_cooccurrence_delta(spark, b, bid, state)
+
+    fs, floor_p, jvm = _fs(spark, f"{state}/_GC_FLOOR")
+    assert fs.exists(floor_p)
+    stream = fs.open(floor_p)
+    try:
+        floor = int(bytes(stream.readAllBytes()).decode().strip())
+    finally:
+        stream.close()
+    # the floor matches reality: no version dir below it survives, and the
+    # dirs at/above it that manifests reference do
+    for v in range(floor):
+        assert not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{state}/v{v}"))
+    assert floor <= 4 and floor >= 0
+    # deleting the floor file forces a full rescan but changes nothing else
+    fs.delete(floor_p, False)
+    b5 = spark.createDataFrame([(200, 50), (200, 51)], "order_id long, product_id long")
+    apply_cooccurrence_delta(spark, b5, 5, state)
+    got = dict(
+        ((r["product_a"], r["product_b"]), r["n_orders"])
+        for r in maintained_counts(spark, state).collect()
+    )
+    assert got[(50, 51)] == 1
+    assert len(got) == 6
+
+
 def test_lost_pointer_raises_instead_of_empty_replay(spark, tmp_path):
     """A missing _LATEST with committed versions present is corruption
     (silently rebuilding from empty would undercount) — it must raise, not
