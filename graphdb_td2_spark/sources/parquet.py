@@ -56,10 +56,13 @@ def _read_with_nanos_fallback(
                     field.name,
                     F.timestamp_micros(F.expr(f"{field.name} div 1000")),
                 )
-            elif got == "timestamp_ntz":
+            elif got in ("timestamp_ntz", "date"):
                 # Plain timestamp[us] with no tz flag reads as TIMESTAMP_NTZ;
-                # the engine pins the session to UTC (session.py), so this
-                # cast is an exact reinterpretation of the same instant.
+                # a regenerated corpus could also narrow a day-granular
+                # column to parquet DATE. The engine pins the session to UTC
+                # (session.py), so either cast is an exact reinterpretation
+                # (midnight UTC for dates — what DuckDB's date→timestamp
+                # promotion yields too).
                 df = df.withColumn(
                     field.name, F.col(field.name).cast("timestamp")
                 )

@@ -98,6 +98,16 @@ def events_stream(
         raise ValueError(
             f"ts_unit must be 'auto', 'ns', 'ntz' or 'us', got {ts_unit!r}"
         )
+    # ``pathGlobFilter`` matches LEAF FILES only. When the glob names a
+    # directory (the standard lake layout: events.parquet/ holding
+    # part-*.parquet), descend into it instead — otherwise the filter
+    # matches nothing and the stream is silently empty. Single-file corpora
+    # (the driver testdata) hit the isdir=False path and behave as before.
+    import os
+
+    candidate = os.path.join(source_dir, file_glob)
+    if not any(c in file_glob for c in "*?[{") and os.path.isdir(candidate):
+        source_dir, file_glob = candidate, "*.parquet"
     if ts_unit == "auto":
         ts_unit = _detect_ts_unit(spark, source_dir, file_glob)
     if ts_unit == "ns":

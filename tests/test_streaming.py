@@ -171,6 +171,21 @@ def test_corpus_stream_source_any_encoding(spark):
     assert (got.n, got.lo, got.hi) == (want.n, want.lo, want.hi)
 
 
+def test_stream_source_directory_shaped_table(spark, tmp_path):
+    """``file_glob`` naming a DIRECTORY (the standard lake layout:
+    events.parquet/ holding part files) must stream its contents —
+    pathGlobFilter alone would match no leaf file and yield a silently
+    empty stream."""
+    events = read_table(spark, SF_DIR, "events")
+    events.limit(100).repartition(3).write.parquet(str(tmp_path / "events.parquet"))
+    stream = events_stream(spark, str(tmp_path), file_glob="events.parquet")
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    _run_to_memory(
+        stream.groupBy().agg(F.count(F.lit(1)).alias("n")), "dir_shaped", "complete"
+    )
+    assert spark.sql("SELECT n FROM dir_shaped").collect()[0].n == 100
+
+
 @pytest.mark.parametrize("unit", ["ns", "us_ntz", "us_tz"])
 def test_stream_auto_detects_ts_encoding(spark, tmp_path, unit):
     """``events_stream`` auto-detects the physical ``ts`` encoding from
