@@ -39,7 +39,7 @@ from graphdb_td2_spark.graph.bfs import bfs_level_sizes
 from graphdb_td2_spark.graph.kcore import kcore_sizes
 from graphdb_td2_spark.graph.components import component_sizes
 from graphdb_td2_spark.graph.triangles import triangle_stats
-from graphdb_td2_spark.functions import json_props, text
+from graphdb_td2_spark.functions import json_props, packing, text
 from graphdb_td2_spark.functions.sampling import (
     dataset_splits,
     sampled_event_stats,
@@ -147,6 +147,8 @@ DEMOTED_TAIL = (
     "stratified_sample_stats",  # per-source-rate variant of dataset_splits
     "order_priority_exists",  # correlated-EXISTS variant of the join family
     "kcore_sizes",  # peeling variant of the iterative graph family (L3)
+    "context_packing_stats",  # window-cumsum packing plan over the same
+                              # tokenization as token_stats
 )
 
 
@@ -246,6 +248,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_stats": stratified_sample_stats,
         "order_priority_exists": order_priority_exists,
         "kcore_sizes": kcore_sizes,
+        "context_packing_stats": packing.context_packing_stats,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -895,6 +898,34 @@ SELECT rel_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
     sqls["component_sizes"] = _components_sql()
     sqls["bfs_level_sizes"] = _bfs_sql()
     sqls["kcore_sizes"] = _kcore_sql()
+
+    # context_packing_stats: concatenate-and-chop packing plan
+    # (functions/packing.py). C = 2048; same tokenization as token_stats.
+    _C = 2048
+    sqls["context_packing_stats"] = f"""
+WITH per_doc AS (
+  SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+), spans AS (
+  SELECT source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM per_doc
+)
+SELECT source,
+  COUNT(*) AS n_docs,
+  MAX(cum) AS total_tokens,
+  (MAX(cum) + {_C} - 1) // {_C} AS n_contexts,
+  CAST(SUM(CASE WHEN (cum - 1) // {_C} > (cum - n_tokens) // {_C}
+                THEN 1 ELSE 0 END) AS BIGINT) AS crossing_docs,
+  CAST(SUM(CASE WHEN (cum - 1) // {_C} > (cum - n_tokens) // {_C}
+                THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+    AS crossing_frac,
+  CAST(SUM((n_tokens + {_C} - 1) // {_C}) * {_C} - MAX(cum) AS DOUBLE)
+    / CAST(SUM((n_tokens + {_C} - 1) // {_C}) * {_C} AS DOUBLE)
+    AS aligned_padding_waste_frac
+FROM spans GROUP BY source ORDER BY source
+"""
 
     sqls["pricing_summary"] = f"""
 SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,58 @@
+"""Hand-computed fixture for the concatenate-and-chop packing plan
+(functions/packing.py): per-source cumulative spans, boundary crossings,
+and document-aligned padding waste."""
+
+from __future__ import annotations
+
+import pytest
+
+from graphdb_td2_spark.functions.packing import context_packing_stats
+
+
+@pytest.fixture
+def docs_dir(spark, tmp_path):
+    # one-token word stream: n_tokens == word count exactly
+    rows = [
+        # source s1, C=4: docs of 3, 3, 2 tokens → cum 3, 6, 8
+        #   doc 1 spans tokens [0,3) → ctx 0..0 (no cross)
+        #   doc 2 spans [3,6) → ctx 0..1 (CROSS)
+        #   doc 3 spans [6,8) → ctx 1..1 (no cross)
+        # total 8 tokens → 2 contexts; aligned: ceil(3/4)+ceil(3/4)+ceil(2/4)=3
+        #   waste = (3*4 - 8) / 12 = 1/3
+        (1, "s1", "a b c"),
+        (2, "s1", "d e f"),
+        (3, "s1", "g h"),
+        # source s2: one 5-token doc → cum 5, spans ctx 0..1 (CROSS),
+        # 2 contexts; aligned ceil(5/4)=2 → waste (8-5)/8
+        (4, "s2", "a b c d e"),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    df = df.withColumn("lang", df.source.substr(1, 1)).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    # match corpus column order loosely; read_table projects explicitly
+    path = str(tmp_path)
+    df.select("doc_id", "text", "lang", "source", "n_chars").write.parquet(
+        f"{path}/documents.parquet"
+    )
+    return path
+
+
+def test_context_packing_hand_computed(spark, docs_dir):
+    got = {
+        r.source: r
+        for r in context_packing_stats(spark, docs_dir, context_len=4).collect()
+    }
+    s1, s2 = got["s1"], got["s2"]
+    assert (s1.n_docs, s1.total_tokens, s1.n_contexts, s1.crossing_docs) == (
+        3, 8, 2, 1,
+    )
+    assert s1.crossing_frac == pytest.approx(1 / 3)
+    assert s1.aligned_padding_waste_frac == pytest.approx(1 / 3)
+    assert (s2.n_docs, s2.total_tokens, s2.n_contexts, s2.crossing_docs) == (
+        1, 5, 2, 1,
+    )
+    assert s2.crossing_frac == 1.0
+    assert s2.aligned_padding_waste_frac == pytest.approx(3 / 8)
