@@ -39,7 +39,7 @@ from graphdb_td2_spark.graph.bfs import bfs_level_sizes
 from graphdb_td2_spark.graph.kcore import kcore_sizes
 from graphdb_td2_spark.graph.components import component_sizes
 from graphdb_td2_spark.graph.triangles import triangle_stats
-from graphdb_td2_spark.functions import json_props, packing, text
+from graphdb_td2_spark.functions import json_props, packing, pii, text
 from graphdb_td2_spark.functions.sampling import (
     dataset_splits,
     sampled_event_stats,
@@ -149,6 +149,7 @@ DEMOTED_TAIL = (
     "kcore_sizes",  # peeling variant of the iterative graph family (L3)
     "context_packing_stats",  # window-cumsum packing plan over the same
                               # tokenization as token_stats
+    "pii_scan_stats",  # regexp-count variant of the text-analysis family
 )
 
 
@@ -249,6 +250,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_exists": order_priority_exists,
         "kcore_sizes": kcore_sizes,
         "context_packing_stats": packing.context_packing_stats,
+        "pii_scan_stats": pii.pii_scan_stats,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -925,6 +927,29 @@ SELECT source,
     / CAST(SUM((n_tokens + {_C} - 1) // {_C}) * {_C} AS DOUBLE)
     AS aligned_padding_waste_frac
 FROM spans GROUP BY source ORDER BY source
+"""
+
+    # pii_scan_stats: same pattern strings as functions/pii.py (regex
+    # subset with identical Java/RE2 semantics — no backrefs/lookaround).
+    from graphdb_td2_spark.functions.pii import PII_PATTERNS as _PII
+
+    _pii_cols = ",\n    ".join(
+        f"len(regexp_extract_all(text, '{p}')) AS __{k}"
+        for k, (p, _tok) in _PII.items()
+    )
+    _pii_aggs = ",\n  ".join(
+        f"CAST(SUM(CASE WHEN __{k} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_{k},\n"
+        f"  CAST(SUM(__{k}) AS BIGINT) AS {k}_hits"
+        for k in _PII
+    )
+    sqls["pii_scan_stats"] = f"""
+WITH per_doc AS (
+  SELECT source,
+    {_pii_cols}
+  FROM documents)
+SELECT source, COUNT(*) AS n_docs,
+  {_pii_aggs}
+FROM per_doc GROUP BY source ORDER BY source
 """
 
     sqls["pricing_summary"] = f"""
