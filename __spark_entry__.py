@@ -43,6 +43,7 @@ from graphdb_td2_spark.functions import json_props, packing, pii, text
 from graphdb_td2_spark.functions.sampling import (
     dataset_splits,
     sampled_event_stats,
+    source_mixing_weights,
     stratified_sample_stats,
 )
 from graphdb_td2_spark.dedup import (
@@ -150,6 +151,8 @@ DEMOTED_TAIL = (
     "context_packing_stats",  # window-cumsum packing plan over the same
                               # tokenization as token_stats
     "pii_scan_stats",  # regexp-count variant of the text-analysis family
+    "source_mixing_weights",  # α=0.5 temperature variant of
+                              # stratified_sample_stats
 )
 
 
@@ -251,6 +254,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_sizes": kcore_sizes,
         "context_packing_stats": packing.context_packing_stats,
         "pii_scan_stats": pii.pii_scan_stats,
+        "source_mixing_weights": source_mixing_weights,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -950,6 +954,26 @@ WITH per_doc AS (
 SELECT source, COUNT(*) AS n_docs,
   {_pii_aggs}
 FROM per_doc GROUP BY source ORDER BY source
+"""
+
+    # source_mixing_weights: α=0.5 temperature weights; numerator/denominator
+    # are exact BIGINTs (floor(sqrt·1e9)), each double is ONE division —
+    # keep in lock-step with functions/sampling.py:source_mixing_weights.
+    sqls["source_mixing_weights"] = """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), sq AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(n_docs) * 1000000000) AS BIGINT) AS s
+  FROM counts
+), tot AS (
+  SELECT SUM(s) AS s_total, SUM(n_docs) AS n_total FROM sq
+)
+SELECT source, n_docs,
+  CAST(s AS DOUBLE) / CAST(s_total AS DOUBLE) AS weight,
+  CAST(s * n_total AS DOUBLE) / CAST(s_total * n_docs AS DOUBLE)
+    AS rate_vs_proportional
+FROM sq, tot ORDER BY source
 """
 
     sqls["pricing_summary"] = f"""

@@ -119,6 +119,52 @@ def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FP_SQRT_SCALE = 1_000_000_000  # sqrt fixed-point: floor(sqrt(n)·10⁹)
+
+
+def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-resampling weights per source, α = 0.5:
+    ``w_s = n_s^α / Σ_t n_t^α`` — the standard rebalancing between
+    proportional (α=1, big sources dominate) and uniform (α=0) mixing for
+    multilingual/multi-domain corpora.
+
+    Determinism: ``sqrt`` is IEEE-correctly-rounded in both engines, but a
+    cross-row SUM of doubles is summation-order-dependent — so the weight
+    numerator is the integer fixed-point ``floor(sqrt(n_s)·10⁹)`` and the
+    denominator an exact BIGINT sum; each output double is ONE division of
+    identical integers in both engines. ``rate_vs_proportional`` (the
+    per-document up/down-sampling factor a mixer applies) is likewise a
+    single division of exact int64 products (magnitudes bounded far below
+    2⁶³ at any plausible source-count cardinality).
+
+    Scale: a dimension-sized per-source count, a 1-row broadcast total,
+    narrow arithmetic. The corpus is never reshuffled."""
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "source"])
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    sq = counts.withColumn(
+        "__s",
+        F.floor(F.sqrt(F.col("n_docs")) * F.lit(FP_SQRT_SCALE)).cast("long"),
+    )
+    totals = sq.agg(
+        F.sum("__s").alias("__s_total"), F.sum("n_docs").alias("__n_total")
+    )
+    return (
+        sq.join(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            (F.col("__s").cast("double") / F.col("__s_total").cast("double")).alias(
+                "weight"
+            ),
+            (
+                (F.col("__s") * F.col("__n_total")).cast("double")
+                / (F.col("__s_total") * F.col("n_docs")).cast("double")
+            ).alias("rate_vs_proportional"),
+        )
+        .orderBy("source")
+    )
+
+
 def sampled_event_stats(
     spark: SparkSession, sf_dir: str, rate: float = 0.05
 ) -> DataFrame:

@@ -56,3 +56,24 @@ def test_context_packing_hand_computed(spark, docs_dir):
     )
     assert s2.crossing_frac == 1.0
     assert s2.aligned_padding_waste_frac == pytest.approx(3 / 8)
+
+
+def test_source_mixing_weights_math(spark, tmp_path):
+    """α=0.5 temperature: weights sum to ~1, small sources are up-weighted
+    relative to proportional, big sources down-weighted."""
+    from pyspark.sql import functions as F
+
+    from graphdb_td2_spark.functions.sampling import source_mixing_weights
+
+    rows = [(i, "big" if i < 90 else "small", "x y z") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    df = df.withColumn("lang", F.lit("en")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    df.write.parquet(f"{tmp_path}/documents.parquet")
+
+    got = {r.source: r for r in source_mixing_weights(spark, str(tmp_path)).collect()}
+    assert abs(got["big"].weight + got["small"].weight - 1.0) < 1e-9
+    # sqrt flattening: big gets less than its 0.9 proportional share
+    assert got["big"].weight < 0.9 and got["small"].weight > 0.1
+    assert got["small"].rate_vs_proportional > 1.0 > got["big"].rate_vs_proportional
