@@ -37,6 +37,7 @@ from graphdb_td2_spark.operators.range_join import event_burst_pairs
 from graphdb_td2_spark.operators.timeseries import hourly_event_rollup
 from graphdb_td2_spark.graph.bfs import bfs_level_sizes
 from graphdb_td2_spark.graph.kcore import kcore_sizes
+from graphdb_td2_spark.graph.lpa import community_sizes as lpa_community_sizes
 from graphdb_td2_spark.graph.components import component_sizes
 from graphdb_td2_spark.graph.triangles import triangle_stats
 from graphdb_td2_spark.functions import json_props, packing, pii, text
@@ -153,6 +154,8 @@ DEMOTED_TAIL = (
     "pii_scan_stats",  # regexp-count variant of the text-analysis family
     "source_mixing_weights",  # α=0.5 temperature variant of
                               # stratified_sample_stats
+    "lpa_community_sizes",  # label-propagation variant of the iterative
+                            # graph family (L3)
 )
 
 
@@ -255,6 +258,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_packing_stats": packing.context_packing_stats,
         "pii_scan_stats": pii.pii_scan_stats,
         "source_mixing_weights": source_mixing_weights,
+        "lpa_community_sizes": lpa_community_sizes,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -465,6 +469,47 @@ SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components FROM (
   SELECT lbl, CAST(COUNT(*) AS BIGINT) AS size FROM l{rounds} GROUP BY lbl
 ) GROUP BY size ORDER BY size DESC
 """
+
+
+def _lpa_sql(rounds: int = 4) -> str:
+    """Synchronous label propagation unrolled one-CTE-per-round, mirroring
+    ``graph/lpa.py`` exactly: most frequent label among neighbors + SELF
+    (the self-vote damps bipartite oscillation), ties to the MINIMUM label
+    (count DESC, label ASC), isolated vertices keep theirs; both engines
+    run the identical fixed round count."""
+    parts = [f"""
+WITH edges AS MATERIALIZED ({_graph_edges_sql()}),
+verts AS (
+  SELECT 'C:' || CAST(c_custkey AS VARCHAR) AS id FROM customer
+  UNION ALL SELECT 'P:' || CAST(p_partkey AS VARCHAR) FROM part
+  UNION ALL SELECT DISTINCT 'CAT:' || p_brand FROM part
+  UNION ALL SELECT 'O:' || CAST(o_orderkey AS VARCHAR) FROM orders
+),
+und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM edges
+  UNION ALL SELECT dst AS src, src AS dst FROM edges)),
+l0 AS MATERIALIZED (SELECT DISTINCT id, id AS lbl FROM verts)"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f""",
+cnt{r} AS MATERIALIZED (
+  SELECT id, lbl, COUNT(*) AS c FROM (
+    SELECT u.dst AS id, l.lbl FROM und u JOIN l{p} l ON u.src = l.id
+    UNION ALL SELECT id, lbl FROM l{p}
+  ) votes GROUP BY id, lbl),
+l{r} AS MATERIALIZED (
+  SELECT prev.id, COALESCE(b.lbl, prev.lbl) AS lbl
+  FROM l{p} prev LEFT JOIN (
+    SELECT id, lbl FROM (
+      SELECT id, lbl,
+             ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) AS rn
+      FROM cnt{r}) ranked WHERE rn = 1) b ON prev.id = b.id)""")
+    parts.append(f"""
+SELECT size, CAST(COUNT(*) AS BIGINT) AS n_communities FROM (
+  SELECT lbl, CAST(COUNT(*) AS BIGINT) AS size FROM l{rounds} GROUP BY lbl
+) GROUP BY size ORDER BY size DESC
+""")
+    return "".join(parts)
 
 
 def _bfs_sql(seed: str = "C:1", max_hops: int = 6) -> str:
@@ -904,6 +949,7 @@ SELECT rel_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
     sqls["component_sizes"] = _components_sql()
     sqls["bfs_level_sizes"] = _bfs_sql()
     sqls["kcore_sizes"] = _kcore_sql()
+    sqls["lpa_community_sizes"] = _lpa_sql()
 
     # context_packing_stats: concatenate-and-chop packing plan
     # (functions/packing.py). C = 2048; same tokenization as token_stats.
