@@ -133,3 +133,31 @@ def test_minhash_band_join_is_equi(spark):
     import re
 
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[band", plan)
+
+
+def test_context_packing_single_window_shuffle(spark):
+    """The packing plan needs exactly one exchange — the (source) window
+    partitioning — plus the rollup's; no joins, no extra shuffles."""
+    plan = _plan(spark, "context_packing_stats")
+    assert "Join" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_pii_scan_prunes_to_source_and_text(spark):
+    """The PII scan must read only (source, text) — a scan dragging all
+    five document columns through regex extraction is wrong."""
+    plan = _plan(spark, "pii_scan_stats")
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:800]
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"source", "text"}
+
+
+def test_source_mixing_weights_broadcasts_totals(spark):
+    """The 1-row totals frame must broadcast; the corpus-sized side must
+    never shuffle for it."""
+    plan = _plan(spark, "source_mixing_weights")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
