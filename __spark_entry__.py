@@ -156,6 +156,8 @@ DEMOTED_TAIL = (
                               # stratified_sample_stats
     "lpa_community_sizes",  # label-propagation variant of the iterative
                             # graph family (L3)
+    "context_assignments",  # exploded-assignment variant of
+                            # context_packing_stats (same span math)
 )
 
 
@@ -259,6 +261,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan_stats": pii.pii_scan_stats,
         "source_mixing_weights": source_mixing_weights,
         "lpa_community_sizes": lpa_community_sizes,
+        "context_assignments": packing.context_assignments,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -977,6 +980,29 @@ SELECT source,
     / CAST(SUM((n_tokens + {_C} - 1) // {_C}) * {_C} AS DOUBLE)
     AS aligned_padding_waste_frac
 FROM spans GROUP BY source ORDER BY source
+"""
+
+    # context_assignments: the packing output — per (doc, context) in-doc
+    # token ranges; same span math as context_packing_stats.
+    sqls["context_assignments"] = f"""
+WITH per_doc AS (
+  SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+), spans AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM per_doc
+), ids AS (
+  SELECT source, doc_id, cum, cum - n_tokens AS strt,
+         unnest(generate_series((cum - n_tokens) // {_C},
+                                (cum - 1) // {_C})) AS context_id
+  FROM spans
+)
+SELECT source, doc_id, context_id,
+  GREATEST(context_id * {_C} - strt, 0) AS tok_from,
+  LEAST((context_id + 1) * {_C}, cum) - strt AS tok_to
+FROM ids
 """
 
     # pii_scan_stats: same pattern strings as functions/pii.py (regex

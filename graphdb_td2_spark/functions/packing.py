@@ -32,11 +32,10 @@ from .text import tokens_col
 DEFAULT_CONTEXT_LEN = 2048
 
 
-def context_packing_stats(
-    spark: SparkSession, sf_dir: str, context_len: int = DEFAULT_CONTEXT_LEN
-) -> DataFrame:
-    """Per-source concatenate-and-chop packing plan over ``documents``."""
-    c = int(context_len)
+def _doc_spans(spark: SparkSession, sf_dir: str, c: int):
+    """(source, doc_id, n_tokens, start, cum, first_ctx, last_ctx) — each
+    document's token span in the per-source concatenated stream and the
+    context ids it touches."""
     docs = read_table(spark, sf_dir, "documents", ["doc_id", "source", "text"])
     per_doc = docs.select(
         "doc_id",
@@ -44,13 +43,49 @@ def context_packing_stats(
         F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
     )
     w = Window.partitionBy("source").orderBy("doc_id")
-    spans = per_doc.withColumn("cum", F.sum("n_tokens").over(w)).select(
-        "source",
-        "n_tokens",
-        "cum",
-        F.expr(f"(cum - n_tokens) div {c}").alias("first_ctx"),
-        F.expr(f"(cum - 1) div {c}").alias("last_ctx"),
+    return (
+        per_doc.withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn("start", F.col("cum") - F.col("n_tokens"))
+        .withColumn("first_ctx", F.expr(f"start div {c}"))
+        .withColumn("last_ctx", F.expr(f"(cum - 1) div {c}"))
     )
+
+
+def context_assignments(
+    spark: SparkSession, sf_dir: str, context_len: int = DEFAULT_CONTEXT_LEN
+) -> DataFrame:
+    """The packing output itself: one row per (document, context window)
+    with the IN-DOCUMENT token range ``[tok_from, tok_to)`` that lands in
+    that context — exactly what a splitter needs to emit packed training
+    rows. A document spanning k windows yields k rows (explode of its
+    context-id range; pure integer arithmetic, exact SQL oracle)."""
+    c = int(context_len)
+    spans = _doc_spans(spark, sf_dir, c)
+    return spans.select(
+        "source",
+        "doc_id",
+        F.explode(F.sequence("first_ctx", "last_ctx")).alias("context_id"),
+        "start",
+        "cum",
+    ).select(
+        "source",
+        "doc_id",
+        "context_id",
+        F.greatest(
+            F.col("context_id") * c - F.col("start"), F.lit(0).cast("long")
+        ).alias("tok_from"),
+        (
+            F.least((F.col("context_id") + 1) * c, F.col("cum")) - F.col("start")
+        ).alias("tok_to"),
+    )
+
+
+def context_packing_stats(
+    spark: SparkSession, sf_dir: str, context_len: int = DEFAULT_CONTEXT_LEN
+) -> DataFrame:
+    """Per-source concatenate-and-chop packing plan over ``documents``."""
+    c = int(context_len)
+    spans = _doc_spans(spark, sf_dir, c)
     return (
         spans.groupBy("source")
         .agg(

@@ -58,6 +58,25 @@ def test_context_packing_hand_computed(spark, docs_dir):
     assert s2.aligned_padding_waste_frac == pytest.approx(3 / 8)
 
 
+def test_context_assignments_hand_computed(spark, docs_dir):
+    """Same fixture, C=4: doc 2 (global tokens [3,6)) splits as [0,1) in
+    context 0 and [1,3) in context 1; doc 4 (5 tokens) as [0,4)+[4,5)."""
+    from graphdb_td2_spark.functions.packing import context_assignments
+
+    got = {
+        (r.doc_id, r.context_id): (r.tok_from, r.tok_to)
+        for r in context_assignments(spark, docs_dir, context_len=4).collect()
+    }
+    assert got == {
+        (1, 0): (0, 3),
+        (2, 0): (0, 1),
+        (2, 1): (1, 3),
+        (3, 1): (0, 2),
+        (4, 0): (0, 4),
+        (4, 1): (4, 5),
+    }
+
+
 def test_source_mixing_weights_math(spark, tmp_path):
     """α=0.5 temperature: weights sum to ~1, small sources are up-weighted
     relative to proportional, big sources down-weighted."""
