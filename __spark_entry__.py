@@ -63,6 +63,7 @@ from graphdb_td2_spark.similarity import (
 )
 from graphdb_td2_spark.multimodal import multimodal_feature_stats
 from graphdb_td2_spark.streaming.ivm import ivm_cooccurrence_top20
+from graphdb_td2_spark.streaming.dedup_stream import streaming_minhash_pairs
 from graphdb_td2_spark.streaming import (
     streaming_burst_pairs,
     streaming_dedup_counts,
@@ -158,6 +159,8 @@ DEMOTED_TAIL = (
                             # graph family (L3)
     "context_assignments",  # exploded-assignment variant of
                             # context_packing_stats (same span math)
+    "streaming_minhash_pairs",  # incrementally-maintained variant of
+                                # minhash_lsh_pairs (uncapped pair set)
 )
 
 
@@ -262,6 +265,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixing_weights": source_mixing_weights,
         "lpa_community_sizes": lpa_community_sizes,
         "context_assignments": packing.context_assignments,
+        "streaming_minhash_pairs": streaming_minhash_pairs,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -1583,6 +1587,19 @@ FROM buckets a JOIN buckets b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 GROUP BY doc_id_a, doc_id_b
 ORDER BY doc_id_a, doc_id_b
+"""
+
+    # streaming_minhash_pairs: the incrementally-maintained pair set is
+    # indistinguishable from the UNCAPPED batch recompute (the cap is a
+    # batch-consumer pruning decision — see streaming/dedup_stream.py).
+    sqls["streaming_minhash_pairs"] = f"""
+WITH sigs AS ({_minhash_sig_sql()}),
+raw_buckets AS ({_band_buckets_sql()})
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       COUNT(*) AS n_shared_bands
+FROM raw_buckets a JOIN raw_buckets b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+GROUP BY doc_id_a, doc_id_b
 """
 
     sqls["simhash_docs"] = _simhash_sql()
