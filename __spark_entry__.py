@@ -41,6 +41,7 @@ from graphdb_td2_spark.graph.lpa import community_sizes as lpa_community_sizes
 from graphdb_td2_spark.graph.components import component_sizes
 from graphdb_td2_spark.graph.triangles import triangle_stats
 from graphdb_td2_spark.functions import json_props, packing, pii, text
+from graphdb_td2_spark.functions.profile import documents_profile
 from graphdb_td2_spark.functions.sampling import (
     dataset_splits,
     sampled_event_stats,
@@ -161,6 +162,8 @@ DEMOTED_TAIL = (
                             # context_packing_stats (same span math)
     "streaming_minhash_pairs",  # incrementally-maintained variant of
                                 # minhash_lsh_pairs (uncapped pair set)
+    "documents_profile",  # single-scan column-profile variant of the
+                          # text-analysis family
 )
 
 
@@ -266,6 +269,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_community_sizes": lpa_community_sizes,
         "context_assignments": packing.context_assignments,
         "streaming_minhash_pairs": streaming_minhash_pairs,
+        "documents_profile": documents_profile,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -1601,6 +1605,20 @@ FROM raw_buckets a JOIN raw_buckets b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 GROUP BY doc_id_a, doc_id_b
 """
+
+    # documents_profile: exact per-column profile; UNION ALL of per-column
+    # aggregates (DuckDB side — Spark does one scan + stack).
+    _prof_cols = ("doc_id", "lang", "source", "n_chars", "text")
+    sqls["documents_profile"] = " UNION ALL ".join(
+        f"""
+SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+  CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+  CAST(MIN({c}) AS VARCHAR) AS min_value,
+  CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM documents"""
+        for c in _prof_cols
+    ) + " ORDER BY col_name"
 
     sqls["simhash_docs"] = _simhash_sql()
 
