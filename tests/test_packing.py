@@ -96,3 +96,43 @@ def test_source_mixing_weights_math(spark, tmp_path):
     # sqrt flattening: big gets less than its 0.9 proportional share
     assert got["big"].weight < 0.9 and got["small"].weight > 0.1
     assert got["small"].rate_vs_proportional > 1.0 > got["big"].rate_vs_proportional
+
+
+def test_packing_invariants_random_corpus(spark, tmp_path):
+    """Packing invariants on a pseudo-random corpus: per-document
+    assignment ranges are disjoint, contiguous, cover [0, n_tokens)
+    exactly, and no per-context slice exceeds the context length."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from graphdb_td2_spark.functions.packing import context_assignments
+
+    rng = random.Random(406)
+    rows = []
+    for i in range(120):
+        n = rng.randint(1, 40)
+        rows.append((i, f"s{rng.randint(0, 3)}", " ".join("t" * 1 for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    df = df.withColumn("lang", F.lit("en")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    df.write.parquet(f"{tmp_path}/documents.parquet")
+    C = 16
+    per_doc_tokens = {i: len(t.split()) for i, _, t in rows}
+
+    asg = context_assignments(spark, str(tmp_path), context_len=C).collect()
+    by_doc = {}
+    for r in asg:
+        assert 0 < r.tok_to - r.tok_from <= C
+        by_doc.setdefault(r.doc_id, []).append((r.context_id, r.tok_from, r.tok_to))
+    assert set(by_doc) == set(per_doc_tokens)
+    for doc_id, parts in by_doc.items():
+        parts.sort()
+        # contiguous context ids, contiguous token ranges, full coverage
+        ctxs = [c for c, _, _ in parts]
+        assert ctxs == list(range(ctxs[0], ctxs[-1] + 1))
+        assert parts[0][1] == 0
+        assert parts[-1][2] == per_doc_tokens[doc_id]
+        for (_, _, prev_to), (_, nxt_from, _) in zip(parts, parts[1:]):
+            assert prev_to == nxt_from

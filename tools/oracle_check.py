@@ -53,9 +53,12 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # single-file corpus (the driver testdata) or directory-shaped
+        # table (lake layout, e.g. the synthetic sf1.0 corpus)
+        src = f"{sf_dir}/{t}.parquet"
+        if Path(src).is_dir():
+            src = f"{src}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     spark = get_spark("oracle-check")
     queries = entry_mod.queries()
