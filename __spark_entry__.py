@@ -42,6 +42,7 @@ from graphdb_td2_spark.graph.components import component_sizes
 from graphdb_td2_spark.graph.triangles import triangle_stats
 from graphdb_td2_spark.functions import json_props, packing, pii, text
 from graphdb_td2_spark.functions.profile import documents_profile
+from graphdb_td2_spark.search import bm25_doc_topk, bm25_hybrid_topk
 from graphdb_td2_spark.functions.sampling import (
     dataset_splits,
     sampled_event_stats,
@@ -164,6 +165,11 @@ DEMOTED_TAIL = (
                                 # minhash_lsh_pairs (uncapped pair set)
     "documents_profile",  # single-scan column-profile variant of the
                           # text-analysis family
+    "bm25_doc_topk",  # BM25 more-like-this ranking (lexical retrieval
+                      # family; shares tokenize + top-k shape with
+                      # distinctive_terms, checked in full contract)
+    "hybrid_search_topk",  # BM25 candidates + quantized-cosine rerank
+                           # (combines the bm25 + ann families)
 )
 
 
@@ -270,6 +276,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_assignments": packing.context_assignments,
         "streaming_minhash_pairs": streaming_minhash_pairs,
         "documents_profile": documents_profile,
+        "bm25_doc_topk": bm25_doc_topk,
+        "hybrid_search_topk": bm25_hybrid_topk,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -1900,6 +1908,93 @@ SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
 FROM slid
 GROUP BY 1, 2, 3 ORDER BY window_start, event_type
+"""
+
+    # BM25 more-like-this + hybrid rerank (search/bm25.py). Expression shape
+    # (parenthesisation) mirrors bm25_score_components verbatim: ratio idf,
+    # k1=1.2 b=0.75, per-term floor(x*1e6) fixed-point BEFORE the sum.
+    _bm25_agg = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+                 CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+          FROM dl),
+qterms AS (
+  SELECT query_doc_id, token FROM (
+    SELECT query_doc_id, token,
+      row_number() OVER (PARTITION BY query_doc_id ORDER BY token ASC) AS rn
+    FROM (
+      SELECT DISTINCT doc_id AS query_doc_id, unnest(list_distinct(toks)) AS token
+      FROM toks WHERE doc_id < 5
+    ) WHERE length(token) >= 3
+  ) WHERE rn <= 4
+),
+postings AS (SELECT doc_id, unnest(toks) AS token FROM toks),
+tf AS (
+  SELECT q.query_doc_id, p.token, p.doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM postings p JOIN qterms q ON p.token = q.token
+  GROUP BY q.query_doc_id, p.token, p.doc_id
+),
+dft AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT token, doc_id FROM tf) GROUP BY token
+),
+contrib AS (
+  SELECT tf.query_doc_id, tf.doc_id,
+    CAST(FLOOR(
+      ((s.nd - CAST(dft.df AS DOUBLE) + 0.5) / (CAST(dft.df AS DOUBLE) + 0.5))
+      * ((CAST(tf.tf AS DOUBLE) * 2.2)
+         / (CAST(tf.tf AS DOUBLE)
+            + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / s.avgdl))))
+      * 1000000.0) AS BIGINT) AS fp
+  FROM tf JOIN dft ON tf.token = dft.token
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats s
+  WHERE tf.doc_id <> tf.query_doc_id
+),
+bm25 AS (
+  SELECT query_doc_id, doc_id, CAST(SUM(fp) AS BIGINT) AS score_fp,
+         CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM contrib GROUP BY query_doc_id, doc_id
+)"""
+
+    sqls["bm25_doc_topk"] = f"""
+{_bm25_agg}
+SELECT query_doc_id, rank, doc_id, score_fp, n_terms FROM (
+  SELECT query_doc_id, doc_id, score_fp, n_terms,
+    CAST(row_number() OVER (PARTITION BY query_doc_id
+         ORDER BY score_fp DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM bm25
+) WHERE rank <= 10 ORDER BY query_doc_id, rank
+"""
+
+    sqls["hybrid_search_topk"] = f"""
+{_bm25_agg},
+cand AS (
+  SELECT query_doc_id, doc_id, score_fp FROM (
+    SELECT query_doc_id, doc_id, score_fp,
+      row_number() OVER (PARTITION BY query_doc_id
+           ORDER BY score_fp DESC, doc_id ASC) AS rn
+    FROM bm25
+  ) WHERE rn <= 20
+),
+emb AS (SELECT vec_id, {_QE} AS qe FROM embeddings),
+rerank AS (
+  SELECT c.query_doc_id, c.doc_id, c.score_fp,
+    CAST(FLOOR({_cosine_sql("qv.qe", "dv.qe")} * 1000000.0) AS BIGINT) AS cosine_fp
+  FROM cand c
+  JOIN emb dv ON c.doc_id = dv.vec_id
+  JOIN emb qv ON c.query_doc_id = qv.vec_id
+)
+SELECT query_doc_id, rank, doc_id, score_fp, cosine_fp, combined_fp FROM (
+  SELECT query_doc_id, doc_id, score_fp, cosine_fp,
+    CAST(score_fp + cosine_fp AS BIGINT) AS combined_fp,
+    CAST(row_number() OVER (PARTITION BY query_doc_id
+         ORDER BY score_fp + cosine_fp DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM rerank
+) WHERE rank <= 10 ORDER BY query_doc_id, rank
 """
 
     return sqls
