@@ -43,6 +43,7 @@ from graphdb_td2_spark.graph.triangles import triangle_stats
 from graphdb_td2_spark.functions import json_props, packing, pii, text
 from graphdb_td2_spark.functions.profile import documents_profile
 from graphdb_td2_spark.search import bm25_doc_topk, bm25_hybrid_topk
+from graphdb_td2_spark.dedup.er import fuzzy_part_matches
 from graphdb_td2_spark.functions.sampling import (
     dataset_splits,
     sampled_event_stats,
@@ -170,6 +171,8 @@ DEMOTED_TAIL = (
                       # distinctive_terms, checked in full contract)
     "hybrid_search_topk",  # BM25 candidates + quantized-cosine rerank
                            # (combines the bm25 + ann families)
+    "fuzzy_part_matches",  # blocking + edit-distance record linkage
+                           # (dedup-family variant with a string scorer)
 )
 
 
@@ -278,6 +281,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_profile": documents_profile,
         "bm25_doc_topk": bm25_doc_topk,
         "hybrid_search_topk": bm25_hybrid_topk,
+        "fuzzy_part_matches": fuzzy_part_matches,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -1995,6 +1999,31 @@ SELECT query_doc_id, rank, doc_id, score_fp, cosine_fp, combined_fp FROM (
          ORDER BY score_fp + cosine_fp DESC, doc_id ASC) AS BIGINT) AS rank
   FROM rerank
 ) WHERE rank <= 10 ORDER BY query_doc_id, rank
+"""
+
+    # Blocking + edit-distance record linkage (dedup/er.py). Block cap and
+    # thresholds mirror er.BLOCK_CAP / MAX_DISTANCE / TOPK_MATCHES.
+    sqls["fuzzy_part_matches"] = """
+WITH p AS (
+  SELECT p_partkey, p_name,
+         p_brand || '|' || split_part(p_name, ' ', 1) AS block
+  FROM part
+),
+sizes AS (SELECT block FROM p GROUP BY block HAVING COUNT(*) <= 1000),
+kept AS (SELECT p.* FROM p JOIN sizes USING (block)),
+pairs AS (
+  SELECT a.p_partkey, b.p_partkey AS match_partkey,
+         CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
+  FROM kept a JOIN kept b
+    ON a.block = b.block AND a.p_partkey <> b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 4
+)
+SELECT p_partkey, rank, match_partkey, distance FROM (
+  SELECT p_partkey, match_partkey, distance,
+    CAST(row_number() OVER (PARTITION BY p_partkey
+         ORDER BY distance ASC, match_partkey ASC) AS BIGINT) AS rank
+  FROM pairs
+) WHERE rank <= 3
 """
 
     return sqls
