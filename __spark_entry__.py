@@ -44,6 +44,7 @@ from graphdb_td2_spark.functions import json_props, packing, pii, text
 from graphdb_td2_spark.functions.profile import documents_profile
 from graphdb_td2_spark.search import bm25_doc_topk, bm25_hybrid_topk
 from graphdb_td2_spark.dedup.er import fuzzy_part_matches
+from graphdb_td2_spark.graph.sssp import sssp_top20
 from graphdb_td2_spark.functions.sampling import (
     dataset_splits,
     sampled_event_stats,
@@ -173,6 +174,8 @@ DEMOTED_TAIL = (
                            # (combines the bm25 + ann families)
     "fuzzy_part_matches",  # blocking + edit-distance record linkage
                            # (dedup-family variant with a string scorer)
+    "sssp_top20",  # weighted Bellman-Ford variant of the iterative graph
+                   # family (unit-weight BFS checked via bfs_level_sizes)
 )
 
 
@@ -282,6 +285,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_doc_topk": bm25_doc_topk,
         "hybrid_search_topk": bm25_hybrid_topk,
         "fuzzy_part_matches": fuzzy_part_matches,
+        "sssp_top20": sssp_top20,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -568,6 +572,42 @@ d{i} AS MATERIALIZED (
 SELECT distance, CAST(COUNT(*) AS BIGINT) AS n_vertices
 FROM d{max_hops} WHERE distance IS NOT NULL
 GROUP BY distance ORDER BY distance
+""")
+    return "".join(parts)
+
+
+def _sssp_sql(seed: str = "C:1", rounds: int = 6) -> str:
+    """Weighted Bellman-Ford unrolled as chained CTEs — mirrors
+    ``graph/sssp.py`` exactly (same fixed round count, same
+    parallel-edge min-collapse, integer distances)."""
+    parts = [f"""
+WITH edges AS MATERIALIZED ({_graph_edges_weighted_sql()}),
+verts AS (SELECT DISTINCT id FROM
+          (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
+           UNION ALL SELECT 'C:' || CAST(c_custkey AS VARCHAR) FROM customer
+           UNION ALL SELECT 'P:' || CAST(p_partkey AS VARCHAR) FROM part
+           UNION ALL SELECT DISTINCT 'CAT:' || p_brand FROM part
+           UNION ALL SELECT 'O:' || CAST(o_orderkey AS VARCHAR) FROM orders)),
+und AS MATERIALIZED (SELECT src, dst, MIN(w) AS w FROM (
+  SELECT src, dst, w FROM edges
+  UNION ALL SELECT dst AS src, src AS dst, w FROM edges) GROUP BY src, dst),
+d0 AS MATERIALIZED (
+  SELECT id, CASE WHEN id = '{seed}' THEN CAST(0 AS BIGINT) END AS distance
+  FROM verts)"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT id, MIN(distance) AS distance FROM (
+    SELECT e.dst AS id, l.distance + e.w AS distance
+    FROM und e JOIN d{p} l ON e.src = l.id
+    WHERE l.distance IS NOT NULL
+    UNION ALL SELECT id, distance FROM d{p}
+  ) GROUP BY id
+)""")
+    parts.append(f"""
+SELECT id, distance FROM d{rounds} WHERE distance IS NOT NULL
+ORDER BY distance ASC, id ASC LIMIT 20
 """)
     return "".join(parts)
 
@@ -971,6 +1011,8 @@ SELECT rel_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
     )
     sqls["component_sizes"] = _components_sql()
     sqls["bfs_level_sizes"] = _bfs_sql()
+
+    sqls["sssp_top20"] = _sssp_sql()
     sqls["kcore_sizes"] = _kcore_sql()
     sqls["lpa_community_sizes"] = _lpa_sql()
 
