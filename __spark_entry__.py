@@ -40,7 +40,7 @@ from graphdb_td2_spark.graph.kcore import kcore_sizes
 from graphdb_td2_spark.graph.lpa import community_sizes as lpa_community_sizes
 from graphdb_td2_spark.graph.components import component_sizes
 from graphdb_td2_spark.graph.triangles import triangle_stats
-from graphdb_td2_spark.functions import json_props, packing, pii, text
+from graphdb_td2_spark.functions import json_props, packing, pii, sketches, text
 from graphdb_td2_spark.functions.profile import documents_profile
 from graphdb_td2_spark.search import bm25_doc_topk, bm25_hybrid_topk
 from graphdb_td2_spark.dedup.er import fuzzy_part_matches
@@ -176,6 +176,8 @@ DEMOTED_TAIL = (
                            # (dedup-family variant with a string scorer)
     "sssp_top20",  # weighted Bellman-Ford variant of the iterative graph
                    # family (unit-weight BFS checked via bfs_level_sizes)
+    "cms_heavy_hitters",  # count-min sketch estimates vs exact counts —
+                          # the deterministic member of the sketch tier
 )
 
 
@@ -286,6 +288,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_topk": bm25_hybrid_topk,
         "fuzzy_part_matches": fuzzy_part_matches,
         "sssp_top20": sssp_top20,
+        "cms_heavy_hitters": sketches.cms_heavy_hitters,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2041,6 +2044,45 @@ SELECT query_doc_id, rank, doc_id, score_fp, cosine_fp, combined_fp FROM (
          ORDER BY score_fp + cosine_fp DESC, doc_id ASC) AS BIGINT) AS rank
   FROM rerank
 ) WHERE rank <= 10 ORDER BY query_doc_id, rank
+"""
+
+    # Count-min sketch heavy hitters (functions/sketches.py): d×w exact
+    # integer counters under the shared affine hash params — generated
+    # here from the same hash_params() so the twin can't drift.
+    from graphdb_td2_spark.dedup.minhash import HASH_P as _CMS_P
+    from graphdb_td2_spark.dedup.minhash import hash_params as _cms_params
+    from graphdb_td2_spark.functions.sketches import CMS_DEPTH, CMS_TOPK, CMS_WIDTH
+
+    _cms_h = "CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT)"
+    _cms_buckets = " UNION ALL ".join(
+        f"SELECT token, CAST({j} AS INTEGER) AS j, "
+        f"(({a} * h + {b}) % {_CMS_P}) % {CMS_WIDTH} AS bucket FROM h"
+        for j, (a, b) in enumerate(_cms_params(CMS_DEPTH))
+    )
+    _cms_probe = " UNION ALL ".join(
+        f"SELECT token, exact_count, CAST({j} AS INTEGER) AS j, "
+        f"(({a} * h + {b}) % {_CMS_P}) % {CMS_WIDTH} AS bucket FROM top_h"
+        for j, (a, b) in enumerate(_cms_params(CMS_DEPTH))
+    )
+    sqls["cms_heavy_hitters"] = f"""
+WITH tok AS MATERIALIZED (
+  SELECT unnest({_TOKS}) AS token FROM documents
+),
+h AS MATERIALIZED (SELECT token, {_cms_h} AS h FROM tok),
+cells AS MATERIALIZED (
+  SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ({_cms_buckets}) GROUP BY j, bucket
+),
+exact_top AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count
+  FROM tok GROUP BY token
+  ORDER BY exact_count DESC, token ASC LIMIT {CMS_TOPK}
+),
+top_h AS (SELECT token, exact_count, {_cms_h} AS h FROM exact_top)
+SELECT token, exact_count, CAST(MIN(cnt) AS BIGINT) AS cms_count
+FROM ({_cms_probe}) p JOIN cells USING (j, bucket)
+GROUP BY token, exact_count
+ORDER BY exact_count DESC, token ASC
 """
 
     # Blocking + edit-distance record linkage (dedup/er.py). Block cap and

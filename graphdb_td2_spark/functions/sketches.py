@@ -80,3 +80,82 @@ def approx_value_quantiles(
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005): the one sketch in this
+# tier that IS cross-engine deterministic — the table is d×w exact integer
+# counters under fixed affine hashes, so the DuckDB twin reproduces every
+# estimate bit-for-bit and the driver value-hash applies (unlike HLL/GK
+# above, whose register layouts are engine-specific).
+#
+# Scale notes: the build is one partial-agg'd groupBy over (row, bucket) —
+# d×w = 4×1024 cells regardless of corpus size, the definition of a
+# sublinear summary; the estimate probe joins the 4-row-per-token probe set
+# against those 4096 cells (broadcast). Point-query error is bounded by
+# eps·N (eps = e/w) with probability 1 - delta (delta = e^-d).
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4  # d hash rows
+CMS_WIDTH = 1024  # w buckets per row
+CMS_TOPK = 20
+
+
+def _token_base_hash(token):
+    """Portable 32-bit token hash: first 8 hex digits of md5 (identical
+    hex in Spark and DuckDB; same scheme as dedup/minhash._base_hash)."""
+    return F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("long")
+
+
+def cms_heavy_hitters(
+    spark: SparkSession, sf_dir: str, k: int = CMS_TOPK
+) -> DataFrame:
+    """Count-min estimates vs exact counts for the k most frequent
+    document tokens: ``(token, exact_count, cms_count)`` with
+    cms_count ≥ exact_count (one-sided error), ordered (exact desc,
+    token asc)."""
+    from ..dedup.minhash import HASH_P, hash_params
+    from .text import tokens_col
+
+    docs = read_table(spark, sf_dir, "documents", ["text"])
+    toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+    hashed = toks.select("token", _token_base_hash(F.col("token")).alias("h"))
+
+    params = hash_params(CMS_DEPTH)
+    bucket_cols = []
+    for j, (a, b) in enumerate(params):
+        bucket_cols.append(F.lit(j))
+        bucket_cols.append(
+            ((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(HASH_P)) % F.lit(CMS_WIDTH)
+        )
+    # one pass: stack the d bucket ids per occurrence, then count cells
+    cells = (
+        hashed.select(
+            F.stack(F.lit(CMS_DEPTH), *bucket_cols).alias("j", "bucket")
+        )
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    exact_top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("token"))
+        .limit(k)
+    )
+    probe = exact_top.select(
+        "token", "exact_count", _token_base_hash(F.col("token")).alias("h")
+    ).select(
+        "token",
+        "exact_count",
+        F.stack(F.lit(CMS_DEPTH), *bucket_cols).alias("j", "bucket"),
+    )
+    estimates = (
+        F.broadcast(probe)
+        .join(cells, ["j", "bucket"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("cnt").cast("long").alias("cms_count"))
+    )
+    return estimates.select("token", "exact_count", "cms_count").orderBy(
+        F.desc("exact_count"), F.asc("token")
+    )

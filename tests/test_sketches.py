@@ -54,3 +54,43 @@ def test_quantile_sketch_rank_error(spark, sf_dir):
             assert lo - 1e-9 <= approx <= hi + 1e-9, (
                 f"{r['event_type']} {p}: approx={approx} outside [{lo}, {hi}]"
             )
+
+
+def test_cms_one_sided_error_and_tightness(spark, sf_dir):
+    from graphdb_td2_spark.functions.sketches import CMS_DEPTH, CMS_WIDTH, cms_heavy_hitters
+
+    rows = cms_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) == 20
+    # count-min never under-estimates
+    assert all(r["cms_count"] >= r["exact_count"] for r in rows)
+    # CMS error bound: overshoot ≤ (e/w)·N with prob 1 - e^-d; use the
+    # deterministic worst case 4·N/w as a loose but non-vacuous ceiling
+    from graphdb_td2_spark.functions.text import tokens_col
+    from graphdb_td2_spark.io import read_table
+    from pyspark.sql import functions as F
+
+    n_tokens = (
+        read_table(spark, sf_dir, "documents", ["text"])
+        .select(F.explode(tokens_col(F.col("text"))).alias("t"))
+        .count()
+    )
+    ceiling = 4 * n_tokens / CMS_WIDTH
+    assert all(r["cms_count"] - r["exact_count"] <= ceiling for r in rows)
+    assert CMS_DEPTH * CMS_WIDTH == 4096  # sketch size is corpus-independent
+
+
+def test_cms_exact_on_collision_free_fixture(spark, tmp_path):
+    # tiny vocabulary ⇒ no bucket collisions ⇒ estimates are exact
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "alpha alpha beta"), (1, "alpha gamma gamma gamma")],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")) \
+     .withColumn("n_chars", F.length("text").cast("long"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from graphdb_td2_spark.functions.sketches import cms_heavy_hitters
+
+    rows = {r["token"]: (r["exact_count"], r["cms_count"])
+            for r in cms_heavy_hitters(spark, str(tmp_path)).collect()}
+    assert rows == {"alpha": (3, 3), "beta": (1, 1), "gamma": (3, 3)}
