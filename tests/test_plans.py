@@ -161,3 +161,30 @@ def test_source_mixing_weights_broadcasts_totals(spark):
     plan = _plan(spark, "source_mixing_weights")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bm25_broadcasts_query_terms_no_global_sort(spark):
+    plan = _plan(spark, "bm25_doc_topk")
+    # the tiny query-term table must broadcast into the corpus-sized
+    # postings stream; the candidate self-product must never cartesian
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_matches_blocked_equi_join(spark):
+    plan = _plan(spark, "fuzzy_part_matches")
+    # blocking must compile to an equi-join on the block key — an
+    # un-blocked fallback shows up as a nested loop / cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # block-size guard joins a broadcast block list
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cms_probe_is_broadcast(spark):
+    plan = _plan(spark, "cms_heavy_hitters")
+    # the 20-token probe set joins the 4096-cell sketch via broadcast —
+    # a shuffle join over either tiny side is a regression
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
