@@ -40,7 +40,14 @@ from graphdb_td2_spark.graph.kcore import kcore_sizes
 from graphdb_td2_spark.graph.lpa import community_sizes as lpa_community_sizes
 from graphdb_td2_spark.graph.components import component_sizes
 from graphdb_td2_spark.graph.triangles import triangle_stats
-from graphdb_td2_spark.functions import json_props, packing, pii, sketches, text
+from graphdb_td2_spark.functions import (
+    governance,
+    json_props,
+    packing,
+    pii,
+    sketches,
+    text,
+)
 from graphdb_td2_spark.functions.profile import documents_profile
 from graphdb_td2_spark.search import bm25_doc_topk, bm25_hybrid_topk
 from graphdb_td2_spark.dedup.er import fuzzy_part_matches
@@ -178,6 +185,9 @@ DEMOTED_TAIL = (
                    # family (unit-weight BFS checked via bfs_level_sizes)
     "cms_heavy_hitters",  # count-min sketch estimates vs exact counts —
                           # the deterministic member of the sketch tier
+    "forget_customer_impact",  # right-to-be-forgotten FK cascade audit
+                               # (join-family counts; governance tier
+                               # alongside pii_scan_stats)
 )
 
 
@@ -289,6 +299,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_part_matches": fuzzy_part_matches,
         "sssp_top20": sssp_top20,
         "cms_heavy_hitters": sketches.cms_heavy_hitters,
+        "forget_customer_impact": governance.forget_customer_impact,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2083,6 +2094,26 @@ SELECT token, exact_count, CAST(MIN(cnt) AS BIGINT) AS cms_count
 FROM ({_cms_probe}) p JOIN cells USING (j, bucket)
 GROUP BY token, exact_count
 ORDER BY exact_count DESC, token ASC
+"""
+
+    # Right-to-be-forgotten cascade audit (functions/governance.py):
+    # seed set c_custkey % 1000 == 1, FK closure orders → lineitem; events
+    # hit directly via user_id.
+    sqls["forget_customer_impact"] = """
+WITH seeds AS (SELECT c_custkey FROM customer WHERE c_custkey % 1000 = 1),
+orders_hit AS (SELECT o_orderkey FROM orders
+               WHERE o_custkey IN (SELECT c_custkey FROM seeds))
+SELECT table_name, n_rows FROM (
+  SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM seeds
+  UNION ALL
+  SELECT 'orders', CAST(COUNT(*) AS BIGINT) FROM orders_hit
+  UNION ALL
+  SELECT 'lineitem', CAST(COUNT(*) AS BIGINT) FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM orders_hit)
+  UNION ALL
+  SELECT 'events', CAST(COUNT(*) AS BIGINT) FROM events
+  WHERE user_id IN (SELECT c_custkey FROM seeds)
+) ORDER BY table_name
 """
 
     # Blocking + edit-distance record linkage (dedup/er.py). Block cap and

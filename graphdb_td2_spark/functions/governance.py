@@ -1,0 +1,105 @@
+"""Data-governance operators [extension]: right-to-be-forgotten cascade
+over the relational corpus — the deletion counterpart of the PII scan
+(:mod:`graphdb_td2_spark.functions.pii`).
+
+Given a seed set of customers, the FK closure that references them is
+(orders via o_custkey) → (lineitem via those orders) → (events via
+user_id). ``forget_customer_impact`` reports how many rows a forget
+request would touch per table (the audit artifact a DSAR pipeline files);
+``propagate_forget`` returns the surviving frames (anti-join semantics),
+ready for the lake sinks.
+
+No reference counterpart (the reference never deletes); modeled on the
+FK graph in ``postgres/init/01_schema.sql:19-39``.
+
+Cross-engine determinism: pure integer counts over equi-joins.
+
+Scale notes: the seed set is broadcast everywhere (a forget batch is
+human-sized — thousands, not billions); the orders-of-seeds key set used
+by the lineitem hop is order-cardinality-of-the-seeds-sized and also
+broadcast. Every fact table is touched once, with only its key columns
+read for the impact counts (column-pruned scans); nothing shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import read_table
+
+FORGET_SEED_MOD = 1000  # deterministic demo seed set: c_custkey % 1000 == 1
+
+
+def _seed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "customer", ["c_custkey"]).filter(
+        F.col("c_custkey") % FORGET_SEED_MOD == 1
+    )
+
+
+def forget_customer_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(table_name, n_rows)`` — rows per table that deleting the seed
+    customers would cascade to, ordered by table_name."""
+    seeds = F.broadcast(_seed_customers(spark, sf_dir))
+
+    customers = seeds.select(F.col("c_custkey").alias("k"))
+    orders = read_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey"]).join(
+        seeds, F.col("o_custkey") == F.col("c_custkey")
+    )
+    order_keys = F.broadcast(orders.select("o_orderkey"))
+    lineitem = read_table(spark, sf_dir, "lineitem", ["l_orderkey"]).join(
+        order_keys, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    events = read_table(spark, sf_dir, "events", ["event_id", "user_id"]).join(
+        seeds, F.col("user_id") == F.col("c_custkey")
+    )
+
+    def _count(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+
+    return (
+        _count(customers, "customer")
+        .union(_count(orders, "orders"))
+        .union(_count(lineitem, "lineitem"))
+        .union(_count(events, "events"))
+        .orderBy("table_name")
+    )
+
+
+def propagate_forget(
+    spark: SparkSession, sf_dir: str, seeds: DataFrame | None = None
+) -> dict[str, DataFrame]:
+    """The surviving rows per table after the cascade (left_anti on the
+    same key sets the impact count uses) — write these through the lake
+    sinks to execute the forget."""
+    if seeds is None:
+        seeds = _seed_customers(spark, sf_dir)
+    seeds = F.broadcast(seeds.select("c_custkey"))
+
+    customer = read_table(spark, sf_dir, "customer").join(
+        seeds, "c_custkey", "left_anti"
+    )
+    orders_all = read_table(spark, sf_dir, "orders")
+    dead_orders = F.broadcast(
+        orders_all.join(
+            seeds, orders_all["o_custkey"] == seeds["c_custkey"]
+        ).select("o_orderkey")
+    )
+    orders = orders_all.join(dead_orders, "o_orderkey", "left_anti")
+    lineitem = read_table(spark, sf_dir, "lineitem").join(
+        dead_orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "l_orderkey",
+        "left_anti",
+    )
+    events_all = read_table(spark, sf_dir, "events")
+    events = events_all.join(
+        seeds.withColumnRenamed("c_custkey", "user_id"), "user_id", "left_anti"
+    )
+    return {
+        "customer": customer,
+        "orders": orders,
+        "lineitem": lineitem,
+        "events": events,
+    }
