@@ -159,3 +159,38 @@ def cms_heavy_hitters(
     return estimates.select("token", "exact_count", "cms_count").orderBy(
         F.desc("exact_count"), F.asc("token")
     )
+
+
+def mergeable_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch *state* as a storable, mergeable column — the
+    incremental pattern a 100 TB pipeline actually uses: land one sketch
+    per partition (here: per event_type), then answer "distinct users
+    overall" by merging states (``hll_union_agg``) WITHOUT rescanning the
+    rows. Output: per-type estimate vs exact, plus a TOTAL row whose
+    estimate comes only from the merged per-type sketches.
+
+    Engine-specific state (Datasketches HLL), so unit-checked against the
+    exact aggregates like the other HLL/GK members, not oracle-hashed."""
+    events = read_table(spark, sf_dir, "events", ["event_type", "user_id"])
+    per_type = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.count_distinct("user_id").cast("long").alias("exact_distinct"),
+    )
+    typed = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sketch").cast("long").alias("est_distinct"),
+        "exact_distinct",
+    )
+    exact_total = events.select(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    ).collect()[0]["exact_distinct"]
+    total = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).cast("long").alias(
+            "est_distinct"
+        )
+    ).select(
+        F.lit("TOTAL").alias("event_type"),
+        "est_distinct",
+        F.lit(exact_total).cast("long").alias("exact_distinct"),
+    )
+    return typed.union(total).orderBy("event_type")

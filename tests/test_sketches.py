@@ -94,3 +94,18 @@ def test_cms_exact_on_collision_free_fixture(spark, tmp_path):
     rows = {r["token"]: (r["exact_count"], r["cms_count"])
             for r in cms_heavy_hitters(spark, str(tmp_path)).collect()}
     assert rows == {"alpha": (3, 3), "beta": (1, 1), "gamma": (3, 3)}
+
+
+def test_mergeable_rollup_merges_state_not_rows(spark, sf_dir):
+    from graphdb_td2_spark.functions.sketches import mergeable_distinct_rollup
+
+    rows = {r["event_type"]: r for r in mergeable_distinct_rollup(spark, sf_dir).collect()}
+    assert "TOTAL" in rows
+    for t, r in rows.items():
+        # HLL at default lgK=12 is ~1.6% rsd; allow 5 sigma + small-count slack
+        err = abs(r["est_distinct"] - r["exact_distinct"])
+        assert err <= max(5, 0.08 * r["exact_distinct"]), (t, r)
+    # the merged TOTAL must cover at least the largest single partition
+    # (union can never shrink a sketch)
+    biggest = max(r["est_distinct"] for t, r in rows.items() if t != "TOTAL")
+    assert rows["TOTAL"]["est_distinct"] >= biggest
