@@ -45,6 +45,7 @@ from graphdb_td2_spark.functions import (
     json_props,
     packing,
     pii,
+    scoring,
     sketches,
     text,
 )
@@ -188,6 +189,9 @@ DEMOTED_TAIL = (
     "forget_customer_impact",  # right-to-be-forgotten FK cascade audit
                                # (join-family counts; governance tier
                                # alongside pii_scan_stats)
+    "quality_logit_stats",  # linear-classifier inference variant of the
+                            # quality-filter family (learned-model shape
+                            # vs quality_filter_stats' rule shape)
 )
 
 
@@ -300,6 +304,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_top20": sssp_top20,
         "cms_heavy_hitters": sketches.cms_heavy_hitters,
         "forget_customer_impact": governance.forget_customer_impact,
+        "quality_logit_stats": scoring.quality_logit_stats,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2094,6 +2099,48 @@ SELECT token, exact_count, CAST(MIN(cnt) AS BIGINT) AS cms_count
 FROM ({_cms_probe}) p JOIN cells USING (j, bucket)
 GROUP BY token, exact_count
 ORDER BY exact_count DESC, token ASC
+"""
+
+    # Linear-classifier quality scoring (functions/scoring.py): integer
+    # fixed-point features, integer dot product, one double division for
+    # the means. Weights/threshold mirror the module constants.
+    from graphdb_td2_spark.functions.scoring import (
+        KEEP_THRESHOLD_FP,
+        STOPWORDS_EN as _QL_STOPS,
+        W_MLEN,
+        W_STOP,
+        W_TTR,
+    )
+
+    _ql_stops = ", ".join(f"'{w}'" for w in _QL_STOPS)
+    sqls["quality_logit_stats"] = f"""
+WITH t AS MATERIALIZED (
+  SELECT source, {_TOKS} AS toks FROM documents
+), f AS (
+  SELECT source,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+    CAST(len(list_filter(toks, x -> list_contains([{_ql_stops}], x))) AS BIGINT)
+      AS stop_hits,
+    CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS BIGINT)
+      AS sum_len
+  FROM t
+), s AS (
+  SELECT source,
+    {W_TTR} * ((n_distinct * 1000000) // n_tokens)
+    + {W_STOP} * ((stop_hits * 1000000) // n_tokens)
+    + ({W_MLEN}) * ((sum_len * 1000000) // n_tokens) AS logit_fp
+  FROM f
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN logit_fp >= {KEEP_THRESHOLD_FP} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_kept,
+  CAST(SUM(CASE WHEN logit_fp >= {KEEP_THRESHOLD_FP} THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS keep_rate,
+  CAST(SUM(logit_fp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_logit_fp,
+  CAST(MIN(logit_fp) AS BIGINT) AS min_logit_fp,
+  CAST(MAX(logit_fp) AS BIGINT) AS max_logit_fp
+FROM s GROUP BY source ORDER BY source
 """
 
     # Right-to-be-forgotten cascade audit (functions/governance.py):
