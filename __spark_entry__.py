@@ -50,6 +50,9 @@ from graphdb_td2_spark.functions import (
     text,
 )
 from graphdb_td2_spark.functions.profile import documents_profile
+from graphdb_td2_spark.functions.chunking import doc_chunks
+from graphdb_td2_spark.functions.lm import lm_bigram_scores
+from graphdb_td2_spark.dedup.semantic import semantic_dedup_stats
 from graphdb_td2_spark.search import bm25_doc_topk, bm25_hybrid_topk
 from graphdb_td2_spark.dedup.er import fuzzy_part_matches
 from graphdb_td2_spark.graph.sssp import sssp_top20
@@ -192,6 +195,14 @@ DEMOTED_TAIL = (
     "quality_logit_stats",  # linear-classifier inference variant of the
                             # quality-filter family (learned-model shape
                             # vs quality_filter_stats' rule shape)
+    "semantic_dedup_stats",  # SemDeDup: trained-k-means-cell blocking
+                             # variant of embedding_neardup_pairs (learned
+                             # blocks vs the label column) + one-pass prune
+    "doc_chunks",  # overlapping-token-window span extraction — the
+                   # retrieval-side sibling of context_packing_stats
+    "lm_bigram_scores",  # KenLM-style n-gram LM coverage scoring of a
+                         # held-out split (text-quality family; learned
+                         # counts vs quality_filter_stats' static rules)
 )
 
 
@@ -305,6 +316,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": sketches.cms_heavy_hitters,
         "forget_customer_impact": governance.forget_customer_impact,
         "quality_logit_stats": scoring.quality_logit_stats,
+        "semantic_dedup_stats": semantic_dedup_stats,
+        "doc_chunks": doc_chunks,
+        "lm_bigram_scores": lm_bigram_scores,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -684,22 +698,16 @@ FROM l{rounds} GROUP BY lbl ORDER BY cluster_id
 """
 
 
-def _ivf_trained_sql(
-    n_cells: int = 8,
-    n_iter: int = 4,
-    n_queries: int = 5,
-    k: int = 5,
-    nprobe: int = 2,
-) -> str:
-    """Trained-IVF ANN as unrolled SQL, mirroring
-    ``similarity/ann.py:train_ivf_centroids`` + multiprobe search exactly:
-    md5 order-statistics init, ``n_iter`` Lloyd steps (argmax-cosine
-    assignment with lowest-cent-id tie-break; element-wise exact-integer
-    mean, ``CAST(SUM ..) AS BIGINT) // COUNT`` — DuckDB ``//`` and Spark
-    ``div`` both truncate toward zero; empty cells keep their previous
-    centroid), then each query probes its ``nprobe`` nearest cells.
-    Chained CTEs are MATERIALIZED (DuckDB re-inlines otherwise and the
-    4-deep chain goes exponential)."""
+def _kmeans_assigned_prefix(n_cells: int, n_iter: int) -> str:
+    """Shared WITH-prefix (CTEs ``q``, ``c0``…``c{n_iter}``, ``assigned``)
+    unrolling ``similarity/ann.py:train_ivf_centroids`` + ``_assign_cells``
+    exactly: md5 order-statistics init, ``n_iter`` Lloyd steps
+    (argmax-cosine assignment with lowest-cent-id tie-break; element-wise
+    exact-integer mean, ``CAST(SUM ..) AS BIGINT) // COUNT`` — DuckDB ``//``
+    and Spark ``div`` both truncate toward zero; empty cells keep their
+    previous centroid). Chained CTEs are MATERIALIZED (DuckDB re-inlines
+    otherwise and the 4-deep chain goes exponential). Used by the
+    trained-IVF ANN and SemDeDup oracles."""
 
     def assign(cent_cte: str) -> str:
         return f"""
@@ -737,7 +745,20 @@ c{i} AS MATERIALIZED (
 )""")
     parts.append(f""",
 assigned AS MATERIALIZED ({assign(f"c{n_iter}")}
-),
+)""")
+    return "".join(parts)
+
+
+def _ivf_trained_sql(
+    n_cells: int = 8,
+    n_iter: int = 4,
+    n_queries: int = 5,
+    k: int = 5,
+    nprobe: int = 2,
+) -> str:
+    """Trained-IVF ANN: the shared k-means prefix, then each query probes
+    its ``nprobe`` nearest cells."""
+    return _kmeans_assigned_prefix(n_cells, n_iter) + f""",
 queries AS (SELECT vec_id AS query_id, qe AS query_qe FROM q WHERE vec_id < {n_queries}),
 qcells AS (
   SELECT query_id, query_qe, cent_id AS cell FROM (
@@ -760,8 +781,30 @@ SELECT query_id, rank, vec_id, cosine FROM (
     CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
   FROM scored
 ) WHERE rank <= {k} ORDER BY query_id, rank
-""")
-    return "".join(parts)
+"""
+
+
+def _semantic_dedup_sql(
+    n_cells: int = 8, n_iter: int = 4, threshold: float = 0.35
+) -> str:
+    """SemDeDup oracle: the shared k-means prefix, then the one-pass
+    within-cell prune — b is dropped iff some a < b in b's cell has
+    quantized cosine ≥ threshold (mirrors dedup/semantic.py exactly)."""
+    return _kmeans_assigned_prefix(n_cells, n_iter) + f""",
+dropped AS MATERIALIZED (
+  SELECT DISTINCT b.cell, b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_cosine_sql("a.qe", "b.qe")} >= {threshold}
+)
+SELECT CAST(assigned.cell AS BIGINT) AS cell,
+  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  CAST(COUNT(dropped.vec_id) AS BIGINT) AS n_dropped,
+  CAST(COUNT(*) - COUNT(dropped.vec_id) AS BIGINT) AS n_kept
+FROM assigned LEFT JOIN dropped
+  ON assigned.cell = dropped.cell AND assigned.vec_id = dropped.vec_id
+GROUP BY assigned.cell ORDER BY cell
+"""
 
 
 def _cosine_sql(a: str, b: str) -> str:
@@ -1801,6 +1844,82 @@ SELECT query_id, rank, vec_id, cosine FROM (
 """
 
     sqls["ann_topk_ivf_trained"] = _ivf_trained_sql()
+
+    sqls["semantic_dedup_stats"] = _semantic_dedup_sql()
+
+    # mirrors functions/chunking.py:doc_chunks — W=64, S=48; chunk-count
+    # law n<=W → 1 else (n-W+S-1)//S + 1; md5 fingerprint of the joined span
+    _W, _S = 64, 48
+    sqls["doc_chunks"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n FROM documents),
+chunks AS (
+  SELECT doc_id, toks, n,
+    unnest(range(0, CASE WHEN n <= {_W} THEN 1
+                         ELSE (n - {_W} + {_S} - 1) // {_S} + 1 END)) AS chunk_id
+  FROM t
+)
+SELECT doc_id,
+  CAST(chunk_id AS BIGINT) AS chunk_id,
+  CAST(chunk_id * {_S} + 1 AS BIGINT) AS start_tok,
+  CAST(LEAST(chunk_id * {_S} + {_W}, n) AS BIGINT) AS end_tok,
+  CAST(LEAST(chunk_id * {_S} + {_W}, n) - chunk_id * {_S} AS BIGINT)
+    AS n_chunk_tokens,
+  md5(array_to_string(
+    list_slice(toks, CAST(chunk_id * {_S} + 1 AS BIGINT),
+               CAST(LEAST(chunk_id * {_S} + {_W}, n) AS BIGINT)), ' '))
+    AS chunk_md5
+FROM chunks ORDER BY doc_id, chunk_id
+"""
+
+    # mirrors functions/lm.py:lm_bigram_scores — md5-half train split
+    # (sampling.hash_sample_flag, rate 0.5, denom 10000), bigram counts over
+    # the train split, held-out docs scored by coverage against the model
+    _LMBUCKET = (
+        "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+        " % 10000)"
+    )
+    sqls["lm_bigram_scores"] = f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, {_TOKS} AS toks, ({_LMBUCKET} < 5000) AS in_train
+  FROM documents
+),
+b AS MATERIALIZED (
+  SELECT doc_id, in_train,
+    CASE WHEN len(toks) >= 2
+         THEN list_transform(range(1, len(toks)),
+                i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+         ELSE CAST([] AS VARCHAR[]) END AS bigrams
+  FROM t
+),
+model AS MATERIALIZED (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(bigrams) AS bigram FROM b WHERE in_train)
+  GROUP BY bigram
+),
+ex AS (
+  SELECT doc_id, unnest(bigrams) AS bigram FROM b WHERE NOT in_train
+),
+agg AS (
+  SELECT ex.doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+    CAST(SUM(CASE WHEN m.cnt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS known_bigrams,
+    CAST(COALESCE(SUM(m.cnt), 0) AS BIGINT) AS hit_weight
+  FROM ex LEFT JOIN model m USING (bigram)
+  GROUP BY ex.doc_id
+)
+SELECT b.doc_id,
+  CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  CAST(COALESCE(a.known_bigrams, 0) AS BIGINT) AS known_bigrams,
+  CAST(COALESCE(a.n_bigrams - a.known_bigrams, 0) AS BIGINT) AS novel_bigrams,
+  CAST(COALESCE(a.hit_weight, 0) AS BIGINT) AS hit_weight,
+  CASE WHEN COALESCE(a.n_bigrams, 0) > 0
+       THEN CAST(a.known_bigrams AS DOUBLE) / CAST(a.n_bigrams AS DOUBLE)
+  END AS coverage
+FROM b LEFT JOIN agg a USING (doc_id)
+WHERE NOT b.in_train
+ORDER BY b.doc_id
+"""
 
     sqls["doc_repetition_stats"] = f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

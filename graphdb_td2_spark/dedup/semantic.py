@@ -1,0 +1,123 @@
+"""SemDeDup-style semantic deduplication: trained k-means cells + within-cell
+cosine pruning (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+through semantic deduplication", 2023 — public arXiv 2303.09540).
+
+The production recipe for pruning semantically-redundant training data:
+cluster the embedding space with k-means, then compare vectors ONLY within
+their cluster and drop all but one member of every near-duplicate group.
+This is the trained-cell sibling of
+:func:`graphdb_td2_spark.dedup.embedding.embedding_neardup_pairs` (which
+blocks on the corpus ``label`` column): here the blocking key is LEARNED, so
+the operator works on corpora with no label column at all — the common case
+for web-scale training data.
+
+Spark-first shape (no reference counterpart — the reference has no vector
+tier; its nearest analogue is the co-occurrence dedup in app/etl.py):
+
+- clustering reuses :func:`graphdb_td2_spark.similarity.ann.train_ivf_centroids`
+  — deterministic md5 order-statistics init + exact-integer Lloyd steps, so
+  the DuckDB oracle can unroll it as chained CTEs and value-hash exactly;
+- cell assignment is the shared broadcast-centroids argmax scan
+  (:func:`graphdb_td2_spark.similarity.ann._assign_cells`) — corpus-sized
+  shuffle-free map + one n-row partial-agg shuffle;
+- the quadratic term is bounded per cell: the self-join shuffles on ``cell``
+  and compares ~ (n/k)² pairs per cell instead of n² overall. At 100 TB,
+  k scales with the corpus (FAISS-style √n cells) to keep cells bounded;
+  degenerate cells would be capped the same way the LSH bucket join caps
+  hot buckets (dedup/minhash.py BUCKET_CAP).
+- keep-policy is deterministic: within a cell, a vector is dropped iff a
+  LOWER-id vector sits within ``threshold`` cosine — one semi-join, no
+  iterative union-find needed (the transitive-closure variant is
+  dedup/clusters.py; SemDeDup's published policy is this one-pass prune).
+
+Cosine uses the quantized-exact formulation
+(:mod:`graphdb_td2_spark.functions.vectors`) so Spark and DuckDB agree
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import read_table
+from ..functions.vectors import cosine_similarity_q, quantize_embedding
+from ..similarity.ann import KMEANS_ITER, N_CELLS, _assign_cells, train_ivf_centroids
+
+# Same near-dup bar as the label-blocked variant (dedup/embedding.py), so the
+# two operators are directly comparable on the corpus.
+SEM_THRESHOLD = 0.35
+
+
+def semantic_cells(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = N_CELLS,
+    n_iter: int = KMEANS_ITER,
+) -> DataFrame:
+    """(vec_id, qe, cell): every embedding assigned to its trained k-means
+    cell. Shared by the stats entry and tests."""
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    corpus = emb.select(
+        "vec_id", quantize_embedding(F.col("embedding")).alias("qe")
+    )
+    centroids = train_ivf_centroids(spark, corpus, n_cells, n_iter)
+    return _assign_cells(corpus, centroids)
+
+
+def semantic_dropped(assigned: DataFrame, threshold: float = SEM_THRESHOLD) -> DataFrame:
+    """(cell, vec_id) of vectors dropped by the one-pass SemDeDup policy:
+    vec b is dropped iff some a < b in the same cell has cos(a, b) ≥ τ.
+
+    A left-semi join keeps the output linear in the number of dropped
+    vectors (the pair set itself is never materialized past the join)."""
+    a = assigned.select(
+        F.col("cell").alias("a_cell"),
+        F.col("vec_id").alias("a_id"),
+        F.col("qe").alias("a_qe"),
+    )
+    b = assigned.select(
+        F.col("cell"), F.col("vec_id").alias("b_id"), F.col("qe").alias("b_qe")
+    )
+    return (
+        b.join(
+            a,
+            (F.col("a_cell") == F.col("cell"))
+            & (F.col("a_id") < F.col("b_id"))
+            & (cosine_similarity_q(F.col("a_qe"), F.col("b_qe")) >= F.lit(threshold)),
+            "left_semi",
+        )
+        .select(F.col("cell"), F.col("b_id").alias("vec_id"))
+    )
+
+
+def semantic_dedup_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = N_CELLS,
+    n_iter: int = KMEANS_ITER,
+    threshold: float = SEM_THRESHOLD,
+) -> DataFrame:
+    """Registry entry: per-cell SemDeDup summary — cluster size, vectors
+    dropped by the one-pass prune, vectors kept.
+
+    Columns: cell, n_vecs, n_dropped, n_kept (all BIGINT; exact)."""
+    assigned = semantic_cells(spark, sf_dir, n_cells, n_iter)
+    dropped = (
+        semantic_dropped(assigned, threshold)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .join(dropped, "cell", "left")
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long").alias("n_dropped"),
+            (F.col("n_vecs") - F.coalesce(F.col("n_dropped"), F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("cell")
+    )

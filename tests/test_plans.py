@@ -188,3 +188,47 @@ def test_cms_probe_is_broadcast(spark):
     # a shuffle join over either tiny side is a regression
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_within_cell_equi_join(spark):
+    import re
+
+    plan = _plan(spark, "semantic_dedup_stats")
+    # the quadratic term must be blocked: an equi self-join on the trained
+    # cell id, compiled as a LEFT SEMI (dropped-set probe), never an
+    # all-pairs product. The ONLY nested-loop join allowed is the broadcast
+    # of the 8 centroids into the corpus scan (the assignment path — same
+    # shape the ANN plans pin).
+    assert "CartesianProduct" not in plan
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cell\S*\], \[a_cell\S*\], LeftSemi",
+        plan,
+    ), plan[:1500]
+    assert plan.count("BroadcastNestedLoopJoin") == plan.count(
+        "BroadcastNestedLoopJoin BuildRight, Cross"
+    )
+
+
+def test_doc_chunks_is_narrow_explode(spark):
+    """Chunk extraction is scan → generate — any join or aggregation in
+    the plan means the shape regressed."""
+    import re
+
+    plan = _plan(spark, "doc_chunks")
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert "Generate explode" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:800]
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"doc_id", "text"}
+
+
+def test_lm_scores_broadcast_model_join(spark):
+    """The bigram model is the small side at any scale — it must broadcast
+    into the exploded held-out stream, and both aggregations must partial-
+    agg map-side."""
+    plan = _plan(spark, "lm_bigram_scores")
+    assert "BroadcastHashJoin [bigram" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
