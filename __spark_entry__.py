@@ -84,6 +84,7 @@ from graphdb_td2_spark.streaming import (
     streaming_dedup_counts,
     streaming_enriched_windows,
     streaming_event_windows,
+    streaming_session_windows,
     streaming_sliding_windows,
 )
 
@@ -203,6 +204,10 @@ DEMOTED_TAIL = (
     "lm_bigram_scores",  # KenLM-style n-gram LM coverage scoring of a
                          # held-out split (text-quality family; learned
                          # counts vs quality_filter_stats' static rules)
+    "streaming_session_windows",  # native stateful session_window variant
+                                  # of the streaming family (§2.J head
+                                  # already carries 3 checked entries);
+                                  # streaming twin of batch sessionize
 )
 
 
@@ -319,6 +324,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_stats": semantic_dedup_stats,
         "doc_chunks": doc_chunks,
         "lm_bigram_scores": lm_bigram_scores,
+        "streaming_session_windows": streaming_session_windows,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2033,6 +2039,34 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2, 3 ORDER BY window_start, event_type
+"""
+
+    # mirrors streaming/core.py:stream_session_windows — gap rule is
+    # strict > (a gap of exactly 30 min still merges; boundary pinned by
+    # tests/test_streaming.py); session end = last ts + gap
+    sqls["streaming_session_windows"] = """
+WITH e AS (
+  SELECT user_id, event_id, ts, CAST(value AS DECIMAL(12,2)) AS v,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, v,
+    SUM(new_s) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+    ) AS sid
+  FROM e
+)
+SELECT user_id,
+  MIN(ts) AS session_start,
+  MAX(ts) + INTERVAL '30 minutes' AS session_end,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(v) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
 """
 
     sqls["triangle_stats"] = """

@@ -181,12 +181,16 @@ def stream_session_windows(
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id", F.session_window("ts", gap).alias("s"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
         .select(
             "user_id",
             F.col("s.start").alias("session_start"),
             F.col("s.end").alias("session_end"),
             "n_events",
+            "sum_value",
         )
     )
 
@@ -424,6 +428,45 @@ def streaming_enriched_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_value").cast("double").alias("sum_value"),
         )
         .orderBy("window_start", "c_mktsegment")
+    )
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: per-user SESSION windows (30-min inactivity
+    gap) as a native stateful streaming aggregation — ``F.session_window``
+    with a watermark bounding session state — run batch-finite like the
+    other entries. The streaming twin of the batch sessionizer
+    (``operators/windows.py:sessionize``); both use the same gap rule
+    (boundary pinned by test: a gap of EXACTLY the gap duration still
+    merges, so the oracle's new-session predicate is strict ``>``).
+
+    Session end is last-event-ts + gap (Spark's session_window contract),
+    which the oracle mirrors as ``MAX(ts) + INTERVAL``."""
+    import uuid
+
+    name = "stream_ssw_" + uuid.uuid4().hex[:8]
+    events = events_stream(
+        spark, sf_dir, ts_unit="auto", file_glob="events.parquet"
+    ).withColumn("value", F.col("value").cast(T.DecimalType(12, 2)))
+    q = (
+        stream_session_windows(events)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            F.col("sum_value").cast("double").alias("sum_value"),
+        )
+        .orderBy("user_id", "session_start")
     )
 
 

@@ -350,3 +350,36 @@ def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
     assert len(rows_1000) == 1 and rows_1000[0]["n"] == 2
     # the 11:30 row's window never passed the watermark -> not emitted
     assert "11:30" not in out2
+
+
+def test_session_window_boundary_gap_merges(spark, tmp_path):
+    """Pins the oracle's new-session predicate: a gap of EXACTLY the gap
+    duration (30 min) still merges into one session — Spark starts a new
+    session only when the gap is STRICTLY greater. The DuckDB oracle for
+    streaming_session_windows uses `> 1800000000` to match."""
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 10, t0, 1.0),
+        (2, 10, t0 + dt.timedelta(minutes=30), 1.0),  # exactly the gap
+        (3, 20, t0, 1.0),
+        (4, 20, t0 + dt.timedelta(minutes=30, seconds=1), 1.0),  # beyond
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    path = str(tmp_path / "ev")
+    df.write.parquet(path)
+    src = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp, value double"
+    ).parquet(path)
+    _run_to_memory(stream_session_windows(src), "session_boundary", "complete")
+    got = {
+        r.user_id: r.n_sessions
+        for r in spark.sql(
+            "SELECT user_id, COUNT(*) AS n_sessions FROM session_boundary "
+            "GROUP BY user_id"
+        ).collect()
+    }
+    assert got == {10: 1, 20: 2}
