@@ -76,7 +76,7 @@ from graphdb_td2_spark.similarity import (
     ann_topk_ivf_trained,
     ann_topk_lsh,
 )
-from graphdb_td2_spark.multimodal import multimodal_feature_stats
+from graphdb_td2_spark.multimodal import media_pool_resize, multimodal_feature_stats
 from graphdb_td2_spark.streaming.ivm import ivm_cooccurrence_top20
 from graphdb_td2_spark.streaming.dedup_stream import streaming_minhash_pairs
 from graphdb_td2_spark.streaming import (
@@ -208,6 +208,9 @@ DEMOTED_TAIL = (
                                   # of the streaming family (§2.J head
                                   # already carries 3 checked entries);
                                   # streaming twin of batch sessionize
+    "media_pool_resize",  # average-pooling RESIZE step of the multimodal
+                          # family (vectorized numpy mapInPandas;
+                          # multimodal_feature_stats checked in head)
 )
 
 
@@ -325,6 +328,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": doc_chunks,
         "lm_bigram_scores": lm_bigram_scores,
         "streaming_session_windows": streaming_session_windows,
+        "media_pool_resize": media_pool_resize,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2039,6 +2043,33 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2, 3 ORDER BY window_start, event_type
+"""
+
+    # mirrors multimodal.py:pool_resize — payload bytes hex-decoded, pool p
+    # covers bytes [p*n//P, (p+1)*n//P), value = sum // len (empty -> NULL)
+    _P = 16
+    sqls["media_pool_resize"] = f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+    hex(encode(text)) AS hx,
+    octet_length(encode(text)) AS n
+  FROM documents
+),
+px AS (
+  SELECT media_id, kind, n, hx, unnest(range(0, {_P})) AS pool_idx FROM m
+)
+SELECT media_id, kind,
+  CAST(n AS BIGINT) AS n_bytes,
+  CAST(pool_idx AS BIGINT) AS pool_idx,
+  CAST(CASE WHEN (pool_idx + 1) * n // {_P} > pool_idx * n // {_P} THEN
+    list_sum(list_transform(
+      range(pool_idx * n // {_P} + 1, (pool_idx + 1) * n // {_P} + 1),
+      i -> CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS BIGINT)))
+    // ((pool_idx + 1) * n // {_P} - pool_idx * n // {_P})
+  END AS BIGINT) AS pool_mean
+FROM px ORDER BY media_id, pool_idx
 """
 
     # mirrors streaming/core.py:stream_session_windows — gap rule is

@@ -280,3 +280,82 @@ def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+N_POOLS = 16
+
+POOL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("pool_idx", T.LongType()),
+        T.StructField("pool_mean", T.LongType()),
+    ]
+)
+
+
+def pool_resize(media: DataFrame, n_pools: int = N_POOLS) -> DataFrame:
+    """Average-pooling downsample of each payload to ``n_pools`` values —
+    the RESIZE step of a media pipeline (for the synthetic corpus the
+    payload byte-stream stands in for a decoded grayscale raster; a real
+    image path decodes first, then runs the identical pooling shape).
+
+    Vectorized numpy over Arrow batches (``np.add.reduceat`` on the
+    cumulative pool bounds — no per-byte Python), one output row per
+    (media, pool). All integer math: pool p covers bytes
+    [p·n//P, (p+1)·n//P) and its value is sum // len (empty pool → NULL),
+    so the DuckDB oracle can hex-decode the same payload and match
+    bit-for-bit."""
+    import numpy as np
+
+    def pool(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, ns, idxs, means = [], [], [], [], []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                n = len(arr)
+                bounds = (np.arange(n_pools + 1, dtype=np.int64) * n) // n_pools
+                lens = np.diff(bounds)
+                # clip indices == n (empty tail pools when n < n_pools):
+                # reduceat requires indices < n; clipped pools have len 0
+                # and are masked to NULL below anyway
+                sums = (
+                    np.add.reduceat(arr, np.minimum(bounds[:-1], n - 1))
+                    if n
+                    else np.zeros(n_pools, dtype=np.int64)
+                )
+                for p in range(n_pools):
+                    ids.append(mid)
+                    kinds.append(kind)
+                    ns.append(n)
+                    idxs.append(p)
+                    # np.add.reduceat on an empty segment returns the NEXT
+                    # element's value — guard with the exact length
+                    means.append(
+                        int(sums[p]) // int(lens[p]) if lens[p] > 0 else None
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": kinds,
+                    "n_bytes": ns,
+                    "pool_idx": idxs,
+                    "pool_mean": pd.array(means, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(pool, POOL_SCHEMA)
+
+
+def media_pool_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the synthesized media table average-pooled to 16
+    values per item — the full resize plumbing (binary column → Arrow
+    batches → vectorized pooling → typed rows), exactly oracle-checkable
+    because the pooling is integer-exact."""
+    media = synthesize_media(
+        read_table(spark, sf_dir, "documents", ["doc_id", "text", "source", "lang"])
+    ).repartition(max(2, spark.sparkContext.defaultParallelism // 4))
+    return pool_resize(media).orderBy("media_id", "pool_idx")

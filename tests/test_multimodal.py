@@ -163,3 +163,42 @@ def test_feature_stats_totals(spark):
     ).collect()[0].s
     assert sum(r.total_bytes for r in stats) == total
     assert sum(r.n_media for r in stats) == docs.count()
+
+
+def test_pool_resize_matches_python_reference(spark, media):
+    from graphdb_td2_spark.multimodal import N_POOLS, pool_resize
+
+    sample = media.limit(20)
+    got = {
+        (r["media_id"], r["pool_idx"]): (r["n_bytes"], r["pool_mean"])
+        for r in pool_resize(sample).collect()
+    }
+    for row in sample.collect():
+        arr = bytes(row["payload"])
+        n = len(arr)
+        for p in range(N_POOLS):
+            lo, hi = p * n // N_POOLS, (p + 1) * n // N_POOLS
+            want = sum(arr[lo:hi]) // (hi - lo) if hi > lo else None
+            assert got[(row["media_id"], p)] == (n, want)
+
+
+def test_pool_resize_short_and_empty_payloads(spark):
+    """Payloads shorter than the pool count (and empty ones) must yield
+    NULL for the empty pools, not crash the reduceat path."""
+    from graphdb_td2_spark.multimodal import N_POOLS, pool_resize
+
+    rows = [(1, "image", bytearray(b"abc"), (3, "s", "en")),
+            (2, "audio", bytearray(b""), (0, "s", "en"))]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, "
+        "meta struct<n_bytes:long, source:string, lang:string>",
+    )
+    out = {(r["media_id"], r["pool_idx"]): r["pool_mean"]
+           for r in pool_resize(df).collect()}
+    assert len(out) == 2 * N_POOLS
+    # media 1: bytes a,b,c land in pools 5,10,15 (p*3//16 boundaries)
+    non_null_1 = {p for p in range(N_POOLS) if out[(1, p)] is not None}
+    assert non_null_1 == {5, 10, 15}
+    assert out[(1, 5)] == ord("a") and out[(1, 15)] == ord("c")
+    assert all(out[(2, p)] is None for p in range(N_POOLS))
