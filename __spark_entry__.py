@@ -52,6 +52,7 @@ from graphdb_td2_spark.functions import (
 from graphdb_td2_spark.functions.profile import documents_profile
 from graphdb_td2_spark.functions.chunking import doc_chunks
 from graphdb_td2_spark.functions.lm import lm_bigram_scores
+from graphdb_td2_spark.functions.bpe import bpe_merge_table
 from graphdb_td2_spark.dedup.semantic import semantic_dedup_stats
 from graphdb_td2_spark.search import bm25_doc_topk, bm25_hybrid_topk
 from graphdb_td2_spark.dedup.er import fuzzy_part_matches
@@ -211,6 +212,9 @@ DEMOTED_TAIL = (
     "media_pool_resize",  # average-pooling RESIZE step of the multimodal
                           # family (vectorized numpy mapInPandas;
                           # multimodal_feature_stats checked in head)
+    "bpe_merge_table",  # distributed BPE tokenizer training — learned
+                        # subword counterpart of the BPE-ish token-count
+                        # heuristic in token_stats (checked in head)
 )
 
 
@@ -329,6 +333,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram_scores": lm_bigram_scores,
         "streaming_session_windows": streaming_session_windows,
         "media_pool_resize": media_pool_resize,
+        "bpe_merge_table": bpe_merge_table,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -815,6 +820,57 @@ FROM assigned LEFT JOIN dropped
   ON assigned.cell = dropped.cell AND assigned.vec_id = dropped.vec_id
 GROUP BY assigned.cell ORDER BY cell
 """
+
+
+def _bpe_sql(n_merges: int = 24) -> str:
+    """BPE training unrolled as chained CTEs (the LPA/k-means pattern),
+    mirroring ``functions/bpe.py:train_bpe`` exactly: code-point alphabet,
+    weighted adjacent-pair counts, argmax with (count DESC, lhs, rhs)
+    tie-break, and the identical left-to-right non-overlapping merge fold
+    (``list_reduce`` over a chr(1)-delimited accumulator)."""
+
+    def fold(m: str) -> str:
+        return (
+            "string_split(list_reduce(syms, (acc, x) -> "
+            f"CASE WHEN (acc = {m}.a OR ends_with(acc, chr(1) || {m}.a))"
+            f" AND x = {m}.b THEN acc || {m}.b"
+            " ELSE acc || chr(1) || x END), chr(1))"
+        )
+
+    parts = [f"""
+WITH wc AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_TOKS}) AS word FROM documents) GROUP BY word
+),
+w0 AS MATERIALIZED (
+  SELECT word, cnt, regexp_extract_all(word, '.') AS syms FROM wc
+)"""]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        parts.append(f""",
+p{r} AS MATERIALIZED (
+  SELECT (pr).a AS a, (pr).b AS b, CAST(SUM(cnt) AS BIGINT) AS total FROM (
+    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+      i -> struct_pack(a := syms[i], b := syms[i + 1]))) AS pr
+    FROM w{p} WHERE len(syms) >= 2
+  ) GROUP BY 1, 2
+),
+m{r} AS MATERIALIZED (
+  SELECT a, b, total FROM p{r} ORDER BY total DESC, a, b LIMIT 1
+),
+w{r} AS MATERIALIZED (
+  SELECT word, cnt, {fold(f"m{r}")} AS syms FROM w{p} CROSS JOIN m{r}
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS rank, a AS lhs, b AS rhs, a || b AS merged,"
+        f" total AS pair_count FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    parts.append(f"""
+SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, merged, pair_count
+FROM ({union}) ORDER BY rank
+""")
+    return "".join(parts)
 
 
 def _cosine_sql(a: str, b: str) -> str:
@@ -1856,6 +1912,8 @@ SELECT query_id, rank, vec_id, cosine FROM (
     sqls["ann_topk_ivf_trained"] = _ivf_trained_sql()
 
     sqls["semantic_dedup_stats"] = _semantic_dedup_sql()
+
+    sqls["bpe_merge_table"] = _bpe_sql()
 
     # mirrors functions/chunking.py:doc_chunks — W=64, S=48; chunk-count
     # law n<=W → 1 else (n-W+S-1)//S + 1; md5 fingerprint of the joined span
