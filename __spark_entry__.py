@@ -53,6 +53,7 @@ from graphdb_td2_spark.functions.profile import documents_profile
 from graphdb_td2_spark.functions.chunking import doc_chunks
 from graphdb_td2_spark.functions.lm import lm_bigram_scores
 from graphdb_td2_spark.functions.bpe import bpe_merge_table
+from graphdb_td2_spark.functions.bloom import bloom_urgent_order_events
 from graphdb_td2_spark.dedup.semantic import semantic_dedup_stats
 from graphdb_td2_spark.search import bm25_doc_topk, bm25_hybrid_topk
 from graphdb_td2_spark.dedup.er import fuzzy_part_matches
@@ -215,6 +216,10 @@ DEMOTED_TAIL = (
     "bpe_merge_table",  # distributed BPE tokenizer training — learned
                         # subword counterpart of the BPE-ish token-count
                         # heuristic in token_stats (checked in head)
+    "bloom_urgent_order_events",  # bloom-pre-filtered variant of the
+                                  # semi-join family (urgent_customers
+                                  # checked in head); runtime-filter
+                                  # pattern as an explicit artifact
 )
 
 
@@ -334,6 +339,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_windows": streaming_session_windows,
         "media_pool_resize": media_pool_resize,
         "bpe_merge_table": bpe_merge_table,
+        "bloom_urgent_order_events": bloom_urgent_order_events,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -1914,6 +1920,19 @@ SELECT query_id, rank, vec_id, cosine FROM (
     sqls["semantic_dedup_stats"] = _semantic_dedup_sql()
 
     sqls["bpe_merge_table"] = _bpe_sql()
+
+    # functions/bloom.py:bloom_urgent_order_events — the bloom is a
+    # PRE-filter followed by the exact semi-join, so the oracle is the
+    # plain semi-join (false positives never reach the output)
+    sqls["bloom_urgent_order_events"] = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = e.user_id AND o.o_orderpriority = '1-URGENT'
+)
+GROUP BY event_type ORDER BY event_type
+"""
 
     # mirrors functions/chunking.py:doc_chunks — W=64, S=48; chunk-count
     # law n<=W → 1 else (n-W+S-1)//S + 1; md5 fingerprint of the joined span
