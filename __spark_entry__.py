@@ -54,6 +54,7 @@ from graphdb_td2_spark.functions.chunking import doc_chunks
 from graphdb_td2_spark.functions.lm import lm_bigram_scores
 from graphdb_td2_spark.functions.bpe import bpe_merge_table
 from graphdb_td2_spark.functions.bloom import bloom_urgent_order_events
+from graphdb_td2_spark.pipeline import clean_corpus_stats
 from graphdb_td2_spark.dedup.semantic import semantic_dedup_stats
 from graphdb_td2_spark.search import bm25_doc_topk, bm25_hybrid_topk
 from graphdb_td2_spark.dedup.er import fuzzy_part_matches
@@ -220,6 +221,10 @@ DEMOTED_TAIL = (
                                   # semi-join family (urgent_customers
                                   # checked in head); runtime-filter
                                   # pattern as an explicit artifact
+    "clean_corpus_stats",  # end-to-end cleaning funnel COMPOSING the
+                           # head-checked dedup/quality/decontam
+                           # operators — no new primitive, only the
+                           # production pipeline shape
 )
 
 
@@ -340,6 +345,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pool_resize": media_pool_resize,
         "bpe_merge_table": bpe_merge_table,
         "bloom_urgent_order_events": bloom_urgent_order_events,
+        "clean_corpus_stats": clean_corpus_stats,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -877,6 +883,98 @@ SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, merged, pair_count
 FROM ({union}) ORDER BY rank
 """)
     return "".join(parts)
+
+
+def _clean_corpus_sql() -> str:
+    """The cleaning funnel (pipeline.py:clean_corpus_stats) as chained
+    CTEs reusing the SAME fragments as the component oracles: normalized
+    digests (exact_dedup_stats), capped LSH buckets (minhash_lsh_pairs),
+    the QF_* integer rules (quality_filter_stats), and the shingle-overlap
+    decontamination (contamination_overlap)."""
+    from graphdb_td2_spark.functions.text import (
+        CONTAM_EVAL_DOCS,
+        CONTAM_MIN_SHARED,
+        LANG_LEXICONS as _LEX,
+        QF_MAX_MEAN_LEN_NUM,
+        QF_MAX_TOKENS,
+        QF_MIN_MEAN_LEN_NUM,
+        QF_MIN_STOP_HITS,
+        QF_MIN_TOKENS,
+        QF_TTR_DEN,
+        QF_TTR_NUM,
+    )
+
+    all_words = ", ".join(
+        f"'{w}'" for lex in _LEX.values() for w in lex
+    )
+    n_ev, min_sh = CONTAM_EVAL_DOCS, CONTAM_MIN_SHARED
+    return f"""
+WITH dgs AS MATERIALIZED (
+  SELECT doc_id, source,
+    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS dg
+  FROM documents
+),
+s1 AS MATERIALIZED (
+  SELECT doc_id, source,
+    (doc_id = MIN(doc_id) OVER (PARTITION BY dg)) AS s_exact
+  FROM dgs
+),
+sigs AS MATERIALIZED ({_minhash_sig_sql()}),
+raw_buckets AS MATERIALIZED ({_band_buckets_sql()}),
+buckets AS MATERIALIZED ({_CAPPED_BUCKETS}),
+nd AS MATERIALIZED (
+  SELECT DISTINCT b.doc_id AS doc_id, TRUE AS is_nd
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+q AS MATERIALIZED (
+  SELECT doc_id,
+    (n_tok >= {QF_MIN_TOKENS} AND n_tok <= {QF_MAX_TOKENS}
+     AND total_len >= {QF_MIN_MEAN_LEN_NUM} * n_tok
+     AND total_len <= {QF_MAX_MEAN_LEN_NUM} * n_tok
+     AND {QF_TTR_DEN} * n_distinct >= {QF_TTR_NUM} * n_tok
+     AND stop_hits >= {QF_MIN_STOP_HITS}) AS q_ok
+  FROM (
+    SELECT doc_id, len(toks) AS n_tok,
+      list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS total_len,
+      len(list_distinct(toks)) AS n_distinct,
+      len(list_filter(toks, t -> list_contains([{all_words}], t))) AS stop_hits
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+  )
+),
+sh AS MATERIALIZED (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+ct AS MATERIALIZED (
+  SELECT DISTINCT doc_id, TRUE AS is_ct FROM (
+    SELECT c.doc_id
+    FROM (SELECT doc_id, shingle FROM sh WHERE doc_id >= {n_ev}) c
+    JOIN (SELECT doc_id AS eval_doc_id, shingle FROM sh WHERE doc_id < {n_ev}) ev
+      USING (shingle)
+    GROUP BY c.doc_id, ev.eval_doc_id
+    HAVING COUNT(*) >= {min_sh}
+  )
+),
+f AS (
+  SELECT s1.source,
+    s_exact,
+    (s_exact AND nd.is_nd IS NULL) AS s_neardup,
+    (s_exact AND nd.is_nd IS NULL AND q.q_ok) AS s_quality,
+    (s_exact AND nd.is_nd IS NULL AND q.q_ok AND ct.is_ct IS NULL
+     AND s1.doc_id >= {n_ev}) AS s_clean
+  FROM s1
+  LEFT JOIN nd USING (doc_id)
+  LEFT JOIN q USING (doc_id)
+  LEFT JOIN ct USING (doc_id)
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN s_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+  CAST(SUM(CASE WHEN s_neardup THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
+  CAST(SUM(CASE WHEN s_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+  CAST(SUM(CASE WHEN s_clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+  CAST(SUM(CASE WHEN s_clean THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS clean_share
+FROM f GROUP BY source ORDER BY source
+"""
 
 
 def _cosine_sql(a: str, b: str) -> str:
@@ -1920,6 +2018,8 @@ SELECT query_id, rank, vec_id, cosine FROM (
     sqls["semantic_dedup_stats"] = _semantic_dedup_sql()
 
     sqls["bpe_merge_table"] = _bpe_sql()
+
+    sqls["clean_corpus_stats"] = _clean_corpus_sql()
 
     # functions/bloom.py:bloom_urgent_order_events — the bloom is a
     # PRE-filter followed by the exact semi-join, so the oracle is the
