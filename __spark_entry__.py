@@ -79,6 +79,8 @@ from graphdb_td2_spark.similarity import (
     ann_topk_ivf_trained,
     ann_topk_lsh,
 )
+from graphdb_td2_spark.similarity.pq import pq_adc_topk
+from graphdb_td2_spark.operators.transitions import event_transition_matrix
 from graphdb_td2_spark.multimodal import media_pool_resize, multimodal_feature_stats
 from graphdb_td2_spark.streaming.ivm import ivm_cooccurrence_top20
 from graphdb_td2_spark.streaming.dedup_stream import streaming_minhash_pairs
@@ -225,6 +227,11 @@ DEMOTED_TAIL = (
                            # head-checked dedup/quality/decontam
                            # operators — no new primitive, only the
                            # production pipeline shape
+    "pq_adc_topk",  # product-quantization ADC variant of the ANN family
+                    # (compressed-code index; ann_topk_* checked in head)
+    "event_transition_matrix",  # per-user lag + pair-count variant of the
+                                # window family (user_event_deltas checked
+                                # in head); Markov next-event profile
 )
 
 
@@ -346,6 +353,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_table": bpe_merge_table,
         "bloom_urgent_order_events": bloom_urgent_order_events,
         "clean_corpus_stats": clean_corpus_stats,
+        "pq_adc_topk": pq_adc_topk,
+        "event_transition_matrix": event_transition_matrix,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2020,6 +2029,66 @@ SELECT query_id, rank, vec_id, cosine FROM (
     sqls["bpe_merge_table"] = _bpe_sql()
 
     sqls["clean_corpus_stats"] = _clean_corpus_sql()
+
+    # similarity/pq.py:pq_adc_topk — same deterministic id-codebook, exact
+    # integer squared-L2 math end to end (assignment, LUT, ADC sum)
+    _sq = "list_sum(list_transform(range(1, 17), i -> (s.sub[i] - cb.cw[i]) * (s.sub[i] - cb.cw[i])))"
+    sqls["pq_adc_topk"] = f"""
+WITH q AS (SELECT vec_id, {_QE} AS qe FROM embeddings),
+sub AS MATERIALIZED (
+  SELECT vec_id, m, list_transform(range(1, 17), i -> qe[m * 16 + i]) AS sub
+  FROM q CROSS JOIN (SELECT unnest(range(0, 4)) AS m)
+),
+cb AS MATERIALIZED (SELECT m, vec_id AS code_id, sub AS cw FROM sub WHERE vec_id < 8),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, cb.code_id AS code,
+      row_number() OVER (
+        PARTITION BY s.vec_id, s.m ORDER BY {_sq} ASC, cb.code_id ASC
+      ) AS rn
+    FROM sub s JOIN cb ON s.m = cb.m
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT s.vec_id AS query_id, s.m, cb.code_id AS code, {_sq} AS dist
+  FROM sub s JOIN cb ON s.m = cb.m
+  WHERE s.vec_id < 5
+),
+scored AS (
+  SELECT query_id, c.vec_id AS vec_id, CAST(SUM(dist) AS BIGINT) AS adc_dist
+  FROM codes c JOIN lut ON c.m = lut.m AND c.code = lut.code
+  WHERE c.vec_id <> query_id
+  GROUP BY query_id, c.vec_id
+)
+SELECT query_id, rank, vec_id, adc_dist FROM (
+  SELECT query_id, vec_id, adc_dist,
+    CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC
+    ) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+    # operators/transitions.py:event_transition_matrix — canonical per-user
+    # order is (ts, event_id); probability is one IEEE division
+    sqls["event_transition_matrix"] = """
+WITH seq AS (
+  SELECT event_type,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n_trans,
+  CAST(SUM(n_trans) OVER (PARTITION BY prev_type) AS BIGINT) AS n_from,
+  CAST(n_trans AS DOUBLE)
+    / CAST(SUM(n_trans) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+FROM pairs ORDER BY prev_type, next_type
+"""
 
     # functions/bloom.py:bloom_urgent_order_events — the bloom is a
     # PRE-filter followed by the exact semi-join, so the oracle is the

@@ -1,0 +1,150 @@
+"""Product-quantization (PQ) ANN over the ``embeddings`` table — the
+memory-compression counterpart of the IVF index in :mod:`.ann`.
+
+PQ (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+TPAMI 2011) splits each d-dim vector into ``M`` subvectors and quantizes
+each subspace independently against a tiny per-subspace codebook: a vector
+is stored as ``M`` small code ids instead of ``d`` floats (here 64
+components → 4 codes, the canonical ~64× compression that lets a 100 TB
+embedding corpus live in cluster memory as codes). Search is **ADC**
+(asymmetric distance computation): the query precomputes a ``M × k_sub``
+lookup table of exact subspace distances to every codeword, and each
+candidate's distance is just the sum of ``M`` table entries — no decode.
+
+Engine mapping (all Catalyst built-ins, zero UDFs):
+
+- **codebook**: the ``k_sub`` lowest-id vectors' subvectors per subspace —
+  the same deterministic, training-free quantizer as ``ann_topk_ivf``'s
+  coarse centroids, so the DuckDB oracle reproduces the index exactly (a
+  production index plugs per-subspace k-means into the identical plan;
+  ``train_ivf_centroids`` shows the trainer shape).
+- **encode**: explode each vector into its ``M`` subvectors (narrow),
+  broadcast-join the codebook per subspace, argmin exact-integer squared
+  L2 via ``min_by`` — the groupBy gets map-side partial aggregation.
+- **ADC search**: the code table joins the broadcast LUT on
+  ``(m, code)``; per (query, vector) the distance is ``sum(dist)`` over
+  the M subspaces — an exact BIGINT (quantized components → integer
+  squared L2 → integer sum), so ranking is bit-stable across engines and
+  partitionings, and the whole scoring pass is one map-side-combined
+  aggregation over the compressed codes.
+
+Scale notes: the codes relation is the index — n·M tiny ints, the only
+thing the scoring pass scans (the raw vectors are never touched at query
+time, which is the point of PQ). LUT is q·M·k_sub rows, broadcast. The
+only shuffle is the (query_id, vec_id) partial-agg sum and the per-query
+top-k window (q partitions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..io import read_table
+from ..functions.vectors import quantize_embedding
+
+M_SUBSPACES = 4
+SUB_DIM = 16  # 64-dim corpus vectors → 4 × 16
+K_SUB = 8  # codewords per subspace
+DEFAULT_K = 5
+DEFAULT_N_QUERIES = 5
+
+
+def _subvectors(df: DataFrame, vec_col: str, id_cols: list[str]) -> DataFrame:
+    """Explode ``vec_col`` (array<long>, dim M·SUB_DIM) into one row per
+    subspace: ``(*id_cols, m, sub)`` — a narrow projection, no shuffle."""
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(m).cast("long").alias("m"),
+                F.slice(F.col(vec_col), m * SUB_DIM + 1, SUB_DIM).alias("sub"),
+            )
+            for m in range(M_SUBSPACES)
+        ]
+    )
+    return df.select(*id_cols, F.explode(subs).alias("s")).select(
+        *id_cols, F.col("s.m").alias("m"), F.col("s.sub").alias("sub")
+    )
+
+
+def _sq_l2(a, b):
+    """Exact integer squared L2 between two quantized subvectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebook(corpus: DataFrame, k_sub: int = K_SUB) -> DataFrame:
+    """``(m, code_id, sub)`` — per-subspace codebook from the ``k_sub``
+    lowest-id vectors (deterministic id-quantizer; see module docstring)."""
+    return _subvectors(
+        corpus.filter(F.col("vec_id") < k_sub), "qe", ["vec_id"]
+    ).select("m", F.col("vec_id").alias("code_id"), "sub")
+
+
+def pq_encode(corpus: DataFrame, codebook: DataFrame) -> DataFrame:
+    """``(vec_id, m, code)`` — the compressed index: per subspace, the
+    codeword minimizing exact squared L2 (ties → lowest code_id)."""
+    return (
+        _subvectors(corpus, "qe", ["vec_id"])
+        .join(F.broadcast(codebook.withColumnRenamed("sub", "cw")), "m")
+        .select(
+            "vec_id",
+            "m",
+            "code_id",
+            _sq_l2(F.col("sub"), F.col("cw")).alias("dist"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min_by("code_id", F.struct(F.col("dist"), F.col("code_id"))).alias(
+                "code"
+            )
+        )
+    )
+
+
+def pq_adc_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = DEFAULT_K,
+    n_queries: int = DEFAULT_N_QUERIES,
+    k_sub: int = K_SUB,
+) -> DataFrame:
+    """Registry entry: PQ/ADC approximate top-k —
+    ``(query_id, rank, vec_id, adc_dist)``, nearest first.
+
+    ``adc_dist`` is the exact-integer ADC squared L2 (sum of M codeword
+    distances), so smaller is closer and the ranking is deterministic
+    (ties → lowest vec_id)."""
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    corpus = emb.select("vec_id", quantize_embedding(F.col("embedding")).alias("qe"))
+    codebook = pq_codebook(corpus, k_sub)
+    codes = pq_encode(corpus, codebook)
+
+    queries = corpus.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("qe").alias("query_qe")
+    )
+    lut = (
+        _subvectors(queries, "query_qe", ["query_id"])
+        .join(F.broadcast(codebook.withColumnRenamed("sub", "cw")), "m")
+        .select(
+            "query_id",
+            "m",
+            F.col("code_id").alias("code"),
+            _sq_l2(F.col("sub"), F.col("cw")).alias("dist"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dist").cast("long").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "adc_dist")
+        .orderBy("query_id", "rank")
+    )
