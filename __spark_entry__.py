@@ -81,6 +81,7 @@ from graphdb_td2_spark.similarity import (
 )
 from graphdb_td2_spark.similarity.pq import pq_adc_topk
 from graphdb_td2_spark.operators.transitions import event_transition_matrix
+from graphdb_td2_spark.graph.walks import product_random_walks
 from graphdb_td2_spark.multimodal import media_pool_resize, multimodal_feature_stats
 from graphdb_td2_spark.streaming.ivm import ivm_cooccurrence_top20
 from graphdb_td2_spark.streaming.dedup_stream import streaming_minhash_pairs
@@ -232,6 +233,9 @@ DEMOTED_TAIL = (
     "event_transition_matrix",  # per-user lag + pair-count variant of the
                                 # window family (user_event_deltas checked
                                 # in head); Markov next-event profile
+    "product_random_walks",  # hash-seeded DeepWalk corpus over the same
+                             # co-purchase adjacency as
+                             # top_cooccurrence_pairs (checked in head)
 )
 
 
@@ -355,6 +359,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus_stats": clean_corpus_stats,
         "pq_adc_topk": pq_adc_topk,
         "event_transition_matrix": event_transition_matrix,
+        "product_random_walks": product_random_walks,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2067,6 +2072,51 @@ SELECT query_id, rank, vec_id, adc_dist FROM (
     ) AS BIGINT) AS rank
   FROM scored
 ) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+    # graph/walks.py:product_random_walks — hash-seeded deterministic
+    # walks; each step CTE replays min-md5 next-hop choice
+    _steps = []
+    for s in range(1, 5):
+        prev = "w0" if s == 1 else f"s{s - 1}"
+        _steps.append(
+            f"""s{s} AS (
+  SELECT walk_id, dst AS node FROM (
+    SELECT w.walk_id, adj.dst,
+      row_number() OVER (
+        PARTITION BY w.walk_id
+        ORDER BY md5(concat_ws('|', CAST(w.walk_id AS VARCHAR), '{s}',
+                               CAST(adj.dst AS VARCHAR))) ASC, adj.dst ASC
+      ) AS rn
+    FROM {prev} w JOIN adj ON w.node = adj.src
+  ) WHERE rn = 1
+)"""
+        )
+    _step_ctes = ",\n".join(_steps)
+    _walk_union = "\nUNION ALL\n".join(
+        f"SELECT walk_id, CAST({s} AS BIGINT) AS step, node FROM s{s}"
+        for s in range(1, 5)
+    )
+    sqls["product_random_walks"] = f"""
+WITH items AS (SELECT l_orderkey AS order_id, l_partkey AS product_id FROM lineitem),
+adj AS MATERIALIZED (
+  SELECT DISTINCT a.product_id AS src, b.product_id AS dst
+  FROM items a JOIN items b
+    ON a.order_id = b.order_id AND a.product_id <> b.product_id
+),
+starts AS (
+  SELECT src FROM (SELECT DISTINCT src FROM adj) ORDER BY src LIMIT 20
+),
+w0 AS (
+  SELECT CAST(src * 2 + j AS BIGINT) AS walk_id, src AS node
+  FROM starts CROSS JOIN (SELECT unnest([0, 1]) AS j)
+),
+{_step_ctes}
+SELECT walk_id, step, node FROM (
+  SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM w0
+  UNION ALL
+  {_walk_union}
+) ORDER BY walk_id, step
 """
 
     # operators/transitions.py:event_transition_matrix — canonical per-user
