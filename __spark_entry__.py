@@ -82,6 +82,7 @@ from graphdb_td2_spark.similarity import (
 from graphdb_td2_spark.similarity.pq import pq_adc_topk
 from graphdb_td2_spark.operators.transitions import event_transition_matrix
 from graphdb_td2_spark.graph.walks import product_random_walks
+from graphdb_td2_spark.operators.cdc import cdc_customer_state
 from graphdb_td2_spark.multimodal import media_pool_resize, multimodal_feature_stats
 from graphdb_td2_spark.streaming.ivm import ivm_cooccurrence_top20
 from graphdb_td2_spark.streaming.dedup_stream import streaming_minhash_pairs
@@ -236,6 +237,9 @@ DEMOTED_TAIL = (
     "product_random_walks",  # hash-seeded DeepWalk corpus over the same
                              # co-purchase adjacency as
                              # top_cooccurrence_pairs (checked in head)
+    "cdc_customer_state",  # delete-tombstone changelog collapse — the
+                           # LWW family (D4/D5 checked in head) extended
+                           # with CDC op semantics
 )
 
 
@@ -360,6 +364,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": pq_adc_topk,
         "event_transition_matrix": event_transition_matrix,
         "product_random_walks": product_random_walks,
+        "cdc_customer_state": cdc_customer_state,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2117,6 +2122,26 @@ SELECT walk_id, step, node FROM (
   UNION ALL
   {_walk_union}
 ) ORDER BY walk_id, step
+"""
+
+    # operators/cdc.py:cdc_customer_state — LWW by version, D = tombstone
+    sqls["cdc_customer_state"] = """
+WITH ch AS (
+  SELECT o_custkey AS key, o_orderkey AS version,
+    CASE o_orderstatus WHEN 'O' THEN 'I' WHEN 'F' THEN 'U' ELSE 'D' END AS op,
+    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+),
+last AS (
+  SELECT key, op, price_cents FROM (
+    SELECT key, op, price_cents,
+      row_number() OVER (PARTITION BY key ORDER BY version DESC, op DESC) AS rn
+    FROM ch
+  ) WHERE rn = 1
+)
+SELECT op, CAST(COUNT(*) AS BIGINT) AS n_keys,
+  CAST(SUM(price_cents) AS BIGINT) AS total_cents
+FROM last WHERE op <> 'D' GROUP BY op ORDER BY op
 """
 
     # operators/transitions.py:event_transition_matrix — canonical per-user
