@@ -83,6 +83,7 @@ from graphdb_td2_spark.similarity.pq import pq_adc_topk
 from graphdb_td2_spark.operators.transitions import event_transition_matrix
 from graphdb_td2_spark.graph.walks import product_random_walks
 from graphdb_td2_spark.operators.cdc import cdc_customer_state
+from graphdb_td2_spark.dedup.substrings import repeated_ngram_stats
 from graphdb_td2_spark.multimodal import media_pool_resize, multimodal_feature_stats
 from graphdb_td2_spark.streaming.ivm import ivm_cooccurrence_top20
 from graphdb_td2_spark.streaming.dedup_stream import streaming_minhash_pairs
@@ -240,6 +241,9 @@ DEMOTED_TAIL = (
     "cdc_customer_state",  # delete-tombstone changelog collapse — the
                            # LWW family (D4/D5 checked in head) extended
                            # with CDC op semantics
+    "repeated_ngram_stats",  # shingle-DF repeated-span profile — the
+                             # exact-substring-dedup signal over the same
+                             # cached shingle table as minhash_lsh_pairs
 )
 
 
@@ -365,6 +369,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transition_matrix": event_transition_matrix,
         "product_random_walks": product_random_walks,
         "cdc_customer_state": cdc_customer_state,
+        "repeated_ngram_stats": repeated_ngram_stats,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2122,6 +2127,36 @@ SELECT walk_id, step, node FROM (
   UNION ALL
   {_walk_union}
 ) ORDER BY walk_id, step
+"""
+
+    # dedup/substrings.py:repeated_ngram_stats — shingle doc-frequency ≥ 2
+    # witnesses a repeated span; integer cross-multiplied flag threshold
+    sqls["repeated_ngram_stats"] = f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, source, {_SHINGLES} AS shl FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT doc_id, unnest(shl) AS shingle FROM base
+),
+dup AS (
+  SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+  WHERE df >= 2
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+  FROM sh WHERE shingle IN (SELECT shingle FROM dup) GROUP BY doc_id
+),
+per_doc_full AS (
+  SELECT b.source, CAST(len(b.shl) AS BIGINT) AS n_sh,
+         CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup
+  FROM base b LEFT JOIN per_doc p USING (doc_id)
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN n_dup * 2 >= n_sh * 1 AND n_sh > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+  CAST(SUM(n_sh) AS BIGINT) AS sum_shingles,
+  CAST(SUM(n_dup) AS BIGINT) AS sum_dup,
+  CAST(SUM(n_dup) AS DOUBLE) / CAST(SUM(n_sh) AS DOUBLE) AS dup_share
+FROM per_doc_full GROUP BY source ORDER BY source
 """
 
     # operators/cdc.py:cdc_customer_state — LWW by version, D = tombstone
