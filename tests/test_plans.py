@@ -232,3 +232,54 @@ def test_lm_scores_broadcast_model_join(spark):
     assert "BroadcastHashJoin [bigram" in plan
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
+
+
+def test_pq_adc_scoring_is_broadcast_lut_join(spark):
+    """PQ/ADC scans only the compressed code table; the LUT and codebook
+    are broadcast — a shuffle or product on the corpus side means the
+    compression shape regressed."""
+    plan = _plan(spark, "pq_adc_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin [m" in plan
+    assert "partial_min_by" in plan or "min_by" in plan
+    assert "partial_sum" in plan
+
+
+def test_transition_matrix_prunes_and_partial_aggs(spark):
+    plan = _plan(spark, "event_transition_matrix")
+    assert "Join" not in plan  # lag + two aggs, never a self-join
+    assert "partial_count" in plan
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "props" not in line and "value" not in line
+            break
+    else:
+        raise AssertionError("no ReadSchema in plan")
+
+
+def test_random_walk_steps_broadcast_the_frontier(spark):
+    from graphdb_td2_spark.graph.walks import WALK_LEN
+
+    plan = _plan(spark, "product_random_walks")
+    assert "CartesianProduct" not in plan
+    # each of the WALK_LEN steps joins the tiny frontier by broadcast;
+    # the adjacency itself is never re-shuffled per step
+    assert plan.count("BroadcastHashJoin") >= WALK_LEN
+
+
+def test_cdc_apply_is_one_joinless_hash_agg(spark):
+    plan = _plan(spark, "cdc_customer_state")
+    assert "Join" not in plan
+    assert "max_by" in plan
+
+
+def test_repeated_ngrams_semi_join_no_product(spark):
+    plan = _plan(spark, "repeated_ngram_stats")
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_clean_corpus_funnel_broadcasts_drop_lists(spark):
+    plan = _plan(spark, "clean_corpus_stats")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
