@@ -81,7 +81,7 @@ from graphdb_td2_spark.similarity import (
 )
 from graphdb_td2_spark.similarity.pq import pq_adc_topk
 from graphdb_td2_spark.operators.transitions import event_transition_matrix
-from graphdb_td2_spark.graph.walks import product_random_walks
+from graphdb_td2_spark.graph.walks import product_random_walks, walk_skipgram_pairs
 from graphdb_td2_spark.operators.cdc import cdc_customer_state
 from graphdb_td2_spark.dedup.substrings import repeated_ngram_stats
 from graphdb_td2_spark.multimodal import media_pool_resize, multimodal_feature_stats
@@ -244,6 +244,8 @@ DEMOTED_TAIL = (
     "repeated_ngram_stats",  # shingle-DF repeated-span profile — the
                              # exact-substring-dedup signal over the same
                              # cached shingle table as minhash_lsh_pairs
+    "walk_skipgram_pairs",  # skip-gram extraction COMPOSING
+                            # product_random_walks (same replayed walks)
 )
 
 
@@ -370,6 +372,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "product_random_walks": product_random_walks,
         "cdc_customer_state": cdc_customer_state,
         "repeated_ngram_stats": repeated_ngram_stats,
+        "walk_skipgram_pairs": walk_skipgram_pairs,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2107,7 +2110,7 @@ SELECT query_id, rank, vec_id, adc_dist FROM (
         f"SELECT walk_id, CAST({s} AS BIGINT) AS step, node FROM s{s}"
         for s in range(1, 5)
     )
-    sqls["product_random_walks"] = f"""
+    _walks_with = f"""
 WITH items AS (SELECT l_orderkey AS order_id, l_partkey AS product_id FROM lineitem),
 adj AS MATERIALIZED (
   SELECT DISTINCT a.product_id AS src, b.product_id AS dst
@@ -2121,12 +2124,26 @@ w0 AS (
   SELECT CAST(src * 2 + j AS BIGINT) AS walk_id, src AS node
   FROM starts CROSS JOIN (SELECT unnest([0, 1]) AS j)
 ),
-{_step_ctes}
-SELECT walk_id, step, node FROM (
+{_step_ctes}"""
+    _walks_all = f"""(
   SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM w0
   UNION ALL
   {_walk_union}
-) ORDER BY walk_id, step
+)"""
+    sqls["product_random_walks"] = f"""
+{_walks_with}
+SELECT walk_id, step, node FROM {_walks_all} ORDER BY walk_id, step
+"""
+
+    # graph/walks.py:walk_skipgram_pairs — window-2 skip-gram extraction
+    # over the identical replayed walks
+    sqls["walk_skipgram_pairs"] = f"""
+{_walks_with},
+walks AS MATERIALIZED (SELECT walk_id, step, node FROM {_walks_all})
+SELECT a.node AS center, b.node AS context, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM walks a JOIN walks b
+  ON a.walk_id = b.walk_id AND a.step <> b.step AND abs(a.step - b.step) <= 2
+GROUP BY center, context ORDER BY center, context
 """
 
     # dedup/substrings.py:repeated_ngram_stats — shingle doc-frequency ≥ 2

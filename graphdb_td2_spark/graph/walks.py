@@ -106,3 +106,36 @@ def product_random_walks(
             frontier.select("walk_id", F.lit(s).cast("long").alias("step"), "node")
         )
     return functools.reduce(DataFrame.unionByName, out).orderBy("walk_id", "step")
+
+
+SKIPGRAM_WINDOW = 2
+
+
+def walk_skipgram_pairs(
+    spark: SparkSession, sf_dir: str, window: int = SKIPGRAM_WINDOW
+) -> DataFrame:
+    """Registry entry: ``(center, context, n_pairs)`` — skip-gram
+    (center, context) co-occurrence counts within ``window`` steps along
+    each walk, the exact training-pair extraction a word2vec/node2vec
+    trainer consumes.
+
+    Scale notes: the walk table (walks × length rows — sublinear in the
+    corpus) self-joins on walk_id with the step-distance predicate; pair
+    counts partial-agg map-side. At production walk counts this is a
+    shuffle on walk_id, each group of bounded size (walk_len + 1)."""
+    walks = product_random_walks(spark, sf_dir).persist()
+    b = walks.select(
+        F.col("walk_id"),
+        F.col("step").alias("step_b"),
+        F.col("node").alias("context"),
+    )
+    return (
+        walks.join(b, "walk_id")
+        .filter(
+            (F.col("step") != F.col("step_b"))
+            & (F.abs(F.col("step") - F.col("step_b")) <= window)
+        )
+        .groupBy(F.col("node").alias("center"), "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("center", "context")
+    )
