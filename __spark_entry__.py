@@ -79,7 +79,7 @@ from graphdb_td2_spark.similarity import (
     ann_topk_ivf_trained,
     ann_topk_lsh,
 )
-from graphdb_td2_spark.similarity.pq import pq_adc_topk
+from graphdb_td2_spark.similarity.pq import ann_topk_ivfpq, pq_adc_topk
 from graphdb_td2_spark.operators.transitions import event_transition_matrix
 from graphdb_td2_spark.graph.walks import product_random_walks, walk_skipgram_pairs
 from graphdb_td2_spark.operators.cdc import cdc_customer_state
@@ -246,6 +246,8 @@ DEMOTED_TAIL = (
                              # cached shingle table as minhash_lsh_pairs
     "walk_skipgram_pairs",  # skip-gram extraction COMPOSING
                             # product_random_walks (same replayed walks)
+    "ann_topk_ivfpq",  # IVF-PQ composition of ann_topk_ivf (cell prune,
+                       # checked in head) and pq_adc_topk (code ADC)
 )
 
 
@@ -373,6 +375,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_customer_state": cdc_customer_state,
         "repeated_ngram_stats": repeated_ngram_stats,
         "walk_skipgram_pairs": walk_skipgram_pairs,
+        "ann_topk_ivfpq": ann_topk_ivfpq,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2075,6 +2078,56 @@ lut AS (
 scored AS (
   SELECT query_id, c.vec_id AS vec_id, CAST(SUM(dist) AS BIGINT) AS adc_dist
   FROM codes c JOIN lut ON c.m = lut.m AND c.code = lut.code
+  WHERE c.vec_id <> query_id
+  GROUP BY query_id, c.vec_id
+)
+SELECT query_id, rank, vec_id, adc_dist FROM (
+  SELECT query_id, vec_id, adc_dist,
+    CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC
+    ) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+    # similarity/pq.py:ann_topk_ivfpq — IVF cell prune × PQ code compression
+    sqls["ann_topk_ivfpq"] = f"""
+WITH q AS (SELECT vec_id, {_QE} AS qe FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, qe AS cent_qe FROM q WHERE vec_id < 8),
+cells AS MATERIALIZED (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT q.vec_id, cent.cent_id,
+      row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY {_cosine_sql("cent.cent_qe", "q.qe")} DESC, cent.cent_id ASC
+      ) AS rn
+    FROM q CROSS JOIN cent
+  ) WHERE rn = 1
+),
+sub AS MATERIALIZED (
+  SELECT vec_id, m, list_transform(range(1, 17), i -> qe[m * 16 + i]) AS sub
+  FROM q CROSS JOIN (SELECT unnest(range(0, 4)) AS m)
+),
+cb AS MATERIALIZED (SELECT m, vec_id AS code_id, sub AS cw FROM sub WHERE vec_id < 8),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, cb.code_id AS code,
+      row_number() OVER (
+        PARTITION BY s.vec_id, s.m ORDER BY {_sq} ASC, cb.code_id ASC
+      ) AS rn
+    FROM sub s JOIN cb ON s.m = cb.m
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT s.vec_id AS query_id, cl.cell, s.m, cb.code_id AS code, {_sq} AS dist
+  FROM sub s JOIN cb ON s.m = cb.m JOIN cells cl ON cl.vec_id = s.vec_id
+  WHERE s.vec_id < 5
+),
+scored AS (
+  SELECT query_id, c.vec_id AS vec_id, CAST(SUM(dist) AS BIGINT) AS adc_dist
+  FROM codes c
+  JOIN cells cl ON c.vec_id = cl.vec_id
+  JOIN lut ON cl.cell = lut.cell AND c.m = lut.m AND c.code = lut.code
   WHERE c.vec_id <> query_id
   GROUP BY query_id, c.vec_id
 )

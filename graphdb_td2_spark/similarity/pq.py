@@ -141,6 +141,10 @@ def pq_adc_topk(
         .groupBy("query_id", "vec_id")
         .agg(F.sum("dist").cast("long").alias("adc_dist"))
     )
+    return _adc_rank(scored, k)
+
+
+def _adc_rank(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -148,3 +152,63 @@ def pq_adc_topk(
         .select("query_id", "rank", "vec_id", "adc_dist")
         .orderBy("query_id", "rank")
     )
+
+
+def ann_topk_ivfpq(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = DEFAULT_K,
+    n_queries: int = DEFAULT_N_QUERIES,
+    k_sub: int = K_SUB,
+) -> DataFrame:
+    """Registry entry: IVF-PQ — the production ANN composition (Jégou et
+    al. §V: inverted lists prune WHICH codes are scanned, PQ compresses
+    WHAT is scanned). The coarse quantizer is ``ann_topk_ivf``'s
+    deterministic id-centroid cell (nprobe = 1); within the probed cell,
+    candidates are ranked by the same exact-integer ADC distance as
+    ``pq_adc_topk``.
+
+    Plan shape: the scoring join keys on ``(cell, m, code)`` with the
+    broadcast per-cell LUT — each query touches only its own inverted
+    list's codes, and the raw vectors are still never read at query
+    time. At 100 TB the codes table is partitioned by ``cell``, so the
+    probe prunes physical partitions AND scans ~1/64th the bytes of an
+    uncompressed IVF list."""
+    from .ann import N_CELLS, _assign_cells
+
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    corpus = emb.select(
+        "vec_id", quantize_embedding(F.col("embedding")).alias("qe")
+    ).persist()
+    centroids = corpus.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cent_id"), F.col("qe").alias("cent_qe")
+    )
+    cells = _assign_cells(corpus, centroids).select("vec_id", "cell")
+
+    codebook = pq_codebook(corpus, k_sub)
+    codes = pq_encode(corpus, codebook).join(cells, "vec_id")
+
+    queries = corpus.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("qe").alias("query_qe")
+    )
+    query_cells = queries.join(
+        cells.withColumnRenamed("vec_id", "query_id"), "query_id"
+    )
+    lut = (
+        _subvectors(query_cells, "query_qe", ["query_id", "cell"])
+        .join(F.broadcast(codebook.withColumnRenamed("sub", "cw")), "m")
+        .select(
+            "query_id",
+            "cell",
+            "m",
+            F.col("code_id").alias("code"),
+            _sq_l2(F.col("sub"), F.col("cw")).alias("dist"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["cell", "m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dist").cast("long").alias("adc_dist"))
+    )
+    return _adc_rank(scored, k)
