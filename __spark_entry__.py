@@ -84,6 +84,7 @@ from graphdb_td2_spark.operators.transitions import event_transition_matrix
 from graphdb_td2_spark.graph.walks import product_random_walks, walk_skipgram_pairs
 from graphdb_td2_spark.operators.cdc import cdc_customer_state
 from graphdb_td2_spark.dedup.substrings import repeated_ngram_stats
+from graphdb_td2_spark.operators.snapshot import snapshot_diff_stats
 from graphdb_td2_spark.multimodal import media_pool_resize, multimodal_feature_stats
 from graphdb_td2_spark.streaming.ivm import ivm_cooccurrence_top20
 from graphdb_td2_spark.streaming.dedup_stream import streaming_minhash_pairs
@@ -248,6 +249,9 @@ DEMOTED_TAIL = (
                             # product_random_walks (same replayed walks)
     "ann_topk_ivfpq",  # IVF-PQ composition of ann_topk_ivf (cell prune,
                        # checked in head) and pq_adc_topk (code ADC)
+    "snapshot_diff_stats",  # digest-diff incremental-processing primitive
+                            # (full-outer variant of the dedup-digest
+                            # family; exact_dedup_stats checked in head)
 )
 
 
@@ -376,6 +380,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_ngram_stats": repeated_ngram_stats,
         "walk_skipgram_pairs": walk_skipgram_pairs,
         "ann_topk_ivfpq": ann_topk_ivfpq,
+        "snapshot_diff_stats": snapshot_diff_stats,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2088,6 +2093,46 @@ SELECT query_id, rank, vec_id, adc_dist FROM (
     ) AS BIGINT) AS rank
   FROM scored
 ) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+    # operators/snapshot.py:snapshot_diff_stats — digest diff vs the
+    # synthetic prior snapshot (same drop/edit/gone constants)
+    from graphdb_td2_spark.operators.snapshot import (
+        PREV_DROP_MOD,
+        PREV_EDIT_MOD,
+        PREV_EDIT_SUFFIX,
+        PREV_GONE_MOD,
+        PREV_GONE_OFFSET,
+    )
+
+    _dg = "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
+    sqls["snapshot_diff_stats"] = f"""
+WITH docs AS (SELECT doc_id, source, text FROM documents),
+prev AS (
+  SELECT doc_id, source,
+    CASE WHEN doc_id % {PREV_EDIT_MOD} = 0 THEN text || '{PREV_EDIT_SUFFIX}'
+         ELSE text END AS text
+  FROM docs WHERE doc_id % {PREV_DROP_MOD} <> 0
+  UNION ALL
+  SELECT doc_id + {PREV_GONE_OFFSET} AS doc_id, source, text
+  FROM docs WHERE doc_id % {PREV_GONE_MOD} = 0
+),
+n AS (SELECT doc_id, source AS new_source, {_dg} AS new_dg FROM docs),
+p AS (SELECT doc_id, source AS prev_source, {_dg} AS prev_dg FROM prev),
+d AS (
+  SELECT COALESCE(n.new_source, p.prev_source) AS source,
+    CASE WHEN prev_dg IS NULL THEN 'added'
+         WHEN new_dg IS NULL THEN 'removed'
+         WHEN new_dg <> prev_dg THEN 'changed'
+         ELSE 'unchanged' END AS status
+  FROM n FULL OUTER JOIN p USING (doc_id)
+)
+SELECT source,
+  CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+  CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+  CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+  CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+FROM d GROUP BY source ORDER BY source
 """
 
     # similarity/pq.py:ann_topk_ivfpq — IVF cell prune × PQ code compression
