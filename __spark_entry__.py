@@ -85,6 +85,7 @@ from graphdb_td2_spark.graph.walks import product_random_walks, walk_skipgram_pa
 from graphdb_td2_spark.operators.cdc import cdc_customer_state
 from graphdb_td2_spark.dedup.substrings import repeated_ngram_stats
 from graphdb_td2_spark.operators.snapshot import snapshot_diff_stats
+from graphdb_td2_spark.operators.attribution import last_touch_attribution
 from graphdb_td2_spark.multimodal import media_pool_resize, multimodal_feature_stats
 from graphdb_td2_spark.streaming.ivm import ivm_cooccurrence_top20
 from graphdb_td2_spark.streaming.dedup_stream import streaming_minhash_pairs
@@ -252,6 +253,9 @@ DEMOTED_TAIL = (
     "snapshot_diff_stats",  # digest-diff incremental-processing primitive
                             # (full-outer variant of the dedup-digest
                             # family; exact_dedup_stats checked in head)
+    "last_touch_attribution",  # conditional-carry-forward variant of the
+                               # window family (funnel/deltas checked in
+                               # head and full contract)
 )
 
 
@@ -381,6 +385,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walk_skipgram_pairs": walk_skipgram_pairs,
         "ann_topk_ivfpq": ann_topk_ivfpq,
         "snapshot_diff_stats": snapshot_diff_stats,
+        "last_touch_attribution": last_touch_attribution,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2093,6 +2098,29 @@ SELECT query_id, rank, vec_id, adc_dist FROM (
     ) AS BIGINT) AS rank
   FROM scored
 ) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+    # operators/attribution.py:last_touch_attribution — conditional
+    # carry-forward (last IGNORE NULLS) + interval cutoff
+    sqls["last_touch_attribution"] = """
+WITH seq AS (
+  SELECT ts, event_type,
+    last_value(
+      CASE WHEN event_type <> 'purchase'
+           THEN struct_pack(t_ts := ts, t_type := event_type) END
+      IGNORE NULLS
+    ) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ) AS touch
+  FROM events
+)
+SELECT
+  CASE WHEN touch IS NOT NULL AND touch.t_ts >= ts - INTERVAL 1 HOUR
+       THEN touch.t_type ELSE 'none' END AS attributed_type,
+  CAST(COUNT(*) AS BIGINT) AS n_purchases
+FROM seq WHERE event_type = 'purchase'
+GROUP BY attributed_type ORDER BY attributed_type
 """
 
     # operators/snapshot.py:snapshot_diff_stats — digest diff vs the
