@@ -86,6 +86,10 @@ from graphdb_td2_spark.operators.cdc import cdc_customer_state
 from graphdb_td2_spark.dedup.substrings import repeated_ngram_stats
 from graphdb_td2_spark.operators.snapshot import snapshot_diff_stats
 from graphdb_td2_spark.operators.attribution import last_touch_attribution
+from graphdb_td2_spark.graph.centrality import (
+    degree_distribution,
+    harmonic_centrality_top20,
+)
 from graphdb_td2_spark.multimodal import media_pool_resize, multimodal_feature_stats
 from graphdb_td2_spark.streaming.ivm import ivm_cooccurrence_top20
 from graphdb_td2_spark.streaming.dedup_stream import streaming_minhash_pairs
@@ -256,6 +260,11 @@ DEMOTED_TAIL = (
     "last_touch_attribution",  # conditional-carry-forward variant of the
                                # window family (funnel/deltas checked in
                                # head and full contract)
+    "degree_distribution",  # degree-histogram diagnostic over the same
+                            # adjacency as the walk/triangle family
+    "harmonic_centrality_top20",  # seed-sampled harmonic (closeness
+                                  # family) variant of the iterative
+                                  # graph tier (BFS checked in contract)
 )
 
 
@@ -386,6 +395,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivfpq": ann_topk_ivfpq,
         "snapshot_diff_stats": snapshot_diff_stats,
         "last_touch_attribution": last_touch_attribution,
+        "degree_distribution": degree_distribution,
+        "harmonic_centrality_top20": harmonic_centrality_top20,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2236,13 +2247,15 @@ SELECT query_id, rank, vec_id, adc_dist FROM (
         f"SELECT walk_id, CAST({s} AS BIGINT) AS step, node FROM s{s}"
         for s in range(1, 5)
     )
-    _walks_with = f"""
+    _adj_with = """
 WITH items AS (SELECT l_orderkey AS order_id, l_partkey AS product_id FROM lineitem),
 adj AS MATERIALIZED (
   SELECT DISTINCT a.product_id AS src, b.product_id AS dst
   FROM items a JOIN items b
     ON a.order_id = b.order_id AND a.product_id <> b.product_id
-),
+)"""
+    _walks_with = f"""
+{_adj_with},
 starts AS (
   SELECT src FROM (SELECT DISTINCT src FROM adj) ORDER BY src LIMIT 20
 ),
@@ -2320,6 +2333,47 @@ last AS (
 SELECT op, CAST(COUNT(*) AS BIGINT) AS n_keys,
   CAST(SUM(price_cents) AS BIGINT) AS total_cents
 FROM last WHERE op <> 'D' GROUP BY op ORDER BY op
+"""
+
+    # graph/centrality.py — degree histogram (exact log2 via binary-string
+    # length) and 4-round multi-seed harmonic BFS in twelfths
+    sqls["degree_distribution"] = f"""
+{_adj_with},
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree FROM adj GROUP BY src)
+SELECT CAST(length(bin(degree)) - 1 AS BIGINT) AS degree_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_vertices,
+  MIN(degree) AS min_degree, MAX(degree) AS max_degree
+FROM deg GROUP BY degree_bucket ORDER BY degree_bucket
+"""
+
+    _h_frontiers = []
+    for r in range(1, 5):
+        prev_v = "v0" if r == 1 else f"v{r - 1}"
+        prev_vis = "v0" if r == 1 else f"vis{r - 1}"
+        _h_frontiers.append(
+            f"""f{r} AS (
+  SELECT DISTINCT {prev_v}.seed, adj.dst AS node
+  FROM {prev_v} JOIN adj ON {prev_v}.node = adj.src
+),
+v{r} AS (SELECT seed, node FROM f{r} EXCEPT SELECT seed, node FROM {prev_vis}),
+vis{r} AS (SELECT seed, node FROM {prev_vis} UNION SELECT seed, node FROM v{r})"""
+        )
+    _h_body = ",\n".join(_h_frontiers)
+    _h_union = "\nUNION ALL\n".join(
+        f"SELECT seed, node, {r} AS dist FROM v{r}" for r in range(1, 5)
+    )
+    sqls["harmonic_centrality_top20"] = f"""
+{_adj_with},
+seeds AS (SELECT src FROM (SELECT DISTINCT src FROM adj) ORDER BY src LIMIT 8),
+v0 AS (SELECT src AS seed, src AS node FROM seeds),
+{_h_body}
+SELECT node, harmonic_fp, n_reached FROM (
+  SELECT node,
+    CAST(SUM(12 // dist) AS BIGINT) AS harmonic_fp,
+    CAST(COUNT(*) AS BIGINT) AS n_reached
+  FROM ({_h_union})
+  GROUP BY node
+) ORDER BY harmonic_fp DESC, node ASC LIMIT 20
 """
 
     # operators/transitions.py:event_transition_matrix — canonical per-user

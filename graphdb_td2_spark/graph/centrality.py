@@ -1,0 +1,104 @@
+"""Centrality-family analytics over the co-purchase graph: the degree
+distribution (the first diagnostic of any large graph — skew, power-law
+tail, hub detection) and multi-seed harmonic centrality (the
+closeness-family measure that is well-defined on disconnected graphs,
+estimated Brandes-style from a fixed seed sample).
+
+Exactness: harmonic centrality sums 1/d over reached seeds — a float
+sum whose order Spark does not fix. With bounded rounds ``R`` the
+denominators are 1..R, so scoring in units of ``lcm(1..R)`` makes every
+contribution an exact integer (d=1 → 12, d=2 → 6, d=3 → 4, d=4 → 3 for
+R=4) and the aggregate order-independent — the same fixed-point trick
+as the integer PageRank oracle.
+
+Scale notes: degree distribution is two hash aggregates (per-vertex
+degree, then per-bucket count — output is log₂-bucket-bounded).
+Harmonic centrality is seed-sampled BFS: per round one frontier×adj
+equi-join plus a left-anti against the visited set, all keyed shuffles
+on vertex ids; state is (seeds × reached) rows, bounded by seed count ×
+graph size, independent of the fact tables that built the adjacency.
+Round count is fixed (lineage stays shallow; localCheckpoint unneeded
+at R=4).
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .walks import copurchase_adjacency
+
+N_SEEDS = 8
+ROUNDS = 4
+HARMONIC_LCM = 12  # lcm(1..4): 1/d in twelfths is exact for every d ≤ 4
+TOP_K = 20
+
+
+def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(degree_bucket, n_vertices, min_degree,
+    max_degree)`` — out-degree histogram of the co-purchase graph in
+    power-of-two buckets (floor(log2(degree))), ordered by bucket."""
+    adj = copurchase_adjacency(spark, sf_dir)
+    degrees = adj.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    # floor(log2(d)) via binary-string length — exact integer arithmetic
+    # (a float log2 is engine-implementation-dependent near powers of two)
+    bucket = (
+        F.length(F.conv(F.col("degree").cast("string"), 10, 2)) - 1
+    ).cast("long")
+    return (
+        degrees.groupBy(bucket.alias("degree_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vertices"),
+            F.min("degree").alias("min_degree"),
+            F.max("degree").alias("max_degree"),
+        )
+        .orderBy("degree_bucket")
+    )
+
+
+def harmonic_centrality_top20(
+    spark: SparkSession,
+    sf_dir: str,
+    n_seeds: int = N_SEEDS,
+    rounds: int = ROUNDS,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Registry entry: ``(node, harmonic_fp, n_reached)`` — the ``k``
+    nodes most central to the ``n_seeds`` lowest-id seed products, where
+    ``harmonic_fp = Σ_seeds lcm(1..R)/d(seed, node)`` (exact integer;
+    unreached seeds contribute 0, matching harmonic centrality's
+    disconnected-graph convention). Ties → lowest node id."""
+    assert rounds == 4, "HARMONIC_LCM is lcm(1..4); adjust both together"
+    adj = copurchase_adjacency(spark, sf_dir).persist()
+    seeds = (
+        adj.select("src").distinct().orderBy("src").limit(n_seeds)
+        .select(F.col("src").alias("seed"), F.col("src").alias("node"))
+    )
+    visited = seeds.withColumn("dist", F.lit(0).cast("long")).persist()
+    frontier = visited
+    layers = [visited]
+    for r in range(1, rounds + 1):
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["src"])
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("seed", "node"), ["seed", "node"], "left_anti")
+            .withColumn("dist", F.lit(r).cast("long"))
+            .persist()
+        )
+        layers.append(nxt)
+        visited = functools.reduce(DataFrame.unionByName, layers).persist()
+        frontier = nxt
+    reached = visited.filter(F.col("dist") > 0)
+    scored = reached.groupBy("node").agg(
+        F.sum(
+            (F.lit(HARMONIC_LCM) / F.col("dist")).cast("long")
+        ).cast("long").alias("harmonic_fp"),
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+    )
+    return (
+        scored.orderBy(F.desc("harmonic_fp"), F.asc("node"))
+        .limit(k)
+        .select("node", "harmonic_fp", "n_reached")
+    )
