@@ -90,6 +90,8 @@ from graphdb_td2_spark.graph.centrality import (
     degree_distribution,
     harmonic_centrality_top20,
 )
+from graphdb_td2_spark.recs.trending import decayed_product_popularity
+from graphdb_td2_spark.operators.rfm import rfm_segments
 from graphdb_td2_spark.multimodal import media_pool_resize, multimodal_feature_stats
 from graphdb_td2_spark.streaming.ivm import ivm_cooccurrence_top20
 from graphdb_td2_spark.streaming.dedup_stream import streaming_minhash_pairs
@@ -265,6 +267,11 @@ DEMOTED_TAIL = (
     "harmonic_centrality_top20",  # seed-sampled harmonic (closeness
                                   # family) variant of the iterative
                                   # graph tier (BFS checked in contract)
+    "decayed_product_popularity",  # recency-weighted variant of the
+                                   # product-ranking family (exact
+                                   # power-of-two half-life buckets)
+    "rfm_segments",  # integer-breakpoint RFM rollup — BI variant of the
+                     # customer-aggregate family (top_customers in head)
 )
 
 
@@ -397,6 +404,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "last_touch_attribution": last_touch_attribution,
         "degree_distribution": degree_distribution,
         "harmonic_centrality_top20": harmonic_centrality_top20,
+        "decayed_product_popularity": decayed_product_popularity,
+        "rfm_segments": rfm_segments,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2333,6 +2342,57 @@ last AS (
 SELECT op, CAST(COUNT(*) AS BIGINT) AS n_keys,
   CAST(SUM(price_cents) AS BIGINT) AS total_cents
 FROM last WHERE op <> 'D' GROUP BY op ORDER BY op
+"""
+
+    # recs/trending.py:decayed_product_popularity — bucketed half-life
+    # decay as exact power-of-two integer weights
+    sqls["decayed_product_popularity"] = """
+WITH ref AS (SELECT MAX(o_orderdate) AS ref_date FROM orders),
+aged AS (
+  SELECT l_partkey AS product_id,
+    date_diff('day', o_orderdate, ref_date) AS age_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey CROSS JOIN ref
+),
+w AS (
+  SELECT product_id,
+    (CAST(1 AS BIGINT) << CAST(20 - LEAST(CAST(age_days AS BIGINT) // 30, 20) AS INTEGER)) AS w
+  FROM aged
+)
+SELECT product_id, CAST(SUM(w) AS BIGINT) AS score_fp,
+  CAST(COUNT(*) AS BIGINT) AS n_purchases
+FROM w GROUP BY product_id
+ORDER BY score_fp DESC, product_id ASC LIMIT 20
+"""
+
+    # operators/rfm.py:rfm_segments — fixed integer breakpoints
+    sqls["rfm_segments"] = """
+WITH ref AS (SELECT MAX(o_orderdate) AS ref_date FROM orders),
+pc AS (
+  SELECT o_custkey, MAX(o_orderdate) AS last_order,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+b AS (
+  SELECT
+    CASE WHEN date_diff('day', last_order, ref_date) <= 30 THEN 0
+         WHEN date_diff('day', last_order, ref_date) <= 90 THEN 1
+         WHEN date_diff('day', last_order, ref_date) <= 365 THEN 2
+         ELSE 3 END AS r_bucket,
+    CASE WHEN n_orders <= 2 THEN 0 WHEN n_orders <= 5 THEN 1
+         WHEN n_orders <= 10 THEN 2 ELSE 3 END AS f_bucket,
+    CASE WHEN cents <= 10000 THEN 0 WHEN cents <= 100000 THEN 1
+         WHEN cents <= 1000000 THEN 2 ELSE 3 END AS m_bucket,
+    cents
+  FROM pc CROSS JOIN ref
+)
+SELECT CAST(r_bucket AS BIGINT) AS r_bucket,
+  CAST(f_bucket AS BIGINT) AS f_bucket,
+  CAST(m_bucket AS BIGINT) AS m_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM b GROUP BY r_bucket, f_bucket, m_bucket
+ORDER BY r_bucket, f_bucket, m_bucket
 """
 
     # graph/centrality.py — degree histogram (exact log2 via binary-string

@@ -1,0 +1,61 @@
+"""Time-decayed product popularity — the "trending now" ranking every
+recommender serves alongside co-occurrence: recent purchases count more,
+with exponential half-life decay.
+
+Reference parity: ranks the same CONTAINS relation the reference's
+``/recs`` co-occurrence strategy traverses (`app/main.py:51-60`), by
+recency-weighted volume instead of basket overlap.
+
+Exactness: a float ``2^(-age/h)`` is engine- and order-dependent, so the
+decay is bucketed — ``k = age_days div HALFLIFE_DAYS`` half-lives, and
+the weight is the exact integer ``2^(KMAX - min(k, KMAX))``: a purchase
+this half-life scores 2× one from the previous, magnitudes bounded by
+``2^KMAX``, and the score sum is an order-independent BIGINT.
+
+Scale notes: the reference date is a 1-row broadcast (the scalar-
+subquery pattern of ``top_price_orders``); the fact join
+orders⋈lineitem shuffles on the order key (at 100 TB both are bucketed
+on it); scoring is a narrow projection and one partial-aggregated
+groupBy(product); top-k compiles to TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import read_table
+
+HALFLIFE_DAYS = 30
+KMAX = 20
+TOP_K = 20
+
+
+def decayed_product_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(product_id, score_fp, n_purchases)`` — top-20
+    products by half-life-decayed purchase count (``score_fp`` in
+    ``2^KMAX``-per-current-purchase units; ties → lowest product_id)."""
+    orders = read_table(spark, sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    items = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    ref = orders.agg(F.max("o_orderdate").alias("ref_date"))
+    aged = (
+        items.join(orders, items["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(ref))
+        .select(
+            F.col("l_partkey").alias("product_id"),
+            F.datediff(F.col("ref_date"), F.col("o_orderdate")).alias("age_days"),
+        )
+    )
+    weight = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST({KMAX} - "
+        f"least(CAST(age_days AS BIGINT) div {HALFLIFE_DAYS}, {KMAX}) AS INT))"
+    ).cast("long")
+    return (
+        aged.select("product_id", weight.alias("w"))
+        .groupBy("product_id")
+        .agg(
+            F.sum("w").cast("long").alias("score_fp"),
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        )
+        .orderBy(F.desc("score_fp"), F.asc("product_id"))
+        .limit(TOP_K)
+    )
