@@ -92,6 +92,7 @@ from graphdb_td2_spark.graph.centrality import (
 )
 from graphdb_td2_spark.recs.trending import decayed_product_popularity
 from graphdb_td2_spark.operators.rfm import rfm_segments
+from graphdb_td2_spark.operators.anomaly import event_value_anomalies
 from graphdb_td2_spark.multimodal import media_pool_resize, multimodal_feature_stats
 from graphdb_td2_spark.streaming.ivm import ivm_cooccurrence_top20
 from graphdb_td2_spark.streaming.dedup_stream import streaming_minhash_pairs
@@ -272,6 +273,9 @@ DEMOTED_TAIL = (
                                    # power-of-two half-life buckets)
     "rfm_segments",  # integer-breakpoint RFM rollup — BI variant of the
                      # customer-aggregate family (top_customers in head)
+    "event_value_anomalies",  # median/MAD robust-outlier variant of the
+                              # percentile family (value_percentiles in
+                              # head pins the interpolation parity)
 )
 
 
@@ -406,6 +410,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality_top20": harmonic_centrality_top20,
         "decayed_product_popularity": decayed_product_popularity,
         "rfm_segments": rfm_segments,
+        "event_value_anomalies": event_value_anomalies,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2342,6 +2347,28 @@ last AS (
 SELECT op, CAST(COUNT(*) AS BIGINT) AS n_keys,
   CAST(SUM(price_cents) AS BIGINT) AS total_cents
 FROM last WHERE op <> 'D' GROUP BY op ORDER BY op
+"""
+
+    # operators/anomaly.py:event_value_anomalies — median/MAD via the
+    # same exact-interpolation percentile as value_percentiles
+    sqls["event_value_anomalies"] = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, med.med, abs(e.value - med.med) AS dev
+  FROM events e JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type, MIN(d.med) AS med, MIN(m.mad) AS mad,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type ORDER BY d.event_type
 """
 
     # recs/trending.py:decayed_product_popularity — bucketed half-life

@@ -1,0 +1,56 @@
+"""Robust anomaly detection over the event stream — median/MAD
+(median absolute deviation) outlier flagging per event type, the
+standard-deviation-free robust statistic a monitoring pipeline uses
+(mean/σ break down exactly when outliers are present).
+
+Cross-engine exactness: both median passes are the exact linear-
+interpolation ``percentile`` (IEEE-identical to DuckDB ``quantile_cont``
+— the parity ``value_percentiles`` already pins); the threshold
+``med + K·MAD`` is two IEEE ops on those identical doubles, so the
+outlier count is bit-stable.
+
+Scale notes: two grouped percentile passes over a 2-column projection
+(medians are per-type scalars; the second pass re-aggregates deviations
+against the broadcast medians) and one narrow flag count. At 100 TB the
+exact percentile becomes the GK-sketch variant in
+``functions/sketches.py`` — same plan shape, bounded state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import read_table
+
+MAD_K = 3  # flag |v - median| > K · MAD
+
+
+def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(event_type, med, mad, n_events, n_outliers)``
+    — per-type robust center/spread and the count of values beyond
+    ``med ± 3·MAD``, ordered by event_type."""
+    events = read_table(spark, sf_dir, "events", ["event_type", "value"])
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    with_dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    mad = with_dev.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    return (
+        with_dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                (F.col("dev") > F.lit(float(MAD_K)) * F.col("mad")).cast("long")
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
