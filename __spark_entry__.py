@@ -93,6 +93,7 @@ from graphdb_td2_spark.graph.centrality import (
 from graphdb_td2_spark.recs.trending import decayed_product_popularity
 from graphdb_td2_spark.operators.rfm import rfm_segments
 from graphdb_td2_spark.operators.anomaly import event_value_anomalies
+from graphdb_td2_spark.operators.conversion import session_conversion_stats
 from graphdb_td2_spark.multimodal import media_pool_resize, multimodal_feature_stats
 from graphdb_td2_spark.streaming.ivm import ivm_cooccurrence_top20
 from graphdb_td2_spark.streaming.dedup_stream import streaming_minhash_pairs
@@ -276,6 +277,8 @@ DEMOTED_TAIL = (
     "event_value_anomalies",  # median/MAD robust-outlier variant of the
                               # percentile family (value_percentiles in
                               # head pins the interpolation parity)
+    "session_conversion_stats",  # depth-bucketed conversion rollup over
+                                 # sessionize's gap rule (checked in head)
 )
 
 
@@ -411,6 +414,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_product_popularity": decayed_product_popularity,
         "rfm_segments": rfm_segments,
         "event_value_anomalies": event_value_anomalies,
+        "session_conversion_stats": session_conversion_stats,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2347,6 +2351,39 @@ last AS (
 SELECT op, CAST(COUNT(*) AS BIGINT) AS n_keys,
   CAST(SUM(price_cents) AS BIGINT) AS total_cents
 FROM last WHERE op <> 'D' GROUP BY op ORDER BY op
+"""
+
+    # operators/conversion.py:session_conversion_stats — sessionize's gap
+    # rule + depth-bucketed conversion rollup
+    sqls["session_conversion_stats"] = """
+WITH x AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_type,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM x
+), per_session AS (
+  SELECT user_id, session_id,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM s GROUP BY user_id, session_id
+), b AS (
+  SELECT CASE WHEN n_events <= 1 THEN 0 WHEN n_events <= 3 THEN 1
+              WHEN n_events <= 7 THEN 2 ELSE 3 END AS depth_bucket,
+         converted
+  FROM per_session
+)
+SELECT CAST(depth_bucket AS BIGINT) AS depth_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+  CAST(SUM(converted) AS BIGINT) AS n_converting,
+  CAST(SUM(converted) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS conversion_rate
+FROM b GROUP BY depth_bucket ORDER BY depth_bucket
 """
 
     # operators/anomaly.py:event_value_anomalies — median/MAD via the

@@ -1,0 +1,65 @@
+"""Session-depth conversion profile — do longer sessions convert more?
+The product-analytics rollup joining the engine's sessionization
+(``operators/windows.py:sessionize`` — same gap rule, same canonical
+(ts, event_id) order) with conversion outcome, bucketed by session
+depth.
+
+Exactness: session assignment is the integer gap rule; depth buckets
+are integer breakpoints; the conversion rate is the single IEEE
+division of two exact longs.
+
+Scale notes: one window shuffle on user_id (shared with the whole
+window family), one (user, session) hash aggregate, then a 4-row depth
+rollup — the corpus-sized state is the per-session frame, which a
+production pipeline materializes once per day anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..io import read_table
+from .windows import SESSION_GAP_MINUTES
+
+DEPTH_BREAKS = (1, 3, 7)  # events per session: 1 / 2-3 / 4-7 / 8+
+CONVERSION = "purchase"
+
+
+def session_conversion_stats(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = SESSION_GAP_MINUTES
+) -> DataFrame:
+    """Registry entry: ``(depth_bucket, n_sessions, n_converting,
+    conversion_rate)`` per session-depth bucket, ordered by bucket."""
+    events = read_table(
+        spark, sf_dir, "events", ["user_id", "ts", "event_id", "event_type"]
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    gap = micros - F.lag(micros).over(w)
+    with_sessions = events.withColumn(
+        "new_session",
+        F.when(
+            gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn("session_id", F.sum("new_session").over(w))
+    per_session = with_sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max((F.col("event_type") == CONVERSION).cast("long")).alias("converted"),
+    )
+    bucket = F.lit(len(DEPTH_BREAKS)).cast("long")
+    for i, b in sorted(enumerate(DEPTH_BREAKS), reverse=True):
+        bucket = F.when(F.col("n_events") <= b, F.lit(i).cast("long")).otherwise(
+            bucket
+        )
+    return (
+        per_session.groupBy(bucket.alias("depth_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("converted").cast("long").alias("n_converting"),
+        )
+        .withColumn(
+            "conversion_rate",
+            F.col("n_converting").cast("double") / F.col("n_sessions").cast("double"),
+        )
+        .orderBy("depth_bucket")
+    )
