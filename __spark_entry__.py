@@ -94,6 +94,7 @@ from graphdb_td2_spark.recs.trending import decayed_product_popularity
 from graphdb_td2_spark.operators.rfm import rfm_segments
 from graphdb_td2_spark.operators.anomaly import event_value_anomalies
 from graphdb_td2_spark.operators.conversion import session_conversion_stats
+from graphdb_td2_spark.operators.quality_checks import orders_quality_report
 from graphdb_td2_spark.multimodal import media_pool_resize, multimodal_feature_stats
 from graphdb_td2_spark.streaming.ivm import ivm_cooccurrence_top20
 from graphdb_td2_spark.streaming.dedup_stream import streaming_minhash_pairs
@@ -279,6 +280,9 @@ DEMOTED_TAIL = (
                               # head pins the interpolation parity)
     "session_conversion_stats",  # depth-bucketed conversion rollup over
                                  # sessionize's gap rule (checked in head)
+    "orders_quality_report",  # Deequ-style relational audit — generalizes
+                              # graph_constraint_checks (checked in head)
+                              # to the raw fact tables
 )
 
 
@@ -415,6 +419,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": rfm_segments,
         "event_value_anomalies": event_value_anomalies,
         "session_conversion_stats": session_conversion_stats,
+        "orders_quality_report": orders_quality_report,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2351,6 +2356,33 @@ last AS (
 SELECT op, CAST(COUNT(*) AS BIGINT) AS n_keys,
   CAST(SUM(price_cents) AS BIGINT) AS total_cents
 FROM last WHERE op <> 'D' GROUP BY op ORDER BY op
+"""
+
+    # operators/quality_checks.py:orders_quality_report — Deequ-style audit
+    sqls["orders_quality_report"] = """
+WITH sp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS key_complete,
+    CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS date_complete,
+    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS key_unique,
+    CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS price_range,
+    CAST(SUM(CASE WHEN o_orderpriority NOT IN
+      ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+      THEN 1 ELSE 0 END) AS BIGINT) AS priority_domain
+  FROM orders
+),
+ri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_violations FROM orders
+  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+)
+SELECT check_name, n_violations, n_total FROM (
+  SELECT 'completeness:o_orderkey' AS check_name, key_complete AS n_violations, n_total FROM sp
+  UNION ALL SELECT 'completeness:o_orderdate', date_complete, n_total FROM sp
+  UNION ALL SELECT 'uniqueness:o_orderkey', key_unique, n_total FROM sp
+  UNION ALL SELECT 'range:o_totalprice>=0', price_range, n_total FROM sp
+  UNION ALL SELECT 'domain:o_orderpriority', priority_domain, n_total FROM sp
+  UNION ALL SELECT 'ref_integrity:o_custkey->customer', ri.n_violations, sp.n_total FROM ri, sp
+) ORDER BY check_name
 """
 
     # operators/conversion.py:session_conversion_stats — sessionize's gap

@@ -1,0 +1,76 @@
+"""Declarative data-quality report over the fact tables — the
+Deequ/Great-Expectations tier of a production lake: completeness,
+key-uniqueness, referential-integrity, range and domain checks emitted
+as one audit table a pipeline gate can assert on.
+
+Reference parity: generalizes the graph-side validation job
+(``graph/queries.py:graph_constraint_checks``, the engine's twin of the
+reference's Neo4j constraint DDL, `app/etl.py:74-86`) to the relational
+inputs themselves — the checks a pipeline runs BEFORE building anything.
+
+Scale notes: completeness/range/domain checks fold into ONE pass over
+each scanned table (conditional-sum hash aggregate, map-side partials);
+uniqueness is a countDistinct on the key column only; referential
+integrity is a LEFT ANTI against the broadcast-able dimension key set.
+Output is check-count-bounded.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import read_table
+
+PRIORITY_DOMAIN = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(check_name, n_violations, n_total)`` — the
+    orders-table quality audit, ordered by check_name."""
+    orders = read_table(
+        spark,
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority"],
+    )
+    viol = lambda c: F.sum(c.cast("long")).cast("long")  # noqa: E731
+    single_pass = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        viol(F.col("o_orderkey").isNull()).alias("key_complete"),
+        viol(F.col("o_orderdate").isNull()).alias("date_complete"),
+        viol(F.col("o_totalprice") < 0).alias("price_range"),
+        viol(~F.col("o_orderpriority").isin(*PRIORITY_DOMAIN)).alias(
+            "priority_domain"
+        ),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("key_unique"),
+    )
+    folded = single_pass.select(
+        F.expr(
+            "stack(5,"
+            " 'completeness:o_orderkey', key_complete,"
+            " 'completeness:o_orderdate', date_complete,"
+            " 'uniqueness:o_orderkey', key_unique,"
+            " 'range:o_totalprice>=0', price_range,"
+            " 'domain:o_orderpriority', priority_domain"
+            ") AS (check_name, n_violations)"
+        ),
+        "n_total",
+    )
+    customers = read_table(spark, sf_dir, "customer", ["c_custkey"])
+    ri = (
+        orders.select("o_custkey")
+        .join(customers, orders["o_custkey"] == customers["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .select(
+            F.lit("ref_integrity:o_custkey->customer").alias("check_name"),
+            "n_violations",
+        )
+        .crossJoin(F.broadcast(single_pass.select("n_total")))
+    )
+    return functools.reduce(
+        DataFrame.unionByName, [folded.select("check_name", "n_violations", "n_total"), ri]
+    ).orderBy("check_name")
