@@ -95,6 +95,7 @@ from graphdb_td2_spark.operators.rfm import rfm_segments
 from graphdb_td2_spark.operators.anomaly import event_value_anomalies
 from graphdb_td2_spark.operators.conversion import session_conversion_stats
 from graphdb_td2_spark.operators.quality_checks import orders_quality_report
+from graphdb_td2_spark.recs.itemsets import frequent_triples
 from graphdb_td2_spark.multimodal import media_pool_resize, multimodal_feature_stats
 from graphdb_td2_spark.streaming.ivm import ivm_cooccurrence_top20
 from graphdb_td2_spark.streaming.dedup_stream import streaming_minhash_pairs
@@ -283,6 +284,8 @@ DEMOTED_TAIL = (
     "orders_quality_report",  # Deequ-style relational audit — generalizes
                               # graph_constraint_checks (checked in head)
                               # to the raw fact tables
+    "frequent_triples",  # a-priori 3-itemset variant of the basket
+                         # family (top_cooccurrence_pairs checked in head)
 )
 
 
@@ -420,6 +423,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_anomalies": event_value_anomalies,
         "session_conversion_stats": session_conversion_stats,
         "orders_quality_report": orders_quality_report,
+        "frequent_triples": frequent_triples,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2356,6 +2360,35 @@ last AS (
 SELECT op, CAST(COUNT(*) AS BIGINT) AS n_keys,
   CAST(SUM(price_cents) AS BIGINT) AS total_cents
 FROM last WHERE op <> 'D' GROUP BY op ORDER BY op
+"""
+
+    # recs/itemsets.py:frequent_triples — a-priori with downward-closure
+    # pruning before the 3-way support count
+    sqls["frequent_triples"] = """
+WITH baskets AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS order_id, l_partkey AS item FROM lineitem
+),
+pairs AS MATERIALIZED (
+  SELECT a.item AS pa, b.item AS pb
+  FROM baskets a JOIN baskets b ON a.order_id = b.order_id AND a.item < b.item
+  GROUP BY pa, pb HAVING COUNT(*) >= 2
+),
+cand AS (
+  SELECT p1.pa AS item_a, p1.pb AS item_b, p2.pb AS item_c
+  FROM pairs p1 JOIN pairs p2 ON p1.pa = p2.pa AND p1.pb < p2.pb
+  WHERE EXISTS (SELECT 1 FROM pairs q WHERE q.pa = p1.pb AND q.pb = p2.pb)
+),
+sup AS (
+  SELECT c.item_a, c.item_b, c.item_c, CAST(COUNT(*) AS BIGINT) AS support
+  FROM cand c
+  JOIN baskets x ON x.item = c.item_a
+  JOIN baskets y ON y.order_id = x.order_id AND y.item = c.item_b
+  JOIN baskets z ON z.order_id = x.order_id AND z.item = c.item_c
+  GROUP BY c.item_a, c.item_b, c.item_c
+  HAVING COUNT(*) >= 2
+)
+SELECT item_a, item_b, item_c, support FROM sup
+ORDER BY support DESC, item_a, item_b, item_c LIMIT 20
 """
 
     # operators/quality_checks.py:orders_quality_report — Deequ-style audit

@@ -1,0 +1,102 @@
+"""Frequent-itemset mining (a-priori) over order baskets — the market-
+basket generalization of the pairwise co-occurrence tier: which product
+TRIPLES recur across orders. The downward-closure prune (a triple can
+only be frequent if all three of its pairs are) is what makes the
+candidate space tractable — the defining idea of Agrawal & Srikant's
+A-Priori (VLDB 1994).
+
+Plan shape: basket pairs (the same AQE-skew-handled self-join as
+``top_cooccurrence_pairs``) → frequent-pair support filter → candidate
+triples from two frequent pairs sharing their lowest item, pruned by a
+LEFT SEMI on the third pair (downward closure BEFORE any 3-way join) →
+exact support count via one more basket equi-join. All shuffles key on
+order/product ids; the candidate relation is support-pruned at every
+stage, so the 3-way explosion never materializes.
+
+Output is exact integer support, top-20 by (support, ids) — fully
+deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import read_table
+
+MIN_SUPPORT = 2
+TOP_K = 20
+
+
+def _baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .select(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("l_partkey").alias("item"),
+        )
+        .distinct()
+    )
+
+
+def frequent_triples(
+    spark: SparkSession,
+    sf_dir: str,
+    min_support: int = MIN_SUPPORT,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Registry entry: ``(item_a, item_b, item_c, support)`` — the top-k
+    most frequent product triples (a < b < c) with support ≥
+    ``min_support``, ordered by (support desc, a, b, c)."""
+    baskets = _baskets(spark, sf_dir).persist()
+    b2 = baskets.select("order_id", F.col("item").alias("item_b"))
+    pairs = (
+        baskets.join(b2, "order_id")
+        .filter(F.col("item") < F.col("item_b"))
+        .groupBy(F.col("item").alias("pa"), F.col("item_b").alias("pb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_support"))
+        .filter(F.col("pair_support") >= min_support)
+        .select("pa", "pb")
+        .persist()
+    )
+    # candidates (a, b, c): (a,b) and (a,c) frequent with b < c ...
+    cand = (
+        pairs.join(
+            pairs.select(F.col("pa"), F.col("pb").alias("pc")), "pa"
+        )
+        .filter(F.col("pb") < F.col("pc"))
+        # ... and downward closure: (b, c) must be frequent too
+        .join(
+            pairs.select(F.col("pa").alias("pb"), F.col("pb").alias("pc")),
+            ["pb", "pc"],
+            "left_semi",
+        )
+        .select(
+            F.col("pa").alias("item_a"),
+            F.col("pb").alias("item_b"),
+            F.col("pc").alias("item_c"),
+        )
+    )
+    # exact support: orders containing all three (two basket joins against
+    # the pruned candidate set)
+    support = (
+        baskets.select("order_id", F.col("item").alias("item_a"))
+        .join(F.broadcast(cand), "item_a")
+        .join(
+            baskets.select("order_id", F.col("item").alias("item_b")),
+            ["order_id", "item_b"],
+        )
+        .join(
+            baskets.select("order_id", F.col("item").alias("item_c")),
+            ["order_id", "item_c"],
+        )
+        .groupBy("item_a", "item_b", "item_c")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    return (
+        support.orderBy(
+            F.desc("support"), F.asc("item_a"), F.asc("item_b"), F.asc("item_c")
+        )
+        .limit(k)
+        .select("item_a", "item_b", "item_c", "support")
+    )
