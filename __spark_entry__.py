@@ -96,6 +96,7 @@ from graphdb_td2_spark.operators.anomaly import event_value_anomalies
 from graphdb_td2_spark.operators.conversion import session_conversion_stats
 from graphdb_td2_spark.operators.quality_checks import orders_quality_report
 from graphdb_td2_spark.recs.itemsets import frequent_triples
+from graphdb_td2_spark.functions.hashing_tf import hashing_tf_stats
 from graphdb_td2_spark.multimodal import media_pool_resize, multimodal_feature_stats
 from graphdb_td2_spark.streaming.ivm import ivm_cooccurrence_top20
 from graphdb_td2_spark.streaming.dedup_stream import streaming_minhash_pairs
@@ -286,6 +287,8 @@ DEMOTED_TAIL = (
                               # to the raw fact tables
     "frequent_triples",  # a-priori 3-itemset variant of the basket
                          # family (top_cooccurrence_pairs checked in head)
+    "hashing_tf_stats",  # vocabulary-free HashingTF featurizer — md5
+                         # bucket variant of the token-count family
 )
 
 
@@ -424,6 +427,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_conversion_stats": session_conversion_stats,
         "orders_quality_report": orders_quality_report,
         "frequent_triples": frequent_triples,
+        "hashing_tf_stats": hashing_tf_stats,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2360,6 +2364,19 @@ last AS (
 SELECT op, CAST(COUNT(*) AS BIGINT) AS n_keys,
   CAST(SUM(price_cents) AS BIGINT) AS total_cents
 FROM last WHERE op <> 'D' GROUP BY op ORDER BY op
+"""
+
+    # functions/hashing_tf.py:hashing_tf_stats — HashingTF as built-ins,
+    # bucket = the one md5-bucket definition (sampling.hash_bucket)
+    sqls["hashing_tf_stats"] = f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest({_TOKS}) AS token FROM documents
+)
+SELECT source,
+  CAST((CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 8) AS BIGINT) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM toks GROUP BY source, bucket ORDER BY source, bucket
 """
 
     # recs/itemsets.py:frequent_triples — a-priori with downward-closure
