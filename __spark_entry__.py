@@ -94,7 +94,20 @@ from graphdb_td2_spark.recs.trending import decayed_product_popularity
 from graphdb_td2_spark.operators.rfm import rfm_segments
 from graphdb_td2_spark.operators.anomaly import event_value_anomalies
 from graphdb_td2_spark.operators.conversion import session_conversion_stats
-from graphdb_td2_spark.operators.quality_checks import orders_quality_report
+from graphdb_td2_spark.operators.quality_checks import (
+    benford_first_digit,
+    orders_quality_report,
+)
+from graphdb_td2_spark.operators.activity import (
+    concurrent_sessions,
+    rolling_active_users,
+)
+from graphdb_td2_spark.operators.timeseries import interpolated_daily_value
+from graphdb_td2_spark.similarity.gram import gram_fixed_point
+from graphdb_td2_spark.recs.linkpred import (
+    product_jaccard_topk,
+    resource_allocation_topk,
+)
 from graphdb_td2_spark.recs.itemsets import frequent_triples
 from graphdb_td2_spark.functions.hashing_tf import hashing_tf_stats
 from graphdb_td2_spark.multimodal import media_pool_resize, multimodal_feature_stats
@@ -289,6 +302,22 @@ DEMOTED_TAIL = (
                          # family (top_cooccurrence_pairs checked in head)
     "hashing_tf_stats",  # vocabulary-free HashingTF featurizer — md5
                          # bucket variant of the token-count family
+    "product_jaccard_topk",  # Jaccard-normalized variant of the
+                             # co-occurrence pair family
+    "resource_allocation_topk",  # fixed-point RA link-prediction variant
+                                 # of the same pair self-join
+    "rolling_active_users",  # cover-explosion rolling-distinct variant of
+                             # the window family
+    "concurrent_sessions",  # day-clipped sweep-line peak over sessionize's
+                            # intervals (gap rule checked in head)
+    "benford_first_digit",  # first-digit money audit — quality-family
+                            # variant (orders_quality_report in tail)
+    "embedding_gram_fp",  # corpus-level Gram matrix (PCA/whitening input)
+                          # — mapInPandas partial-agg variant of the
+                          # quantized-vector family
+    "interpolated_daily_value",  # linear-interpolation variant of the
+                                 # gapfill family (hourly_event_rollup
+                                 # checked in head)
 )
 
 
@@ -428,6 +457,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_quality_report": orders_quality_report,
         "frequent_triples": frequent_triples,
         "hashing_tf_stats": hashing_tf_stats,
+        "product_jaccard_topk": product_jaccard_topk,
+        "resource_allocation_topk": resource_allocation_topk,
+        "rolling_active_users": rolling_active_users,
+        "concurrent_sessions": concurrent_sessions,
+        "benford_first_digit": benford_first_digit,
+        "embedding_gram_fp": gram_fixed_point,
+        "interpolated_daily_value": interpolated_daily_value,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -3129,6 +3165,196 @@ SELECT p_partkey, rank, match_partkey, distance FROM (
          ORDER BY distance ASC, match_partkey ASC) AS BIGINT) AS rank
   FROM pairs
 ) WHERE rank <= 3
+"""
+
+    # Link prediction over the customer-product bipartite graph
+    # (recs/linkpred.py): Jaccard-normalized customer-set overlap and the
+    # integer-fixed-point resource-allocation index.
+    sqls["product_jaccard_topk"] = """
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS customer_id, l.l_partkey AS product_id
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+deg AS (SELECT product_id, COUNT(*) AS deg FROM edges GROUP BY product_id),
+inter AS (
+  SELECT a.product_id AS product_a, b.product_id AS product_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM edges a JOIN edges b
+    ON a.customer_id = b.customer_id AND a.product_id < b.product_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT product_a, product_b, n_common,
+  CAST(n_common AS DOUBLE) / CAST(da.deg + db.deg - n_common AS DOUBLE) AS jaccard
+FROM inter
+JOIN deg da ON da.product_id = product_a
+JOIN deg db ON db.product_id = product_b
+ORDER BY jaccard DESC, product_a, product_b LIMIT 20
+"""
+
+    sqls["resource_allocation_topk"] = """
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS customer_id, l.l_partkey AS product_id
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+cdeg AS (SELECT customer_id, COUNT(*) AS cdeg FROM edges GROUP BY customer_id),
+w AS (
+  SELECT e.customer_id, e.product_id,
+         CAST(1000000000 // c.cdeg AS BIGINT) AS w
+  FROM edges e JOIN cdeg c USING (customer_id)
+)
+SELECT a.product_id AS product_a, b.product_id AS product_b,
+       CAST(COUNT(*) AS BIGINT) AS n_common,
+       CAST(SUM(a.w) AS BIGINT) AS ra_score
+FROM w a JOIN w b
+  ON a.customer_id = b.customer_id AND a.product_id < b.product_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+ORDER BY ra_score DESC, product_a, product_b LIMIT 20
+"""
+
+    # operators/activity.py:rolling_active_users — exact 7-day rolling
+    # distinct users; the oracle expresses the cover-explosion as an
+    # equivalent day-range join against the dense axis.
+    sqls["rolling_active_users"] = """
+WITH daily AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+),
+bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+axis AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+),
+one AS (SELECT day, COUNT(DISTINCT user_id) AS active_1d FROM daily GROUP BY day),
+roll AS (
+  SELECT s.day, COUNT(DISTINCT d.user_id) AS active_7d
+  FROM axis s JOIN daily d
+    ON d.day BETWEEN s.day - INTERVAL 6 DAY AND s.day
+  GROUP BY s.day
+)
+SELECT a.day,
+  CAST(COALESCE(one.active_1d, 0) AS BIGINT) AS active_1d,
+  CAST(COALESCE(roll.active_7d, 0) AS BIGINT) AS active_7d
+FROM axis a
+LEFT JOIN one ON one.day = a.day
+LEFT JOIN roll ON roll.day = a.day
+ORDER BY a.day
+"""
+
+    # operators/activity.py:concurrent_sessions — day-clipped sweep line
+    # over sessionize's intervals (+1 at start, -1 at end, starts first
+    # on ties).
+    sqls["concurrent_sessions"] = """
+WITH x AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM x
+),
+sess AS (
+  SELECT user_id, session_id, MIN(ts) AS st, MAX(ts) AS en
+  FROM s GROUP BY user_id, session_id
+),
+clipped AS (
+  SELECT unnest(generate_series(date_trunc('day', st),
+                                date_trunc('day', en),
+                                INTERVAL 1 DAY)) AS day, st, en
+  FROM sess
+),
+c2 AS (
+  SELECT day, GREATEST(st, day) AS cs,
+         LEAST(en, day + INTERVAL 1 DAY - INTERVAL 1 MICROSECOND) AS ce
+  FROM clipped
+),
+points AS (
+  SELECT day, cs AS t, 1 AS delta FROM c2
+  UNION ALL
+  SELECT day, ce AS t, -1 AS delta FROM c2
+),
+sweep AS (
+  SELECT day,
+    SUM(delta) OVER (PARTITION BY day ORDER BY t ASC, delta DESC
+                     ROWS UNBOUNDED PRECEDING) AS open
+  FROM points
+)
+SELECT day, CAST(COUNT(*) // 2 AS BIGINT) AS n_sessions,
+       CAST(MAX(open) AS BIGINT) AS peak_concurrent
+FROM sweep GROUP BY day ORDER BY day
+"""
+
+    # operators/quality_checks.py:benford_first_digit — the floor(p*100+0.5)
+    # fixed-point bridge makes the leading digit engine-exact.
+    sqls["benford_first_digit"] = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM orders
+),
+c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders FROM d GROUP BY digit)
+SELECT digit, n_orders,
+  CAST(n_orders AS DOUBLE)
+    / CAST((SELECT SUM(n_orders) FROM c) AS DOUBLE) AS share
+FROM c ORDER BY digit
+"""
+
+    # similarity/gram.py:gram_fixed_point — the oracle mirrors the
+    # declarative exploded twin (identical int64 entries by construction).
+    sqls["embedding_gram_fp"] = f"""
+WITH q AS (SELECT vec_id, {_QE} AS qe FROM embeddings),
+dims AS (
+  SELECT CAST(unnest(generate_series(
+           1, (SELECT len(embedding) FROM embeddings LIMIT 1))) AS INTEGER)
+    AS idx
+),
+comp AS (
+  SELECT vec_id, idx - 1 AS i, qe[idx] AS qx
+  FROM q CROSS JOIN dims
+)
+SELECT a.i AS i, b.i AS j, CAST(SUM(a.qx * b.qx) AS BIGINT) AS gram_fp
+FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i ORDER BY i, j
+"""
+
+    # operators/timeseries.py:interpolated_daily_value — exact-cents
+    # linear interpolation on the dense day axis; TRUNC+CAST matches
+    # Spark's truncating double→BIGINT cast.
+    sqls["interpolated_daily_value"] = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(14,2))) * 100 AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds),
+dense AS (
+  SELECT a.day, d.n_events, d.cents
+  FROM axis a LEFT JOIN daily d ON d.day = a.day
+),
+filled AS (
+  SELECT day, CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events, cents,
+    last_value(cents IGNORE NULLS) OVER wp AS pv,
+    last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+      OVER wp AS pd,
+    first_value(cents IGNORE NULLS) OVER wn AS nv,
+    first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+      OVER wn AS nd
+  FROM dense
+  WINDOW wp AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT day, n_events,
+  CAST(COALESCE(cents,
+       pv + CAST(TRUNC(CAST((nv - pv) * date_diff('day', pd, day) AS DOUBLE)
+                 / date_diff('day', pd, nd)) AS BIGINT)) AS BIGINT)
+    AS value_cents,
+  cents IS NULL AS interpolated
+FROM filled ORDER BY day
 """
 
     return sqls

@@ -74,3 +74,38 @@ def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return functools.reduce(
         DataFrame.unionByName, [folded.select("check_name", "n_violations", "n_total"), ri]
     ).orderBy("check_name")
+
+
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(digit, n_orders, share)`` — first-significant-
+    digit distribution of ``o_totalprice``, the Benford's-law audit a
+    fraud/quality pipeline runs over monetary columns (synthetic TPC-H
+    prices are uniform-ish, so the point is the OPERATOR, not the law
+    holding). Ordered by digit.
+
+    Determinism: prices carry ≤2 decimals, so ``floor(p·100 + 0.5)`` is
+    an exact integer in both engines (DuckDB CAST rounds while Spark
+    CAST truncates — flooring first sidesteps that divergence); the
+    leading digit comes from the BIGINT's decimal string, and ``share``
+    is one integer/integer IEEE division. Scale: one projected scan into
+    a 9-group hash aggregate with map-side partials.
+    """
+    orders = read_table(spark, sf_dir, "orders", ["o_totalprice"])
+    digit = F.substring(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("string"), 1, 1
+    ).cast("int")
+    counts = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    total = counts.agg(F.sum("n_orders").alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_orders",
+            (F.col("n_orders").cast("double") / F.col("n_total").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy("digit")
+    )

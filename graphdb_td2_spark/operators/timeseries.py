@@ -73,3 +73,71 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     event type."""
     events = read_table(spark, sf_dir, "events", ["ts", "event_type", "value"])
     return gapfill_rollup(events)
+
+
+def interpolated_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(day, n_events, value_cents, interpolated)`` —
+    daily sum of ``events.value`` on a dense day axis, with gap days
+    LINEARLY INTERPOLATED between their observed neighbors (the
+    ``time_bucket_gapfill(..., interpolate(...))`` pattern), ordered by
+    day.
+
+    Determinism: daily sums go through exact DECIMAL cents (≤2-dp
+    corpus values), and the interpolation is pure integer arithmetic —
+    ``prev + trunc((next-prev)·k / gap)`` with the division done in
+    IEEE double on ≤2⁵³ integers (exact) and truncated identically in
+    both engines (Spark's integer ``div`` truncates while DuckDB's
+    ``//`` floors, so neither is used on signed values).
+
+    Scale notes: one hash agg to daily grain (axis-bounded output),
+    then two windows over the GLOBAL day ordering — safe precisely
+    because the day axis grows with the time range, not the corpus row
+    count (a century is ~37k rows); the heavy lifting stays in the
+    partial-aggregated daily rollup.
+    """
+    events = read_table(spark, sf_dir, "events", ["ts", "value"])
+    daily = (
+        events.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.col("value").cast("decimal(14,2)").alias("v"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.sum("v") * 100).cast("long").alias("cents"),
+        )
+    )
+    axis = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    dense = axis.join(daily, "day", "left")
+    from pyspark.sql import Window
+
+    w_prev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    filled = dense.select(
+        "day",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        "cents",
+        F.last("cents", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(F.when(F.col("cents").isNotNull(), F.col("day")), ignorenulls=True)
+        .over(w_prev)
+        .alias("pd"),
+        F.first("cents", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(F.when(F.col("cents").isNotNull(), F.col("day")), ignorenulls=True)
+        .over(w_next)
+        .alias("nd"),
+    )
+    # Spark's double→BIGINT cast truncates toward zero (ANSI off); the
+    # oracle spells the same thing as TRUNC()+CAST in DuckDB, whose bare
+    # CAST would round instead.
+    interp = F.col("pv") + F.expr(
+        "CAST(CAST((nv - pv) * datediff(day, pd) AS DOUBLE)"
+        " / datediff(nd, pd) AS BIGINT)"
+    )
+    return filled.select(
+        "day",
+        "n_events",
+        F.coalesce("cents", interp).cast("long").alias("value_cents"),
+        F.col("cents").isNull().alias("interpolated"),
+    ).orderBy("day")

@@ -1,0 +1,62 @@
+"""Fixed-point Gram matrix (similarity/gram.py) and interpolated daily
+gapfill (operators/timeseries.py): implementation twins + hand fixtures."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from graphdb_td2_spark.operators.timeseries import interpolated_daily_value
+from graphdb_td2_spark.similarity.gram import gram_exploded, gram_fixed_point
+
+EV = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+
+def test_gram_mapinpandas_equals_exploded(spark, sf_dir):
+    fast = gram_fixed_point(spark, sf_dir).collect()
+    slow = gram_exploded(spark, sf_dir).collect()
+    assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
+    d = max(r["j"] for r in fast) + 1
+    assert len(fast) == d * (d + 1) // 2
+    # diagonal entries are sums of squares → non-negative
+    assert all(r["gram_fp"] >= 0 for r in fast if r["i"] == r["j"])
+
+
+def test_gram_hand_computed(spark, tmp_path):
+    d = tmp_path / "fx"
+    rows = [(1, [1.0, 2.0], 0), (2, [3.0, -1.0], 0)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(d / "embeddings.parquet"))
+    out = {(r["i"], r["j"]): r["gram_fp"] for r in gram_fixed_point(spark, str(d)).collect()}
+    s = 1_000_000
+    assert out[(0, 0)] == (1 * 1 + 3 * 3) * s * s
+    assert out[(0, 1)] == (1 * 2 + 3 * -1) * s * s
+    assert out[(1, 1)] == (2 * 2 + 1 * 1) * s * s
+
+
+def test_interpolation_hand_computed(spark, tmp_path):
+    day = lambda n: dt.datetime(2024, 1, n)  # noqa: E731
+    # day1 sum=10.00, day4 sum=40.00 → day2 = 20.00, day3 = 30.00
+    rows = [
+        (1, day(1), 1, "a", 10.0, "{}"),
+        (2, day(4), 1, "a", 40.0, "{}"),
+    ]
+    d = tmp_path / "fx"
+    spark.createDataFrame(rows, EV).write.parquet(str(d / "events.parquet"))
+    out = {
+        r["day"].day: (r["n_events"], r["value_cents"], r["interpolated"])
+        for r in interpolated_daily_value(spark, str(d)).collect()
+    }
+    assert out[1] == (1, 1000, False)
+    assert out[2] == (0, 2000, True)
+    assert out[3] == (0, 3000, True)
+    assert out[4] == (1, 4000, False)
+
+
+def test_interpolation_corpus_dense_and_observed_exact(spark, sf_dir):
+    rows = interpolated_daily_value(spark, sf_dir).collect()
+    assert rows
+    days = [r["day"] for r in rows]
+    assert all((b - a) == dt.timedelta(days=1) for a, b in zip(days, days[1:]))
+    for r in rows:
+        assert r["interpolated"] == (r["n_events"] == 0)
