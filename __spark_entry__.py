@@ -102,7 +102,9 @@ from graphdb_td2_spark.operators.activity import (
     concurrent_sessions,
     rolling_active_users,
 )
+from graphdb_td2_spark.operators.attribution import ushape_attribution
 from graphdb_td2_spark.operators.timeseries import interpolated_daily_value
+from graphdb_td2_spark.recs.als import als_rank1_convergence
 from graphdb_td2_spark.similarity.gram import gram_fixed_point
 from graphdb_td2_spark.recs.linkpred import (
     product_jaccard_topk,
@@ -318,6 +320,10 @@ DEMOTED_TAIL = (
     "interpolated_daily_value",  # linear-interpolation variant of the
                                  # gapfill family (hourly_event_rollup
                                  # checked in head)
+    "als_rank1_convergence",  # fixed-point ALS factorization — iterative
+                              # family twin of the unrolled-CTE PageRank
+    "ushape_attribution",  # position-weighted variant of the attribution
+                           # family (last_touch_attribution in tail)
 )
 
 
@@ -464,6 +470,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_first_digit": benford_first_digit,
         "embedding_gram_fp": gram_fixed_point,
         "interpolated_daily_value": interpolated_daily_value,
+        "als_rank1_convergence": als_rank1_convergence,
+        "ushape_attribution": ushape_attribution,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -3355,6 +3363,81 @@ SELECT day, n_events,
     AS value_cents,
   cents IS NULL AS interpolated
 FROM filled ORDER BY day
+"""
+
+    # recs/als.py:als_rank1_convergence — two alternating rounds unrolled
+    # as CTEs; all updates are positive-int64 fixed point (S=1000), so
+    # DuckDB's flooring // and Spark's DIV agree term-for-term.
+    _als_half = (
+        "CAST(SUM(r * f) * 1000000 // GREATEST(SUM(f * f), 1) AS BIGINT) AS f"
+    )
+    _als_sse = (
+        "CAST(SUM((r * 1000000 - uf * vf) * (r * 1000000 - uf * vf) // 1000000)"
+        " AS BIGINT) AS sse_fp, CAST(COUNT(*) AS BIGINT) AS n_obs"
+    )
+    sqls["als_rank1_convergence"] = f"""
+WITH ratings AS (
+  SELECT c, p, CAST(COUNT(*) AS BIGINT) AS r FROM (
+    SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p, o.o_orderkey AS o
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  ) GROUP BY c, p
+),
+v0 AS (SELECT DISTINCT p, CAST(1000 AS BIGINT) AS f FROM ratings),
+u1 AS (SELECT c, {_als_half} FROM ratings JOIN v0 USING (p) GROUP BY c),
+v1 AS (SELECT p, {_als_half} FROM ratings JOIN u1 USING (c) GROUP BY p),
+s1 AS (
+  SELECT {_als_sse}
+  FROM (SELECT r.r, u1.f AS uf, v1.f AS vf
+        FROM ratings r JOIN u1 USING (c) JOIN v1 USING (p))
+),
+u2 AS (SELECT c, {_als_half} FROM ratings JOIN v1 USING (p) GROUP BY c),
+v2 AS (SELECT p, {_als_half} FROM ratings JOIN u2 USING (c) GROUP BY p),
+s2 AS (
+  SELECT {_als_sse}
+  FROM (SELECT r.r, u2.f AS uf, v2.f AS vf
+        FROM ratings r JOIN u2 USING (c) JOIN v2 USING (p))
+)
+SELECT CAST(1 AS INTEGER) AS iteration, sse_fp, n_obs FROM s1
+UNION ALL
+SELECT CAST(2 AS INTEGER) AS iteration, sse_fp, n_obs FROM s2
+ORDER BY iteration
+"""
+
+    # operators/attribution.py:ushape_attribution — 40/20/40 position
+    # split in integer basis points; the middle-share remainder rides on
+    # the last touch so each purchase sums to exactly 10000.
+    sqls["ushape_attribution"] = """
+WITH purchases AS (
+  SELECT user_id AS u, ts AS pts, event_id AS pid
+  FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT p.pid, e.event_type, e.ts, e.event_id
+  FROM events e JOIN purchases p
+    ON e.user_id = p.u
+   AND e.ts < p.pts AND e.ts >= p.pts - INTERVAL 1 HOUR
+  WHERE e.event_type <> 'purchase'
+),
+ranked AS (
+  SELECT pid, event_type,
+    row_number() OVER (PARTITION BY pid ORDER BY ts, event_id) AS pos,
+    COUNT(*) OVER (PARTITION BY pid) AS k
+  FROM pairs
+),
+credited AS (
+  SELECT event_type,
+    CAST(CASE
+      WHEN k = 1 THEN 10000
+      WHEN k = 2 THEN 5000
+      WHEN pos = 1 THEN 4000
+      WHEN pos = k THEN 6000 - (k - 2) * (2000 // (k - 2))
+      ELSE 2000 // (k - 2)
+    END AS BIGINT) AS credit
+  FROM ranked
+)
+SELECT event_type, CAST(SUM(credit) AS BIGINT) AS credit_bp,
+       CAST(COUNT(*) AS BIGINT) AS n_touches
+FROM credited GROUP BY event_type ORDER BY event_type
 """
 
     return sqls

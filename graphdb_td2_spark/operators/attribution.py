@@ -64,3 +64,67 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
         .orderBy("attributed_type")
     )
+
+
+def ushape_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(event_type, credit_bp, n_touches)`` — U-shaped
+    (position-based) multi-touch attribution: every purchase distributes
+    10,000 basis points over its non-purchase touches within the 1-hour
+    window — 40% to the first touch, 40% to the last, 20% split over the
+    middles — summed per touch type, ordered by event_type.
+
+    Exact-integer credit split: middles get ``2000 DIV m`` bp each and
+    the integer-division remainder rides on the LAST touch, so every
+    attributed purchase contributes exactly 10,000 bp (2 touches →
+    5000/5000, 1 touch → 10000). Purchases with no in-window touch are
+    excluded (the last-touch rollup above already counts them as
+    'none').
+
+    Scale notes: the (purchase × touch) pair generation is an equi-join
+    on user_id with a time-band predicate — the same banded shape as
+    ``event_burst_pairs``, pair count bounded by per-user activity per
+    window; ranking first/last touches is one window partitioned by
+    purchase. Output is |event_type|-bounded.
+    """
+    ev = read_table(
+        spark, sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]
+    )
+    purchases = ev.filter(F.col("event_type") == CONVERSION).select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"),
+    )
+    touches = ev.filter(F.col("event_type") != CONVERSION)
+    pairs = touches.join(
+        purchases,
+        (F.col("user_id") == F.col("u"))
+        & (F.col("ts") < F.col("pts"))
+        & (F.col("ts") >= F.col("pts") - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")),
+    )
+    w = Window.partitionBy("pid").orderBy(F.asc("ts"), F.asc("event_id"))
+    ranked = pairs.select(
+        "pid",
+        "event_type",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("pid")).alias("k"),
+    )
+    mid_share = F.expr("2000 DIV (k - 2)")
+    credit = (
+        F.when(F.col("k") == 1, F.lit(10000))
+        .when(F.col("k") == 2, F.lit(5000))
+        .when(F.col("pos") == 1, F.lit(4000))
+        .when(
+            F.col("pos") == F.col("k"),
+            F.lit(4000) + F.lit(2000) - (F.col("k") - 2) * mid_share,
+        )
+        .otherwise(mid_share)
+    )
+    return (
+        ranked.select("event_type", credit.cast("long").alias("credit"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("credit").cast("long").alias("credit_bp"),
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+        )
+        .orderBy("event_type")
+    )
