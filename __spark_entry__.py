@@ -60,7 +60,9 @@ from graphdb_td2_spark.search import bm25_doc_topk, bm25_hybrid_topk
 from graphdb_td2_spark.dedup.er import fuzzy_part_matches
 from graphdb_td2_spark.graph.sssp import sssp_top20
 from graphdb_td2_spark.functions.sampling import (
+    balanced_label_sample,
     dataset_splits,
+    negative_sample_stats,
     sampled_event_stats,
     source_mixing_weights,
     stratified_sample_stats,
@@ -103,6 +105,7 @@ from graphdb_td2_spark.operators.activity import (
     rolling_active_users,
 )
 from graphdb_td2_spark.operators.attribution import ushape_attribution
+from graphdb_td2_spark.operators.cdc import scd2_customer_history
 from graphdb_td2_spark.operators.timeseries import interpolated_daily_value
 from graphdb_td2_spark.recs.als import als_rank1_convergence
 from graphdb_td2_spark.similarity.gram import gram_fixed_point
@@ -324,6 +327,14 @@ DEMOTED_TAIL = (
                               # family twin of the unrolled-CTE PageRank
     "ushape_attribution",  # position-weighted variant of the attribution
                            # family (last_touch_attribution in tail)
+    "scd2_customer_history",  # SCD type-2 validity intervals — history
+                              # twin of cdc_customer_state
+    "negative_sample_stats",  # md5-deterministic negative sampling over
+                              # the interaction matrix (sampling family)
+    "balanced_label_sample",  # minority-class-capped downsampling with a
+                              # selection checksum (sampling family)
+    "event_value_deciles",  # ntile equal-frequency binning — ranking-
+                            # family variant (event_value_ranks in head)
 )
 
 
@@ -472,6 +483,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolated_daily_value": interpolated_daily_value,
         "als_rank1_convergence": als_rank1_convergence,
         "ushape_attribution": ushape_attribution,
+        "scd2_customer_history": scd2_customer_history,
+        "negative_sample_stats": negative_sample_stats,
+        "balanced_label_sample": balanced_label_sample,
+        "event_value_deciles": win.event_value_deciles,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -3438,6 +3453,96 @@ credited AS (
 SELECT event_type, CAST(SUM(credit) AS BIGINT) AS credit_bp,
        CAST(COUNT(*) AS BIGINT) AS n_touches
 FROM credited GROUP BY event_type ORDER BY event_type
+"""
+
+    # operators/cdc.py:scd2_customer_history — SCD2 intervals in version
+    # space over the deterministic orders-derived changelog.
+    sqls["scd2_customer_history"] = """
+WITH ch AS (
+  SELECT o_custkey AS key, o_orderkey AS version,
+    CASE o_orderstatus WHEN 'O' THEN 'I' WHEN 'F' THEN 'U' ELSE 'D' END AS op,
+    o_orderpriority AS priority,
+    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+)
+SELECT key, version AS valid_from,
+  lead(version) OVER (PARTITION BY key ORDER BY version) AS valid_to,
+  op, priority, price_cents,
+  (lead(version) OVER (PARTITION BY key ORDER BY version) IS NULL
+   AND op <> 'D') AS is_current
+FROM ch ORDER BY key, valid_from
+"""
+
+    # functions/sampling.py:negative_sample_stats — md5(c:slot) mod |part|
+    # over a dense product index, anti-joined against interactions.
+    sqls["negative_sample_stats"] = """
+WITH inter AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+pidx AS (
+  SELECT row_number() OVER (ORDER BY p_partkey) - 1 AS idx, p_partkey
+  FROM part
+),
+np AS (SELECT COUNT(*) AS n_parts FROM part),
+cand AS (
+  SELECT c, slot,
+    CAST(('0x' || substr(md5(CAST(c AS VARCHAR) || ':' || CAST(slot AS VARCHAR)), 1, 8)) AS BIGINT)
+      % (SELECT n_parts FROM np) AS idx
+  FROM (SELECT DISTINCT c FROM inter)
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS slot)
+),
+candp AS (
+  SELECT cand.c, cand.slot, pidx.p_partkey AS p
+  FROM cand JOIN pidx USING (idx)
+),
+neg AS (
+  SELECT cp.slot FROM candp cp
+  LEFT JOIN inter i ON i.c = cp.c AND i.p = cp.p
+  WHERE i.c IS NULL
+),
+cs AS (SELECT slot, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM candp GROUP BY slot),
+ns AS (SELECT slot, CAST(COUNT(*) AS BIGINT) AS n_negatives FROM neg GROUP BY slot)
+SELECT cs.slot, n_candidates, n_negatives,
+  CAST(n_negatives AS DOUBLE) / CAST(n_candidates AS DOUBLE) AS neg_rate
+FROM cs JOIN ns ON ns.slot = cs.slot ORDER BY cs.slot
+"""
+
+    # functions/sampling.py:balanced_label_sample — minority-class cap,
+    # md5-shuffled selection, checksum over the kept vec_ids.
+    sqls["balanced_label_sample"] = """
+WITH cap AS (
+  SELECT MIN(n) AS cap FROM (
+    SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+  )
+),
+ranked AS (
+  SELECT label, vec_id,
+    row_number() OVER (PARTITION BY label
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+  FROM embeddings
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_total,
+  CAST(SUM(CASE WHEN rk <= (SELECT cap FROM cap) THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_kept,
+  CAST(SUM(CASE WHEN rk <= (SELECT cap FROM cap) THEN vec_id ELSE 0 END) AS BIGINT)
+    AS kept_vec_id_sum
+FROM ranked GROUP BY label ORDER BY label
+"""
+
+    # operators/windows.py:event_value_deciles — SQL-standard ntile over
+    # the total (value, event_id) order.
+    sqls["event_value_deciles"] = """
+WITH t AS (
+  SELECT event_type, value,
+    ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id)
+      AS decile
+  FROM events
+)
+SELECT event_type, CAST(decile AS INTEGER) AS decile,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  MIN(value) AS min_value, MAX(value) AS max_value
+FROM t GROUP BY event_type, decile ORDER BY event_type, decile
 """
 
     return sqls

@@ -187,3 +187,123 @@ def sampled_event_stats(
         )
         .orderBy("event_type")
     )
+
+
+NEG_SLOTS = 4
+
+
+def negative_sample_stats(
+    spark: SparkSession, sf_dir: str, k: int = NEG_SLOTS
+) -> DataFrame:
+    """Registry entry: ``(slot, n_candidates, n_negatives, neg_rate)`` —
+    deterministic hash-based negative sampling for implicit-feedback
+    training: each customer draws ``k`` candidate products via
+    ``md5(customer:slot) mod |parts|`` over a dense product index, and a
+    candidate survives as a negative iff the customer never bought it
+    (LEFT ANTI against the interaction set). Per-slot stats expose the
+    positive-collision rate the trainer must budget for. Ordered by slot.
+
+    Determinism: the md5-bucket idiom of ``hash_bucket`` (same bytes
+    hashed on every engine); the dense index decouples sampling from key
+    gaps. Scale notes: candidates are |customers|·k rows; the dense
+    product index joins broadcast; the anti-join shuffles on the same
+    (customer, product) key as the interaction build. No RNG state, no
+    driver loops — replays identically under speculation/retry.
+    """
+    orders = read_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    items = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    inter = (
+        items.join(orders, items["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    parts = read_table(spark, sf_dir, "part", ["p_partkey"])
+    from pyspark.sql import Window
+
+    pidx = parts.select(
+        (F.row_number().over(Window.orderBy("p_partkey")) - 1).alias("idx"),
+        F.col("p_partkey"),
+    )
+    n_parts = parts.agg(F.count(F.lit(1)).alias("n_parts"))
+    cand = (
+        inter.select("c")
+        .distinct()
+        .select("c", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("slot"))
+        .crossJoin(F.broadcast(n_parts))
+        .select(
+            "c",
+            "slot",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.col("c"), F.col("slot"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n_parts")
+            ).alias("idx"),
+        )
+        .join(F.broadcast(pidx), "idx")
+        .select("c", "slot", F.col("p_partkey").alias("p"))
+    )
+    neg = cand.join(inter, ["c", "p"], "left_anti")
+    cstats = cand.groupBy("slot").agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    nstats = neg.groupBy("slot").agg(F.count(F.lit(1)).cast("long").alias("n_negatives"))
+    return (
+        cstats.join(nstats, "slot")
+        .select(
+            "slot",
+            "n_candidates",
+            "n_negatives",
+            (
+                F.col("n_negatives").cast("double")
+                / F.col("n_candidates").cast("double")
+            ).alias("neg_rate"),
+        )
+        .orderBy("slot")
+    )
+
+
+def balanced_label_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(label, n_total, n_kept, kept_vec_id_sum)`` —
+    class-balanced downsampling of the embedding corpus: every label is
+    capped at the minority-class count, rows chosen by md5 order (a
+    deterministic uniform shuffle), with the kept-set checksum proving
+    the SELECTION (not just the count) is engine-stable. Ordered by
+    label.
+
+    Scale notes: one count agg for the cap (broadcast single row), one
+    shuffle on label for the row_number window; hot labels are exactly
+    the window partitions AQE-balanced elsewhere. The checksum makes the
+    operator hash-verifiable without materializing the sample.
+    """
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "label"])
+    from pyspark.sql import Window
+
+    mn = emb.groupBy("label").count().agg(F.min("count").alias("cap"))
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    ranked = emb.select(
+        "label", "vec_id", F.row_number().over(w).alias("rk")
+    ).crossJoin(F.broadcast(mn))
+    return (
+        ranked.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum((F.col("rk") <= F.col("cap")).cast("long"))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(
+                F.when(F.col("rk") <= F.col("cap"), F.col("vec_id")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("kept_vec_id_sum"),
+        )
+        .orderBy("label")
+    )

@@ -80,6 +80,43 @@ def orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the slowly-changing-dimension type-2 MATERIALIZATION
+    of the same changelog ``apply_changelog`` collapses — every change
+    becomes a validity interval ``[valid_from, valid_to)`` in version
+    space, ``valid_to`` null for the key's latest change, ``is_current``
+    true only when that latest change is not a delete tombstone. Ordered
+    by (key, valid_from).
+
+    This is the warehouse-history twin of CDC apply: apply gives "state
+    now", SCD2 gives "state as of any version" — the standard dimension-
+    table pattern a lakehouse derives from the identical change stream.
+
+    Scale notes: one shuffle on the key serving a single ``lead`` window
+    (per-key change counts are bounded); no joins. Output is one row per
+    change — written partitioned by key range in production, returned
+    whole here for the oracle hash.
+    """
+    from pyspark.sql import Window
+
+    ch = orders_changelog(spark, sf_dir)
+    w = Window.partitionBy("key").orderBy("version")
+    return (
+        ch.select(
+            "key",
+            F.col("version").alias("valid_from"),
+            F.lead("version").over(w).alias("valid_to"),
+            "op",
+            "priority",
+            "price_cents",
+        )
+        .withColumn(
+            "is_current", F.col("valid_to").isNull() & (F.col("op") != "D")
+        )
+        .orderBy("key", "valid_from")
+    )
+
+
 def cdc_customer_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: apply the orders changelog and profile the final
     state — ``(op, n_keys, total_cents)`` per surviving op, ordered by op

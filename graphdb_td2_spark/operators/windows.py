@@ -133,6 +133,32 @@ def event_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(event_type, decile, n_events, min_value,
+    max_value)`` — ``ntile(10)`` equal-frequency binning of values per
+    event type (the quantile-transform the feature pipeline applies
+    before training), ordered by (event_type, decile).
+
+    Determinism: the ntile order is total (value, event_id), and ntile's
+    floor/ceil bucket-size rule is the SQL-standard one both engines
+    implement. Scale: one shuffle on event_type for the window; min/max
+    per bucket fold into one hash agg."""
+    events = read_table(spark, sf_dir, "events", ["event_id", "event_type", "value"])
+    w = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    return (
+        events.select(
+            "event_type", "value", F.ntile(10).over(w).cast("int").alias("decile")
+        )
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type", "decile")
+    )
+
+
 TRAILING_WINDOW_SECS = 3600
 
 
