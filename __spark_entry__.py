@@ -103,7 +103,11 @@ from graphdb_td2_spark.operators.quality_checks import (
 from graphdb_td2_spark.operators.activity import (
     concurrent_sessions,
     rolling_active_users,
+    user_activity_streaks,
 )
+from graphdb_td2_spark.graph.lpa import community_modularity
+from graphdb_td2_spark.recs.trending import abc_product_classes
+from graphdb_td2_spark.operators.timeseries import value_trend_by_type
 from graphdb_td2_spark.operators.attribution import ushape_attribution
 from graphdb_td2_spark.operators.cdc import scd2_customer_history
 from graphdb_td2_spark.operators.timeseries import interpolated_daily_value
@@ -335,6 +339,14 @@ DEMOTED_TAIL = (
                               # selection checksum (sampling family)
     "event_value_deciles",  # ntile equal-frequency binning — ranking-
                             # family variant (event_value_ranks in head)
+    "community_modularity",  # Newman Q over the LPA partition — quality
+                             # metric for the iterative graph family
+    "value_trend_by_type",  # exact-sufficient-statistics OLS — regression
+                            # variant of the per-type aggregate family
+    "abc_product_classes",  # Pareto/ABC running-share classification over
+                            # the product revenue rollup
+    "user_activity_streaks",  # gaps-and-islands longest-run histogram
+                              # (window family)
 )
 
 
@@ -487,6 +499,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_sample_stats": negative_sample_stats,
         "balanced_label_sample": balanced_label_sample,
         "event_value_deciles": win.event_value_deciles,
+        "community_modularity": community_modularity,
+        "value_trend_by_type": value_trend_by_type,
+        "abc_product_classes": abc_product_classes,
+        "user_activity_streaks": user_activity_streaks,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -738,6 +754,37 @@ SELECT size, CAST(COUNT(*) AS BIGINT) AS n_communities FROM (
 ) GROUP BY size ORDER BY size DESC
 """)
     return "".join(parts)
+
+
+def _modularity_sql(rounds: int = 4) -> str:
+    """Newman modularity of the LPA partition — reuses the unrolled LPA
+    CTE chain, then folds Q into one exact-integer division (mirrors
+    graph/lpa.py:community_modularity)."""
+    lpa = _lpa_sql(rounds)
+    prefix = lpa[: lpa.rindex("\nSELECT size,")]
+    return (
+        prefix
+        + f""",
+labeled AS (
+  SELECT ls.lbl AS l_src, ld.lbl AS l_dst
+  FROM und u JOIN l{rounds} ls ON u.src = ls.id
+             JOIN l{rounds} ld ON u.dst = ld.id
+),
+per_comm AS (
+  SELECT l_src, CAST(COUNT(*) AS BIGINT) AS deg_sum,
+         CAST(SUM(CASE WHEN l_src = l_dst THEN 1 ELSE 0 END) AS BIGINT) AS intra2
+  FROM labeled GROUP BY l_src
+),
+m AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS m FROM und)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+       CAST(MIN(m.m) AS BIGINT) AS n_edges,
+       CAST(SUM(4 * m.m * CAST(intra2 // 2 AS BIGINT) - deg_sum * deg_sum)
+            AS DOUBLE)
+         / (CAST(4 AS DOUBLE) * CAST(MIN(m.m) AS DOUBLE) * CAST(MIN(m.m) AS DOUBLE))
+         AS modularity
+FROM per_comm CROSS JOIN m
+"""
+    )
 
 
 def _bfs_sql(seed: str = "C:1", max_hops: int = 6) -> str:
@@ -3543,6 +3590,83 @@ SELECT event_type, CAST(decile AS INTEGER) AS decile,
   CAST(COUNT(*) AS BIGINT) AS n_events,
   MIN(value) AS min_value, MAX(value) AS max_value
 FROM t GROUP BY event_type, decile ORDER BY event_type, decile
+"""
+
+    # graph/lpa.py:community_modularity — unrolled LPA labels + one exact
+    # integer-division Newman Q.
+    sqls["community_modularity"] = _modularity_sql()
+
+    # operators/timeseries.py:value_trend_by_type — closed-form OLS on
+    # exact integer sufficient statistics.
+    sqls["value_trend_by_type"] = """
+WITH lo AS (SELECT date_trunc('day', MIN(ts)) AS lo FROM events),
+xy AS (
+  SELECT event_type,
+    CAST(date_diff('day', lo.lo, e.ts) AS BIGINT) AS x,
+    CAST(CAST(e.value AS DECIMAL(14,2)) * 100 AS BIGINT) AS y
+  FROM events e CROSS JOIN lo
+),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM xy GROUP BY event_type
+)
+SELECT event_type, n AS n_events,
+  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+    AS slope_cpd,
+  CAST(sy * sxx - sx * sxy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+    AS intercept_c
+FROM s ORDER BY event_type
+"""
+
+    # recs/trending.py:abc_product_classes — integer-inequality Pareto
+    # classes over the exact-cents revenue rollup.
+    sqls["abc_product_classes"] = """
+WITH rev AS (
+  SELECT l_partkey,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) * 100 AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM rev),
+classed AS (
+  SELECT cents,
+    CASE WHEN cum * 100 <= total * 80 THEN 'A'
+         WHEN cum * 100 <= total * 95 THEN 'B'
+         ELSE 'C' END AS abc_class
+  FROM (
+    SELECT cents,
+      CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+    FROM rev
+  ) CROSS JOIN tot
+)
+SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_products,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM classed GROUP BY abc_class ORDER BY abc_class
+"""
+
+    # operators/activity.py:user_activity_streaks — gaps-and-islands via
+    # the day − row_number·1day anchor.
+    sqls["user_activity_streaks"] = """
+WITH daily AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+islands AS (
+  SELECT user_id,
+    day - to_days(CAST(row_number() OVER (
+        PARTITION BY user_id ORDER BY day) AS INTEGER)) AS anchor
+  FROM daily
+),
+streaks AS (
+  SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS len
+  FROM islands GROUP BY user_id, anchor
+),
+longest AS (
+  SELECT user_id, MAX(len) AS streak_days FROM streaks GROUP BY user_id
+)
+SELECT streak_days, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM longest GROUP BY streak_days ORDER BY streak_days DESC
 """
 
     return sqls

@@ -81,3 +81,68 @@ def community_sizes(
         .agg(F.count(F.lit(1)).alias("n_communities"))
         .orderBy(F.desc("size"))
     )
+
+
+def community_modularity(
+    spark: SparkSession, sf_dir: str, rounds: int = DEFAULT_ROUNDS
+) -> DataFrame:
+    """Registry entry: ``(n_communities, n_edges, modularity)`` — Newman
+    modularity of the fixed-round LPA partition over the undirected
+    property graph: Q = Σ_c [m_c/m − (d_c/2m)²], the quality score that
+    turns "LPA emitted labels" into "the labels mean something".
+
+    Determinism: Q is computed as ONE division of exact integers —
+    numerator Σ_c (4·m·m_c − d_c²), denominator 4m² — so no per-community
+    float summation order exists. m counts distinct undirected edges,
+    m_c intra-community edges, d_c the community degree sum
+    (self-loop-free by construction of the edge multiset).
+
+    Scale notes: one extra join of the doubled edge list against the
+    final labels (both sides keyed by vertex — the same shuffle the LPA
+    rounds already use) plus two bounded aggregates; the quadratic-
+    looking d_c² folds over the per-community degree aggregate, never
+    over pairs.
+    """
+    g = cached_graph(spark, sf_dir)
+    lp = label_propagation(g.vertices, g.edges, rounds=rounds)
+    und = (
+        g.edges.select("src", "dst")
+        .union(
+            g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+    )
+    lbl_src = lp.select(F.col("id").alias("src"), F.col("lbl").alias("l_src"))
+    lbl_dst = lp.select(F.col("id").alias("dst"), F.col("lbl").alias("l_dst"))
+    labeled = und.join(lbl_src, "src").join(lbl_dst, "dst")
+    per_comm = (
+        labeled.groupBy("l_src")
+        .agg(
+            F.count(F.lit(1)).alias("deg_sum"),  # doubled-graph out-degree sum
+            F.sum((F.col("l_src") == F.col("l_dst")).cast("long")).alias(
+                "intra2"
+            ),  # intra-community edge endpoints (2 per edge)
+        )
+    )
+    m = und.agg((F.count(F.lit(1)) / 2).cast("long").alias("m"))
+    return (
+        per_comm.crossJoin(F.broadcast(m))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.first("m").cast("long").alias("n_edges"),
+            F.sum(
+                F.lit(4) * F.col("m") * (F.col("intra2") / 2).cast("long")
+                - F.col("deg_sum") * F.col("deg_sum")
+            )
+            .cast("long")
+            .alias("q_num"),
+        )
+        .select(
+            "n_communities",
+            "n_edges",
+            (
+                F.col("q_num").cast("double")
+                / (F.lit(4).cast("double") * F.col("n_edges").cast("double") * F.col("n_edges").cast("double"))
+            ).alias("modularity"),
+        )
+    )

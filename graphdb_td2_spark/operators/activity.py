@@ -141,3 +141,36 @@ def concurrent_sessions(
         )
         .orderBy("day")
     )
+
+
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(streak_days, n_users)`` — histogram of each
+    user's LONGEST run of consecutive active days, via the gaps-and-
+    islands identity: within a user's distinct active days ordered by
+    day, ``day − row_number·1day`` is constant exactly along a
+    consecutive run, so grouping on that anchor yields the islands.
+    Ordered by streak_days descending.
+
+    Scale notes: distinct-day dedup and the row_number window share one
+    shuffle on user_id (per-user day counts are time-range-bounded);
+    the island/max/histogram rollups are partial-aggregated. All
+    integer arithmetic.
+    """
+    events = read_table(spark, sf_dir, "events", ["ts", "user_id"])
+    daily = events.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    islands = daily.select(
+        "user_id",
+        F.expr("day - make_interval(0, 0, 0, row_number() OVER "
+               "(PARTITION BY user_id ORDER BY day))").alias("anchor"),
+    )
+    streaks = islands.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    longest = streaks.groupBy("user_id").agg(F.max("len").alias("streak_days"))
+    return (
+        longest.groupBy("streak_days")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.desc("streak_days"))
+    )

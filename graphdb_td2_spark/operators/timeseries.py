@@ -141,3 +141,50 @@ def interpolated_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("cents", interp).cast("long").alias("value_cents"),
         F.col("cents").isNull().alias("interpolated"),
     ).orderBy("day")
+
+
+def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(event_type, n_events, slope_cpd, intercept_c)``
+    — per-type ordinary-least-squares fit of event value (cents) against
+    time (days since the corpus start): the trend line a monitoring
+    dashboard draws, ordered by event_type.
+
+    Determinism: the five OLS sufficient statistics (n, Σx, Σy, Σxy,
+    Σx²) are exact integers (x = day offset from the global min day,
+    y = exact cents), and slope/intercept are each ONE IEEE division of
+    integer-valued closed-form numerators —
+    ``slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)`` and
+    ``intercept = (ΣyΣx² − ΣxΣxy)/(nΣx² − (Σx)²)`` — no iterative
+    solver, no float accumulation. Anchoring x at the corpus min keeps
+    every product inside int64 for century-scale spans.
+
+    Scale notes: one broadcast of the 1-row min-day scalar, one
+    map-side-partial hash agg per type, constant-size output.
+    """
+    events = read_table(spark, sf_dir, "events", ["ts", "event_type", "value"])
+    lo = events.agg(F.date_trunc("day", F.min("ts")).alias("lo"))
+    xy = events.crossJoin(F.broadcast(lo)).select(
+        "event_type",
+        F.datediff(F.col("ts"), F.col("lo")).cast("long").alias("x"),
+        (F.col("value").cast("decimal(14,2)") * 100).cast("long").alias("y"),
+    )
+    stats = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return stats.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / det.cast("double")
+        ).alias("slope_cpd"),
+        (
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast("double")
+            / det.cast("double")
+        ).alias("intercept_c"),
+    ).orderBy("event_type")

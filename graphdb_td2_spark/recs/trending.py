@@ -59,3 +59,54 @@ def decayed_product_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_fp"), F.asc("product_id"))
         .limit(TOP_K)
     )
+
+
+def abc_product_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(abc_class, n_products, revenue_cents)`` — Pareto
+    / ABC inventory classification of products by revenue: class A holds
+    products whose running cumulative revenue share (revenue-descending
+    order) stays within 80%, B within 95%, C the tail. Ordered by class.
+
+    Determinism: revenues are exact DECIMAL→BIGINT cents; the class
+    boundary test is the integer inequality ``cum·100 ≤ total·{80,95}``
+    (no float shares), over the total order (revenue DESC, p_partkey).
+
+    Scale notes: the heavy part is the revenue rollup (fact-scan hash
+    agg, map-side partials); the running sum's global window ranges over
+    the PRODUCT dimension only — |part| rows, the same bounded-axis
+    argument as the day-spine operators. Output is 3 rows.
+    """
+    from pyspark.sql import Window
+
+    items = read_table(spark, sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+    rev = (
+        items.select(
+            "l_partkey",
+            F.col("l_extendedprice").cast("decimal(14,2)").alias("p"),
+        )
+        .groupBy("l_partkey")
+        .agg((F.sum("p") * 100).cast("long").alias("cents"))
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("total"))
+    classed = (
+        rev.withColumn("cum", F.sum("cents").over(w).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.when(F.col("cum") * 100 <= F.col("total") * 80, F.lit("A"))
+            .when(F.col("cum") * 100 <= F.col("total") * 95, F.lit("B"))
+            .otherwise(F.lit("C"))
+            .alias("abc_class"),
+            "cents",
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_products"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("abc_class")
+    )
