@@ -108,7 +108,12 @@ from graphdb_td2_spark.operators.activity import (
 from graphdb_td2_spark.graph.lpa import community_modularity
 from graphdb_td2_spark.recs.trending import abc_product_classes
 from graphdb_td2_spark.operators.timeseries import value_trend_by_type
-from graphdb_td2_spark.operators.attribution import ushape_attribution
+from graphdb_td2_spark.operators.attribution import (
+    conversion_latency_quantiles,
+    ushape_attribution,
+)
+from graphdb_td2_spark.operators.anomaly import dow_daily_anomalies
+from graphdb_td2_spark.graph.triangles import edge_support_histogram
 from graphdb_td2_spark.operators.cdc import scd2_customer_history
 from graphdb_td2_spark.operators.timeseries import interpolated_daily_value
 from graphdb_td2_spark.recs.als import als_rank1_convergence
@@ -347,6 +352,12 @@ DEMOTED_TAIL = (
                             # the product revenue rollup
     "user_activity_streaks",  # gaps-and-islands longest-run histogram
                               # (window family)
+    "edge_support_histogram",  # per-edge triangle support (k-truss
+                               # building block) — triangle-family variant
+    "conversion_latency_quantiles",  # time-to-convert percentiles —
+                                     # attribution×percentile composition
+    "dow_daily_anomalies",  # day-of-week-adjusted median/MAD variant of
+                            # event_value_anomalies
 )
 
 
@@ -503,6 +514,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_trend_by_type": value_trend_by_type,
         "abc_product_classes": abc_product_classes,
         "user_activity_streaks": user_activity_streaks,
+        "edge_support_histogram": edge_support_histogram,
+        "conversion_latency_quantiles": conversion_latency_quantiles,
+        "dow_daily_anomalies": dow_daily_anomalies,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -3667,6 +3681,98 @@ longest AS (
 )
 SELECT streak_days, CAST(COUNT(*) AS BIGINT) AS n_users
 FROM longest GROUP BY streak_days ORDER BY streak_days DESC
+"""
+
+    # graph/triangles.py:edge_support_histogram — triangles kept as rows,
+    # exploded into their three edges, support-counted, 0-support edges
+    # restored by the left join.
+    sqls["edge_support_histogram"] = """
+WITH pairs AS (
+  SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id FROM lineitem
+),
+edges AS (
+  SELECT a.product_id AS pa, b.product_id AS pb, COUNT(*) AS w
+  FROM pairs a JOIN pairs b
+    ON a.order_id = b.order_id AND a.product_id < b.product_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+tris AS (
+  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.pb = e2.pa
+  JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+),
+tri_edges AS (
+  SELECT a AS pa, b AS pb FROM tris
+  UNION ALL SELECT b, c FROM tris
+  UNION ALL SELECT a, c FROM tris
+),
+support AS (
+  SELECT pa, pb, CAST(COUNT(*) AS BIGINT) AS support
+  FROM tri_edges GROUP BY pa, pb
+)
+SELECT CAST(COALESCE(s.support, 0) AS BIGINT) AS support,
+       CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM edges e LEFT JOIN support s ON s.pa = e.pa AND s.pb = e.pb
+GROUP BY 1 ORDER BY support DESC
+"""
+
+    # operators/attribution.py:conversion_latency_quantiles — first touch
+    # by (ts, event_id) min, integer-second latency, exact percentiles.
+    sqls["conversion_latency_quantiles"] = """
+WITH purchases AS (
+  SELECT user_id AS u, ts AS pts, event_id AS pid
+  FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT p.pid, p.pts, e.event_type, e.ts, e.event_id
+  FROM events e JOIN purchases p
+    ON e.user_id = p.u
+   AND e.ts < p.pts AND e.ts >= p.pts - INTERVAL 1 HOUR
+  WHERE e.event_type <> 'purchase'
+),
+first AS (
+  SELECT pid, pts, event_type AS ft_type, ts AS ft_ts FROM (
+    SELECT pid, pts, event_type, ts,
+      row_number() OVER (PARTITION BY pid ORDER BY ts, event_id) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+),
+lat AS (
+  SELECT ft_type AS first_touch_type,
+    (epoch_us(pts) - epoch_us(ft_ts)) // 1000000 AS latency_s
+  FROM first
+)
+SELECT first_touch_type, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+  quantile_cont(latency_s, 0.5) AS p50_latency_s,
+  quantile_cont(latency_s, 0.9) AS p90_latency_s
+FROM lat GROUP BY first_touch_type ORDER BY first_touch_type
+"""
+
+    # operators/anomaly.py:dow_daily_anomalies — median/MAD per day-of-week
+    # over exact-cents daily totals (DuckDB dow is 0=Sunday, Spark 1=Sunday).
+    sqls["dow_daily_anomalies"] = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+    CAST(SUM(CAST(value AS DECIMAL(14,2))) * 100 AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+dowed AS (
+  SELECT CAST(dayofweek(day) + 1 AS INTEGER) AS dow, cents FROM daily
+),
+med AS (SELECT dow, quantile_cont(cents, 0.5) AS med_cents FROM dowed GROUP BY dow),
+dev AS (
+  SELECT d.dow, d.cents, m.med_cents, abs(d.cents - m.med_cents) AS dev
+  FROM dowed d JOIN med m USING (dow)
+),
+mad AS (SELECT dow, quantile_cont(dev, 0.5) AS mad_cents FROM dev GROUP BY dow)
+SELECT d.dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+  MIN(d.med_cents) AS med_cents, MIN(m.mad_cents) AS mad_cents,
+  CAST(SUM(CASE WHEN d.dev > 3 * m.mad_cents THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_outliers
+FROM dev d JOIN mad m USING (dow)
+GROUP BY d.dow ORDER BY d.dow
 """
 
     return sqls

@@ -89,3 +89,52 @@ def triangle_stats(
             F.col("n_triangles").cast("long").alias("n_triangles"),
         )
     )
+
+
+def edge_support_histogram(
+    spark: SparkSession, sf_dir: str, min_weight: int = DEFAULT_MIN_WEIGHT
+) -> DataFrame:
+    """Registry entry: ``(support, n_edges)`` — distribution of per-edge
+    triangle support over the co-occurrence graph (how many triangles
+    each edge closes), the statistic k-truss decomposition peels on.
+    Ordered by support descending.
+
+    Shape: the oriented wedge-close join of ``triangle_stats`` kept AS
+    ROWS ``(a, b, c)``, exploded into its three edges, counted per edge,
+    then left-joined back so support-0 edges appear. Output is bounded
+    by the distinct support values (≪ edges).
+
+    Scale notes: same wedge hot spot and the same two levers
+    (``min_weight`` support threshold, AQE skew split); the explode is
+    a fixed 3× of the triangle count; the histogram is partial-agged.
+    """
+    lineitem = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(lineitem, min_weight).transform(truncate_lineage)
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .select(
+            F.col("e1.pa").alias("a"),
+            F.col("e1.pb").alias("b"),
+            F.col("e2.pb").alias("c"),
+        )
+    )
+    tri_edges = (
+        tris.select(F.col("a").alias("pa"), F.col("b").alias("pb"))
+        .unionAll(tris.select(F.col("b").alias("pa"), F.col("c").alias("pb")))
+        .unionAll(tris.select(F.col("a").alias("pa"), F.col("c").alias("pb")))
+    )
+    support = tri_edges.groupBy("pa", "pb").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+    return (
+        edges.join(support, ["pa", "pb"], "left")
+        .select(F.coalesce("support", F.lit(0)).cast("long").alias("support"))
+        .groupBy("support")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        .orderBy(F.desc("support"))
+    )

@@ -54,3 +54,49 @@ def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def dow_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(dow, n_days, med_cents, mad_cents, n_outliers)``
+    — seasonally-adjusted daily-revenue outliers: daily event-value
+    totals (exact cents) compared against their DAY-OF-WEEK median/MAD,
+    so weekday/weekend seasonality doesn't masquerade as anomaly.
+    Ordered by dow (1=Sunday … 7=Saturday, Spark convention).
+
+    Determinism: daily sums are exact DECIMAL→BIGINT cents; both median
+    passes are the parity-pinned exact percentile; the 3·MAD threshold
+    is two IEEE ops on those doubles. Scale: the heavy pass is the daily
+    rollup (one partial-agged hash agg); everything after ranges over
+    the bounded day axis.
+    """
+    events = read_table(spark, sf_dir, "events", ["ts", "value"])
+    daily = (
+        events.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.col("value").cast("decimal(14,2)").alias("v"),
+        )
+        .groupBy("day")
+        .agg((F.sum("v") * 100).cast("long").alias("cents"))
+        .select(F.dayofweek("day").alias("dow"), "cents")
+    )
+    med = daily.groupBy("dow").agg(F.expr("percentile(cents, 0.5)").alias("med_cents"))
+    dev = daily.join(F.broadcast(med), "dow").select(
+        "dow", "cents", "med_cents",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("dev"),
+    )
+    mad = dev.groupBy("dow").agg(F.expr("percentile(dev, 0.5)").alias("mad_cents"))
+    return (
+        dev.join(F.broadcast(mad), "dow")
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.first("med_cents").alias("med_cents"),
+            F.first("mad_cents").alias("mad_cents"),
+            F.sum(
+                (F.col("dev") > F.lit(float(MAD_K)) * F.col("mad_cents")).cast("long")
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("dow")
+    )

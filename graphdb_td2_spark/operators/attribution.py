@@ -128,3 +128,59 @@ def ushape_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(first_touch_type, n_purchases, p50_latency_s,
+    p90_latency_s)`` — time-to-convert distribution: for every purchase
+    with at least one in-window touch, latency from the FIRST touch to
+    the purchase, quantiled per first-touch type. Ordered by type.
+
+    Determinism: the first touch is the ``min_by`` over the total
+    (ts, event_id) order; latencies are exact integer seconds
+    (microsecond difference DIV 1e6 — micros are non-negative so DIV's
+    truncation matches DuckDB's ``//``); quantiles are the exact
+    linear-interpolation percentile already parity-pinned by
+    ``value_percentiles``.
+
+    Scale notes: the pair join is the same banded user/time shape as
+    ``ushape_attribution``; per-purchase reduction is a map-side-partial
+    ``min_by`` hash agg (no window); output is |event_type|-bounded.
+    """
+    ev = read_table(
+        spark, sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]
+    )
+    purchases = ev.filter(F.col("event_type") == CONVERSION).select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"),
+    )
+    touches = ev.filter(F.col("event_type") != CONVERSION)
+    pairs = touches.join(
+        purchases,
+        (F.col("user_id") == F.col("u"))
+        & (F.col("ts") < F.col("pts"))
+        & (F.col("ts") >= F.col("pts") - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")),
+    )
+    first = pairs.groupBy("pid").agg(
+        F.min_by(
+            F.struct(F.col("event_type"), F.col("ts")),
+            F.struct(F.col("ts"), F.col("event_id")),
+        ).alias("ft"),
+        F.first("pts").alias("pts"),
+    )
+    lat = first.select(
+        F.col("ft.event_type").alias("first_touch_type"),
+        F.expr("(unix_micros(pts) - unix_micros(ft.ts)) DIV 1000000").alias(
+            "latency_s"
+        ),
+    )
+    return (
+        lat.groupBy("first_touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.expr("percentile(latency_s, 0.5)").alias("p50_latency_s"),
+            F.expr("percentile(latency_s, 0.9)").alias("p90_latency_s"),
+        )
+        .orderBy("first_touch_type")
+    )

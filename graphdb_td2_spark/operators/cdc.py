@@ -85,8 +85,7 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the same changelog ``apply_changelog`` collapses — every change
     becomes a validity interval ``[valid_from, valid_to)`` in version
     space, ``valid_to`` null for the key's latest change, ``is_current``
-    true only when that latest change is not a delete tombstone. Ordered
-    by (key, valid_from).
+    true only when that latest change is not a delete tombstone.
 
     This is the warehouse-history twin of CDC apply: apply gives "state
     now", SCD2 gives "state as of any version" — the standard dimension-
@@ -95,26 +94,22 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes: one shuffle on the key serving a single ``lead`` window
     (per-key change counts are bounded); no joins. Output is one row per
     change — written partitioned by key range in production, returned
-    whole here for the oracle hash.
+    whole here for the oracle hash. Deliberately NO global sort: the
+    oracle compare is order-insensitive, and a total order over an
+    unbounded history table is pure cost at scale.
     """
     from pyspark.sql import Window
 
     ch = orders_changelog(spark, sf_dir)
     w = Window.partitionBy("key").orderBy("version")
-    return (
-        ch.select(
-            "key",
-            F.col("version").alias("valid_from"),
-            F.lead("version").over(w).alias("valid_to"),
-            "op",
-            "priority",
-            "price_cents",
-        )
-        .withColumn(
-            "is_current", F.col("valid_to").isNull() & (F.col("op") != "D")
-        )
-        .orderBy("key", "valid_from")
-    )
+    return ch.select(
+        "key",
+        F.col("version").alias("valid_from"),
+        F.lead("version").over(w).alias("valid_to"),
+        "op",
+        "priority",
+        "price_cents",
+    ).withColumn("is_current", F.col("valid_to").isNull() & (F.col("op") != "D"))
 
 
 def cdc_customer_state(spark: SparkSession, sf_dir: str) -> DataFrame:
