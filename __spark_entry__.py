@@ -113,6 +113,8 @@ from graphdb_td2_spark.operators.attribution import (
     ushape_attribution,
 )
 from graphdb_td2_spark.operators.anomaly import dow_daily_anomalies
+from graphdb_td2_spark.operators.drift import ks_value_drift
+from graphdb_td2_spark.graph.centrality import degree_assortativity
 from graphdb_td2_spark.graph.triangles import edge_support_histogram
 from graphdb_td2_spark.operators.cdc import scd2_customer_history
 from graphdb_td2_spark.operators.timeseries import interpolated_daily_value
@@ -358,6 +360,12 @@ DEMOTED_TAIL = (
                                      # attribution×percentile composition
     "dow_daily_anomalies",  # day-of-week-adjusted median/MAD variant of
                             # event_value_anomalies
+    "readability_stats",  # Flesch on exact aggregate counts — text-
+                          # quality family variant
+    "degree_assortativity",  # closed-form Pearson on integer moments —
+                             # graph-diagnostic family
+    "ks_value_drift",  # exact integer-ECDF two-sample KS — drift gate
+                       # (percentile family pins the value axis)
 )
 
 
@@ -517,6 +525,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_support_histogram": edge_support_histogram,
         "conversion_latency_quantiles": conversion_latency_quantiles,
         "dow_daily_anomalies": dow_daily_anomalies,
+        "readability_stats": text.readability_stats,
+        "degree_assortativity": degree_assortativity,
+        "ks_value_drift": ks_value_drift,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -3773,6 +3784,108 @@ SELECT d.dow, CAST(COUNT(*) AS BIGINT) AS n_days,
     AS n_outliers
 FROM dev d JOIN mad m USING (dow)
 GROUP BY d.dow ORDER BY d.dow
+"""
+
+    # functions/text.py:readability_stats — Flesch on exact aggregate
+    # counts; syllables = vowel groups, sentences floored at 1/doc.
+    sqls["readability_stats"] = """
+WITH per_doc AS (
+  SELECT source,
+    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS w,
+    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS y,
+    GREATEST(CAST(len(regexp_extract_all(lower(text), '[.!?]+')) AS BIGINT),
+             CAST(1 AS BIGINT)) AS s
+  FROM documents
+),
+sums AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(w) AS BIGINT) AS n_words,
+    CAST(SUM(s) AS BIGINT) AS n_sentences,
+    CAST(SUM(y) AS BIGINT) AS n_syllables
+  FROM per_doc GROUP BY source
+)
+SELECT source, n_docs, n_words, n_sentences, n_syllables,
+  206.835
+    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+    AS flesch
+FROM sums ORDER BY source
+"""
+
+    # graph/centrality.py:degree_assortativity — exact int64 moments over
+    # the symmetric co-purchase adjacency, combined in IEEE double.
+    sqls["degree_assortativity"] = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id FROM lineitem
+),
+adj AS (
+  SELECT DISTINCT a.product_id AS src, b.product_id AS dst
+  FROM items a JOIN items b
+    ON a.order_id = b.order_id AND a.product_id <> b.product_id
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY src),
+e AS (
+  SELECT dx.d AS dx, dy.d AS dy
+  FROM adj JOIN deg dx ON dx.src = adj.src
+           JOIN deg dy ON dy.src = adj.dst
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+    CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+    CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+    CAST(SUM(dy * dy) AS BIGINT) AS syy
+  FROM e
+)
+SELECT n AS n_edges,
+  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_src_degree,
+  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+    AS assortativity
+FROM s
+"""
+
+    # operators/drift.py:ks_value_drift — exact cross-multiplied integer
+    # ECDFs over the distinct-value axis; two lexicographically-first
+    # event types as the two samples.
+    sqls["ks_value_drift"] = """
+WITH t AS (
+  SELECT event_type, row_number() OVER (ORDER BY event_type) AS rn
+  FROM (SELECT DISTINCT event_type FROM events)
+  QUALIFY rn <= 2
+),
+tagged AS (
+  SELECT e.value, t.rn FROM events e JOIN t USING (event_type)
+),
+per_value AS (
+  SELECT value,
+    CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt,
+    CAST(SUM(CASE WHEN rn = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt
+  FROM tagged GROUP BY value
+),
+cums AS (
+  SELECT
+    SUM(a_cnt) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum_a,
+    SUM(b_cnt) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum_b
+  FROM per_value
+),
+totals AS (
+  SELECT CAST(SUM(a_cnt) AS BIGINT) AS n_a, CAST(SUM(b_cnt) AS BIGINT) AS n_b
+  FROM per_value
+),
+names AS (
+  SELECT MIN(CASE WHEN rn = 1 THEN event_type END) AS type_a,
+         MIN(CASE WHEN rn = 2 THEN event_type END) AS type_b
+  FROM t
+),
+ks AS (
+  SELECT CAST(MAX(abs(t.n_b * c.cum_a - t.n_a * c.cum_b)) AS BIGINT) AS ks_num
+  FROM cums c CROSS JOIN totals t
+)
+SELECT names.type_a, names.type_b, totals.n_a, totals.n_b, ks.ks_num,
+  CAST(ks.ks_num AS DOUBLE) / CAST(totals.n_a * totals.n_b AS DOUBLE) AS ks
+FROM names CROSS JOIN totals CROSS JOIN ks
 """
 
     return sqls

@@ -406,3 +406,48 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fingerprint", "group_size")
         .orderBy("doc_id")
     )
+
+
+def readability_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(source, n_docs, n_words, n_sentences,
+    n_syllables, flesch)`` — per-source Flesch reading-ease computed on
+    AGGREGATE counts (206.835 − 1.015·words/sentence − 84.6·syllables/
+    word), the cheap fluency signal a pretraining filter stacks next to
+    the rule- and classifier-based scores. Ordered by source.
+
+    Syllables ≈ vowel GROUPS per word (the standard heuristic);
+    sentences = terminal-punctuation runs, floored at 1 per doc. All
+    three corpus sums are exact integers, and flesch is a fixed
+    three-op IEEE expression over them — per-doc float averaging (whose
+    summation order no engine guarantees) never happens.
+
+    Scale notes: regexp_count runs inside codegen per row; one
+    partial-agged hash agg per source; output |source|-bounded.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["source", "text"])
+    lower = F.lower(F.col("text"))
+    words = F.size(F.regexp_extract_all(lower, F.lit(r"[a-z0-9]+"), 0)).cast("long")
+    syllables = F.size(
+        F.regexp_extract_all(lower, F.lit(r"[aeiouy]+"), 0)
+    ).cast("long")
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(lower, F.lit(r"[.!?]+"), 0)).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    sums = docs.select(
+        "source", words.alias("w"), syllables.alias("y"), sentences.alias("s")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("n_words"),
+        F.sum("s").cast("long").alias("n_sentences"),
+        F.sum("y").cast("long").alias("n_syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+        - F.lit(84.6) * (F.col("n_syllables").cast("double") / F.col("n_words").cast("double"))
+    )
+    return sums.select(
+        "source", "n_docs", "n_words", "n_sentences", "n_syllables",
+        flesch.alias("flesch"),
+    ).orderBy("source")

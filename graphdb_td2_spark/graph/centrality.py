@@ -102,3 +102,51 @@ def harmonic_centrality_top20(
         .limit(k)
         .select("node", "harmonic_fp", "n_reached")
     )
+
+
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(n_edges, mean_src_degree, assortativity)`` —
+    Pearson degree-degree correlation across the directed co-purchase
+    edges (Newman's assortativity): do high-degree products co-purchase
+    with high-degree products? One row.
+
+    Determinism: the same closed-form-on-integer-sufficient-statistics
+    discipline as the OLS trend operator — n, Σx, Σy, Σxy, Σx², Σy²
+    over (src_degree, dst_degree) edge pairs are exact BIGINTs, and
+    r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) is a fixed
+    four-op IEEE expression. The symmetric edge list makes Σx = Σy, but
+    both are computed independently as a structural self-check.
+
+    Scale notes: degrees are one hash agg; attaching them to edges is
+    two joins on src/dst (the adjacency's own keys — co-partitioned on
+    a bucketed lake); the moment rollup is a 1-row partial agg.
+    """
+    adj = copurchase_adjacency(spark, sf_dir)
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    x = deg.select(F.col("src"), F.col("d").alias("dx"))
+    y = deg.select(F.col("src").alias("dst"), F.col("d").alias("dy"))
+    edges = adj.join(x, "src").join(y, "dst")
+    stats = edges.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+    )
+    # Each moment is an exact (non-overflowing) int64; their COMBINATION
+    # (n·Σxy etc.) can exceed int64 on large corpora, so it runs in IEEE
+    # double — the same fixed expression tree in both engines, hence
+    # still bit-deterministic.
+    n_d, sx_d, sy_d = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxy_d, sxx_d, syy_d = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    r = (n_d * sxy_d - sx_d * sy_d) / (
+        F.sqrt(n_d * sxx_d - sx_d * sx_d) * F.sqrt(n_d * syy_d - sy_d * sy_d)
+    )
+    return stats.select(
+        F.col("n").alias("n_edges"),
+        (F.col("sx").cast("double") / F.col("n").cast("double")).alias(
+            "mean_src_degree"
+        ),
+        r.alias("assortativity"),
+    )

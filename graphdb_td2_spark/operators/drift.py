@@ -1,0 +1,86 @@
+"""Two-sample distribution-drift testing — exact Kolmogorov-Smirnov
+statistic between event-value distributions, the gate a data pipeline
+runs before accepting a new batch ("does today's value distribution
+match yesterday's?"). Here the two samples are the two
+lexicographically-first event types, a deterministic stand-in for
+batch-vs-batch.
+
+Exactness: the KS statistic sup|F_A − F_B| is computed WITHOUT floats —
+ECDF comparisons cross-multiply to integers: at every observed value v,
+``|n_B·cum_A(v) − n_A·cum_B(v)|`` is an exact BIGINT, its max divided
+ONCE by ``n_A·n_B`` at the end. No per-point float ECDFs, no summation
+order anywhere.
+
+Scale notes: values aggregate to per-distinct-value counts first, so
+the ECDF window ranges over the DISTINCT value axis (2-decimal corpus
+values → bounded), not the row count; the heavy pass is one hash agg.
+At a truly unbounded value domain the production variant buckets
+through the GK quantile sketch (functions/sketches.py) first — same
+plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..io import read_table
+
+
+def ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: one row ``(type_a, type_b, n_a, n_b, ks_num, ks)``
+    — exact KS distance between the value distributions of the two
+    lexicographically-first event types; ``ks = ks_num / (n_a·n_b)``."""
+    ev = read_table(spark, sf_dir, "events", ["event_type", "value"])
+    t = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.row_number()
+            .over(Window.orderBy("event_type"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+    )
+    tagged = ev.join(F.broadcast(t), "event_type")
+    per_value = tagged.groupBy("value").agg(
+        F.sum((F.col("rn") == 1).cast("long")).alias("a_cnt"),
+        F.sum((F.col("rn") == 2).cast("long")).alias("b_cnt"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cums = per_value.select(
+        F.sum("a_cnt").over(w).alias("cum_a"),
+        F.sum("b_cnt").over(w).alias("cum_b"),
+    )
+    totals = per_value.agg(
+        F.sum("a_cnt").cast("long").alias("n_a"),
+        F.sum("b_cnt").cast("long").alias("n_b"),
+    )
+    names = t.groupBy().agg(
+        F.min(F.when(F.col("rn") == 1, F.col("event_type"))).alias("type_a"),
+        F.min(F.when(F.col("rn") == 2, F.col("event_type"))).alias("type_b"),
+    )
+    ks_num = (
+        cums.crossJoin(F.broadcast(totals))
+        .select(
+            F.abs(
+                F.col("n_b") * F.col("cum_a") - F.col("n_a") * F.col("cum_b")
+            ).alias("d")
+        )
+        .agg(F.max("d").cast("long").alias("ks_num"))
+    )
+    return (
+        names.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(ks_num))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "ks_num",
+            (
+                F.col("ks_num").cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("ks"),
+        )
+    )

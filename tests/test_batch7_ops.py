@@ -1,0 +1,61 @@
+"""Readability (functions/text.py), assortativity (graph/centrality.py),
+KS drift (operators/drift.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from graphdb_td2_spark.functions.text import readability_stats
+from graphdb_td2_spark.graph.centrality import degree_assortativity
+from graphdb_td2_spark.operators.drift import ks_value_drift
+
+EV = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+DOC = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def test_readability_hand_computed(spark, tmp_path):
+    d = tmp_path / "fx"
+    # "the cat sat." → 3 words, 3 vowel groups, 1 sentence
+    spark.createDataFrame(
+        [(1, "the cat sat.", "en", "web", 12)], DOC
+    ).write.parquet(str(d / "documents.parquet"))
+    (r,) = readability_stats(spark, str(d)).collect()
+    assert (r["n_docs"], r["n_words"], r["n_sentences"], r["n_syllables"]) == (1, 3, 1, 3)
+    assert abs(r["flesch"] - (206.835 - 1.015 * 3 - 84.6 * 1.0)) < 1e-9
+
+
+def test_readability_corpus(spark, sf_dir):
+    rows = readability_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_words"] > 0 and r["n_sentences"] >= r["n_docs"]
+
+
+def test_assortativity_bounds(spark, sf_dir):
+    (r,) = degree_assortativity(spark, sf_dir).collect()
+    assert r["n_edges"] > 0
+    assert -1.0 <= r["assortativity"] <= 1.0
+    assert r["mean_src_degree"] > 0
+
+
+def test_ks_identical_and_disjoint(spark, tmp_path):
+    t = dt.datetime(2024, 1, 1)
+    # identical distributions → ks 0; then disjoint supports → ks 1
+    d1 = tmp_path / "same"
+    rows = [(i, t, 1, ty, float(v), "{}") for i, (ty, v) in enumerate(
+        [("a", 1), ("a", 2), ("b", 1), ("b", 2)])]
+    spark.createDataFrame(rows, EV).write.parquet(str(d1 / "events.parquet"))
+    (r,) = ks_value_drift(spark, str(d1)).collect()
+    assert (r["type_a"], r["type_b"], r["ks_num"]) == ("a", "b", 0)
+    d2 = tmp_path / "disj"
+    rows = [(i, t, 1, ty, float(v), "{}") for i, (ty, v) in enumerate(
+        [("a", 1), ("a", 2), ("b", 5), ("b", 6)])]
+    spark.createDataFrame(rows, EV).write.parquet(str(d2 / "events.parquet"))
+    (r,) = ks_value_drift(spark, str(d2)).collect()
+    assert r["ks"] == 1.0
+
+
+def test_ks_corpus_in_unit_interval(spark, sf_dir):
+    (r,) = ks_value_drift(spark, sf_dir).collect()
+    assert 0.0 <= r["ks"] <= 1.0
+    assert r["n_a"] > 0 and r["n_b"] > 0
