@@ -104,6 +104,7 @@ from graphdb_td2_spark.operators.activity import (
     concurrent_sessions,
     rolling_active_users,
     user_activity_streaks,
+    user_event_bitmaps,
 )
 from graphdb_td2_spark.graph.lpa import community_modularity
 from graphdb_td2_spark.recs.trending import abc_product_classes
@@ -366,6 +367,8 @@ DEMOTED_TAIL = (
                              # graph-diagnostic family
     "ks_value_drift",  # exact integer-ECDF two-sample KS — drift gate
                        # (percentile family pins the value axis)
+    "user_event_bitmaps",  # bit_or behavioral-segment masks — bitwise-agg
+                           # variant of the per-user rollup family
 )
 
 
@@ -528,6 +531,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability_stats": text.readability_stats,
         "degree_assortativity": degree_assortativity,
         "ks_value_drift": ks_value_drift,
+        "user_event_bitmaps": user_event_bitmaps,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -3886,6 +3890,33 @@ ks AS (
 SELECT names.type_a, names.type_b, totals.n_a, totals.n_b, ks.ks_num,
   CAST(ks.ks_num AS DOUBLE) / CAST(totals.n_a * totals.n_b AS DOUBLE) AS ks
 FROM names CROSS JOIN totals CROSS JOIN ks
+"""
+
+    # operators/activity.py:user_event_bitmaps — alphabetical type→bit
+    # index, per-user bit_or mask, mask decoded via sorted member list.
+    sqls["user_event_bitmaps"] = """
+WITH idx AS (
+  SELECT event_type,
+    row_number() OVER (ORDER BY event_type) - 1 AS idx
+  FROM (SELECT DISTINCT event_type FROM events)
+),
+tagged AS (
+  SELECT e.user_id, CAST(1 AS BIGINT) << i.idx AS bit
+  FROM events e JOIN idx i USING (event_type)
+),
+masks AS (
+  SELECT user_id, CAST(bit_or(bit) AS BIGINT) AS bitmap
+  FROM tagged GROUP BY user_id
+),
+counts AS (
+  SELECT bitmap, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM masks GROUP BY bitmap
+)
+SELECT c.bitmap, c.n_users,
+  string_agg(i.event_type, ',' ORDER BY i.event_type) AS example_types
+FROM counts c JOIN idx i ON (c.bitmap >> i.idx) % 2 = 1
+GROUP BY c.bitmap, c.n_users
+ORDER BY c.bitmap
 """
 
     return sqls

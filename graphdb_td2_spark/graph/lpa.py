@@ -29,6 +29,21 @@ from .queries import cached_graph
 
 DEFAULT_ROUNDS = 4  # fixed — both engines run exactly this many
 
+# Final-label frames are expensive (4 shuffle rounds) and consumed by TWO
+# registry entries (community_sizes, community_modularity) — cache per
+# (session, corpus, rounds) like the recs-side _cached_view.
+_LABEL_CACHE: dict = {}
+
+
+def _cached_labels(spark: SparkSession, sf_dir: str, rounds: int) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), rounds)
+    lp = _LABEL_CACHE.get(key)
+    if lp is None:
+        g = cached_graph(spark, sf_dir)
+        lp = label_propagation(g.vertices, g.edges, rounds=rounds).persist()
+        _LABEL_CACHE[key] = lp
+    return lp
+
 
 def label_propagation(
     vertices: DataFrame, edges: DataFrame, rounds: int = DEFAULT_ROUNDS
@@ -72,8 +87,7 @@ def community_sizes(
 ) -> DataFrame:
     """Community-size histogram of the property graph after fixed-round
     LPA: ``(size, n_communities)`` ordered by size descending."""
-    g = cached_graph(spark, sf_dir)
-    lp = label_propagation(g.vertices, g.edges, rounds=rounds)
+    lp = _cached_labels(spark, sf_dir, rounds)
     return (
         lp.groupBy("lbl")
         .agg(F.count(F.lit(1)).alias("size"))
@@ -104,7 +118,7 @@ def community_modularity(
     over pairs.
     """
     g = cached_graph(spark, sf_dir)
-    lp = label_propagation(g.vertices, g.edges, rounds=rounds)
+    lp = _cached_labels(spark, sf_dir, rounds)
     und = (
         g.edges.select("src", "dst")
         .union(

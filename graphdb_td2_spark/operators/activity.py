@@ -174,3 +174,53 @@ def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy(F.desc("streak_days"))
     )
+
+
+def user_event_bitmaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(bitmap, n_users, example_types)`` — users
+    grouped by WHICH event types they have ever performed, encoded as a
+    bitmask over the alphabetical event-type index (``bit_or`` of
+    ``1 << idx``): the compact behavioral-segment representation a
+    feature store keeps instead of |types| boolean columns. Ordered by
+    bitmap.
+
+    Determinism: the type→bit assignment is the alphabetical
+    row_number over the distinct types (a |types|-row window);
+    ``bit_or`` is associative/commutative so the per-user mask is
+    partition-order-free. ``example_types`` decodes the mask back via
+    sorted array_agg of the member types — pure integers + sorted
+    strings. Scale: one broadcast of the tiny type-index dim, one
+    partial-agged bit_or per user, one |2^types|-bounded rollup.
+    """
+    ev = read_table(spark, sf_dir, "events", ["user_id", "event_type"])
+    idx = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            (
+                F.row_number().over(Window.orderBy("event_type")) - 1
+            ).alias("idx"),
+        )
+    )
+    tagged = ev.join(F.broadcast(idx), "event_type").select(
+        "user_id", F.expr("shiftleft(CAST(1 AS BIGINT), idx)").alias("bit")
+    )
+    masks = tagged.groupBy("user_id").agg(
+        F.expr("bit_or(bit)").cast("long").alias("bitmap")
+    )
+    decode = (
+        masks.groupBy("bitmap")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .join(
+            F.broadcast(idx),
+            F.expr("shiftright(bitmap, idx) % 2 = 1"),
+        )
+        .groupBy("bitmap", "n_users")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("event_type"))).alias(
+                "example_types"
+            )
+        )
+    )
+    return decode.orderBy("bitmap")

@@ -131,3 +131,26 @@ def test_corpus_concurrency_bounds(spark, sf_dir):
     assert rows
     for r in rows:
         assert 1 <= r["peak_concurrent"] <= r["n_sessions"]
+
+
+def test_user_event_bitmaps_hand_computed(spark, tmp_path):
+    from graphdb_td2_spark.operators.activity import user_event_bitmaps
+
+    t = dt.datetime(2024, 1, 1)
+    # types sorted: click(bit0), view(bit1). u1: click only → 1;
+    # u2: view only → 2; u3: both → 3.
+    rows = [
+        (1, t, 1, "click", 0.0, "{}"),
+        (2, t, 2, "view", 0.0, "{}"),
+        (3, t, 3, "click", 0.0, "{}"),
+        (4, t, 3, "view", 0.0, "{}"),
+    ]
+    out = {
+        r["bitmap"]: (r["n_users"], r["example_types"])
+        for r in user_event_bitmaps(spark, _write_events(spark, tmp_path, rows)).collect()
+    }
+    assert out == {
+        1: (1, "click"),
+        2: (1, "view"),
+        3: (1, "click,view"),
+    }

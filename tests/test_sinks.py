@@ -161,3 +161,28 @@ def test_merge_upsert_parquet(spark, tmp_path):
     n2 = merge_upsert_parquet(spark, path, updates, keys=["k"])
     assert n2 == 4
     assert {r["k"]: r["v"] for r in spark.read.parquet(path).collect()} == got
+
+
+def test_dynamic_partition_pruning_engages(spark, tmp_path):
+    """DPP: joining a rel_type-partitioned fact against a FILTERED dim on
+    the partition column must compile a dynamicpruning subquery into the
+    fact scan's partition filters (runtime pruning — the 100 TB lake's
+    star-join fast path)."""
+    path = str(tmp_path / "ev_by_type_dpp")
+    events = read_table(spark, SF_DIR, "events")
+    write_partitioned(events, path, ["event_type"])
+    fact = spark.read.parquet(path)
+    dim_path = str(tmp_path / "type_dim")
+    types = [r["event_type"] for r in events.select("event_type").distinct().collect()]
+    spark.createDataFrame(
+        [(t, 1 if t == min(types) else 0) for t in types], "event_type string, flag int"
+    ).write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("flag") == 1)
+    joined = fact.join(dim, "event_type")
+    plan = joined._jdf.queryExecution().toString()
+    assert "dynamicpruning" in plan.lower()
+    # and the result matches the statically-filtered equivalent
+    assert (
+        joined.count()
+        == events.filter(F.col("event_type") == min(types)).count()
+    )
