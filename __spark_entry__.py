@@ -29,10 +29,12 @@ from graphdb_td2_spark.operators import relational as rel
 from graphdb_td2_spark.operators import windows as win
 from graphdb_td2_spark.operators.asof import events_last_order
 from graphdb_td2_spark.operators.sql_api import (
+    lateral_top_orders,
     order_priority_exists,
     sales_grouping_sets,
     sql_brand_order_share,
 )
+from graphdb_td2_spark.functions.scoring import gini_stump_train
 from graphdb_td2_spark.operators.range_join import event_burst_pairs
 from graphdb_td2_spark.operators.timeseries import hourly_event_rollup
 from graphdb_td2_spark.graph.bfs import bfs_level_sizes
@@ -369,6 +371,11 @@ DEMOTED_TAIL = (
                        # (percentile family pins the value axis)
     "user_event_bitmaps",  # bit_or behavioral-segment masks — bitwise-agg
                            # variant of the per-user rollup family
+    "lateral_top_orders",  # SQL:2016 LATERAL correlated subquery —
+                           # spark.sql API-surface variant (decorrelates
+                           # to the window/join plan)
+    "gini_stump_train",  # histogram-mode decision-stump split search —
+                         # classifier-family twin of quality_logit_stats
 )
 
 
@@ -532,6 +539,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": degree_assortativity,
         "ks_value_drift": ks_value_drift,
         "user_event_bitmaps": user_event_bitmaps,
+        "lateral_top_orders": lateral_top_orders,
+        "gini_stump_train": gini_stump_train,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -3917,6 +3926,73 @@ SELECT c.bitmap, c.n_users,
 FROM counts c JOIN idx i ON (c.bitmap >> i.idx) % 2 = 1
 GROUP BY c.bitmap, c.n_users
 ORDER BY c.bitmap
+"""
+
+    # operators/sql_api.py:lateral_top_orders — the same LATERAL text runs
+    # in DuckDB modulo the exact-cents casts (shared here).
+    sqls["lateral_top_orders"] = """
+WITH spend AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+              AS BIGINT) AS spend_cents
+  FROM orders GROUP BY o_custkey
+  ORDER BY spend_cents DESC, c_custkey ASC LIMIT 20
+)
+SELECT s.c_custkey, t.o_orderkey, t.cents AS o_totalprice_cents, t.rnk
+FROM spend s,
+LATERAL (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents,
+         CAST(row_number() OVER (
+           ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rnk
+  FROM orders o
+  WHERE o.o_custkey = s.c_custkey
+  ORDER BY cents DESC, o_orderkey ASC LIMIT 2
+) t
+ORDER BY s.c_custkey, t.rnk
+"""
+
+    # functions/scoring.py:gini_stump_train — all candidate splits
+    # evaluated in one distinct-cents ECDF pass; exact-integer counts,
+    # double impurity with a (gini, threshold) total-order argmin.
+    sqls["gini_stump_train"] = """
+WITH per_v AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+    CAST(COUNT(*) AS BIGINT) AS n_v,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      AS pos_v
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_v) AS BIGINT) AS n, CAST(SUM(pos_v) AS BIGINT) AS pos
+  FROM per_v
+),
+cand AS (
+  SELECT cents,
+    CAST(SUM(n_v) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS nl,
+    CAST(SUM(pos_v) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS posl
+  FROM per_v
+),
+scored AS (
+  SELECT cents, nl, posl, t.n - nl AS nr, t.pos - posl AS posr,
+    (CAST(t.n AS DOUBLE)
+      - (CAST(posl AS DOUBLE) * CAST(posl AS DOUBLE)
+         + CAST(nl - posl AS DOUBLE) * CAST(nl - posl AS DOUBLE))
+        / CAST(nl AS DOUBLE)
+      - (CAST(t.pos - posl AS DOUBLE) * CAST(t.pos - posl AS DOUBLE)
+         + CAST((t.n - nl) - (t.pos - posl) AS DOUBLE)
+           * CAST((t.n - nl) - (t.pos - posl) AS DOUBLE))
+        / CAST(t.n - nl AS DOUBLE)
+    ) / CAST(t.n AS DOUBLE) AS weighted_gini
+  FROM cand CROSS JOIN tot t
+  WHERE nl < t.n
+)
+SELECT cents AS threshold_cents, nl AS n_left, posl AS pos_left,
+       nr AS n_right, posr AS pos_right, weighted_gini
+FROM scored
+ORDER BY weighted_gini ASC, cents ASC LIMIT 1
 """
 
     return sqls

@@ -86,3 +86,84 @@ def quality_logit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def gini_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: one row ``(threshold_cents, n_left, pos_left,
+    n_right, pos_right, weighted_gini)`` — a DISTRIBUTED decision-stump
+    trainer: the split of ``events.value`` that best separates purchase
+    from non-purchase events by weighted Gini impurity, found with ONE
+    scan + one bounded window pass (no per-candidate rescan).
+
+    The trick is the same distinct-value ECDF used by ``ks_value_drift``:
+    per candidate threshold v, the left-side (n, positives) are running
+    sums over the distinct-cent axis, so EVERY candidate's impurity is
+    evaluated simultaneously. Squares/ratios run in IEEE double on exact
+    ≤2⁵³ integer counts (identical expression tree per engine), and the
+    argmin carries a (gini ASC, threshold ASC) total order.
+
+    Scale notes: the heavy pass is the per-cent-value hash agg; the
+    window ranges over the bounded distinct-value axis. This is exactly
+    how large-scale tree libraries (XGBoost/LightGBM histogram mode)
+    evaluate splits — pre-binned feature histograms, not sorts of raw
+    rows.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events", ["event_type", "value"])
+    per_v = (
+        ev.select(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+            (F.col("event_type") == "purchase").cast("long").alias("pos"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_v"),
+            F.sum("pos").cast("long").alias("pos_v"),
+        )
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per_v.agg(
+        F.sum("n_v").cast("long").alias("n"), F.sum("pos_v").cast("long").alias("pos")
+    )
+    cand = (
+        per_v.select(
+            "cents",
+            F.sum("n_v").over(w).cast("long").alias("nl"),
+            F.sum("pos_v").over(w).cast("long").alias("posl"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("nl") < F.col("n"))  # right side non-empty
+    )
+    negl = F.col("nl") - F.col("posl")
+    nr = F.col("n") - F.col("nl")
+    posr = F.col("pos") - F.col("posl")
+    negr = nr - posr
+    sl = (
+        F.col("posl").cast("double") * F.col("posl").cast("double")
+        + negl.cast("double") * negl.cast("double")
+    ) / F.col("nl").cast("double")
+    sr = (
+        posr.cast("double") * posr.cast("double")
+        + negr.cast("double") * negr.cast("double")
+    ) / nr.cast("double")
+    scored = cand.select(
+        "cents", "nl", "posl", nr.alias("nr"), posr.alias("posr"),
+        ((F.col("n").cast("double") - sl - sr) / F.col("n").cast("double")).alias(
+            "weighted_gini"
+        ),
+    )
+    best = scored.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.asc("weighted_gini"), F.asc("cents")))
+        .alias("rk"),
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        F.col("cents").alias("threshold_cents"),
+        F.col("nl").alias("n_left"),
+        F.col("posl").alias("pos_left"),
+        F.col("nr").alias("n_right"),
+        F.col("posr").alias("pos_right"),
+        "weighted_gini",
+    )

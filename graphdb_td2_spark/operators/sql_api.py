@@ -97,3 +97,44 @@ def sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY grouping_id, r_name NULLS FIRST, c_mktsegment NULLS FIRST
         """
     )
+
+
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(c_custkey, o_orderkey, o_totalprice_cents,
+    rnk)`` — each of the 20 highest-spend customers with their top-2
+    orders by price, written as a CORRELATED LATERAL subquery (the
+    SQL:2016 `LATERAL` a migrating user reaches for before learning
+    window functions; Catalyst decorrelates it into the same
+    window/join plan).
+
+    Determinism: spend and prices go through exact cents; every LIMIT
+    carries a total order (price DESC, orderkey ASC; spend DESC,
+    custkey ASC). Scale notes: decorrelation turns the per-row
+    subquery into one shuffle on custkey — no nested-loop re-execution;
+    the outer top-20 compiles to TakeOrderedAndProject.
+    """
+    register_corpus_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH spend AS (
+          SELECT o_custkey AS c_custkey,
+                 SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+                   AS spend_cents
+          FROM orders GROUP BY o_custkey
+          ORDER BY spend_cents DESC, c_custkey ASC LIMIT 20
+        )
+        SELECT s.c_custkey, t.o_orderkey, t.cents AS o_totalprice_cents, t.rnk
+        FROM spend s,
+        LATERAL (
+          SELECT o_orderkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+                   AS cents,
+                 CAST(row_number() OVER (
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rnk
+          FROM orders o
+          WHERE o.o_custkey = s.c_custkey
+          ORDER BY cents DESC, o_orderkey ASC LIMIT 2
+        ) t
+        ORDER BY s.c_custkey, t.rnk
+        """
+    )
