@@ -118,7 +118,10 @@ from graphdb_td2_spark.operators.attribution import (
 from graphdb_td2_spark.operators.anomaly import dow_daily_anomalies
 from graphdb_td2_spark.operators.drift import ks_value_drift
 from graphdb_td2_spark.graph.centrality import degree_assortativity
-from graphdb_td2_spark.graph.triangles import edge_support_histogram
+from graphdb_td2_spark.graph.triangles import (
+    edge_support_histogram,
+    ktruss_edge_counts,
+)
 from graphdb_td2_spark.operators.cdc import scd2_customer_history
 from graphdb_td2_spark.operators.timeseries import interpolated_daily_value
 from graphdb_td2_spark.recs.als import als_rank1_convergence
@@ -376,6 +379,8 @@ DEMOTED_TAIL = (
                            # to the window/join plan)
     "gini_stump_train",  # histogram-mode decision-stump split search —
                          # classifier-family twin of quality_logit_stats
+    "ktruss_edge_counts",  # fixed-round truss peel — iterative-family
+                           # composition over edge_support_histogram
 )
 
 
@@ -541,6 +546,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_bitmaps": user_event_bitmaps,
         "lateral_top_orders": lateral_top_orders,
         "gini_stump_train": gini_stump_train,
+        "ktruss_edge_counts": ktruss_edge_counts,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -791,6 +797,48 @@ SELECT size, CAST(COUNT(*) AS BIGINT) AS n_communities FROM (
   SELECT lbl, CAST(COUNT(*) AS BIGINT) AS size FROM l{rounds} GROUP BY lbl
 ) GROUP BY size ORDER BY size DESC
 """)
+    return "".join(parts)
+
+
+def _ktruss_sql(k: int = 4, rounds: int = 2) -> str:
+    """Fixed-round k-truss peel unrolled one support-recount CTE chain per
+    round, mirroring ``graph/triangles.py:ktruss_edge_counts``."""
+    parts = ["""
+WITH pairs AS (
+  SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id FROM lineitem
+),
+e0 AS MATERIALIZED (
+  SELECT a.product_id AS pa, b.product_id AS pb
+  FROM pairs a JOIN pairs b
+    ON a.order_id = b.order_id AND a.product_id < b.product_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+)"""]
+    for r in range(rounds):
+        parts.append(f""",
+tris{r} AS (
+  SELECT x.pa AS a, x.pb AS b, y.pb AS c
+  FROM e{r} x JOIN e{r} y ON x.pb = y.pa
+  JOIN e{r} z ON z.pa = x.pa AND z.pb = y.pb
+),
+te{r} AS (
+  SELECT a AS pa, b AS pb FROM tris{r}
+  UNION ALL SELECT b, c FROM tris{r}
+  UNION ALL SELECT a, c FROM tris{r}
+),
+e{r + 1} AS MATERIALIZED (
+  SELECT e.pa, e.pb
+  FROM e{r} e LEFT JOIN (
+    SELECT pa, pb, COUNT(*) AS c FROM te{r} GROUP BY pa, pb
+  ) s ON s.pa = e.pa AND s.pb = e.pb
+  WHERE COALESCE(s.c, 0) >= {k - 2}
+)""")
+    selects = [
+        f"SELECT CAST({r} AS INTEGER) AS round,"
+        f" (SELECT CAST(COUNT(*) AS BIGINT) FROM e{r}) AS n_edges"
+        for r in range(1, rounds + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY round\n")
     return "".join(parts)
 
 
@@ -3994,5 +4042,9 @@ SELECT cents AS threshold_cents, nl AS n_left, posl AS pos_left,
 FROM scored
 ORDER BY weighted_gini ASC, cents ASC LIMIT 1
 """
+
+    # graph/triangles.py:ktruss_edge_counts — fixed-round peel, one
+    # support-recount chain per round.
+    sqls["ktruss_edge_counts"] = _ktruss_sql()
 
     return sqls

@@ -110,6 +110,18 @@ def edge_support_histogram(
     """
     lineitem = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
     edges = cooccurrence_edges(lineitem, min_weight).transform(truncate_lineage)
+    return (
+        _edge_support(edges)
+        .select("support")
+        .groupBy("support")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        .orderBy(F.desc("support"))
+    )
+
+
+def _edge_support(edges: DataFrame) -> DataFrame:
+    """``(pa, pb, support)`` for every edge: the number of oriented
+    triangles (a<b<c) the edge participates in (0 included)."""
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tris = (
         e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
@@ -131,10 +143,48 @@ def edge_support_histogram(
     support = tri_edges.groupBy("pa", "pb").agg(
         F.count(F.lit(1)).cast("long").alias("support")
     )
-    return (
-        edges.join(support, ["pa", "pb"], "left")
-        .select(F.coalesce("support", F.lit(0)).cast("long").alias("support"))
-        .groupBy("support")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-        .orderBy(F.desc("support"))
+    return edges.select("pa", "pb").join(support, ["pa", "pb"], "left").select(
+        "pa", "pb", F.coalesce("support", F.lit(0)).cast("long").alias("support")
     )
+
+
+KTRUSS_K = 4
+KTRUSS_ROUNDS = 2
+
+
+def ktruss_edge_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KTRUSS_K,
+    rounds: int = KTRUSS_ROUNDS,
+    min_weight: int = DEFAULT_MIN_WEIGHT,
+) -> DataFrame:
+    """Registry entry: ``(round, n_edges)`` — k-truss peeling (k=4) of
+    the co-occurrence graph: each round drops every edge in fewer than
+    k−2 triangles, then recounts on the SURVIVING subgraph (removals
+    cascade — the defining fixpoint of trussness). A fixed ``rounds``
+    budget keeps both engines on the identical prefix of the peel, the
+    same discipline as the fixed-round LPA/BFS oracles. Ordered by round.
+
+    Scale notes: per round one wedge-close support computation over a
+    monotonically SHRINKING edge set (the first peel typically removes
+    the long support-0/1 tail, so later rounds are much cheaper);
+    lineage truncates per round.
+    """
+    lineitem = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(lineitem, min_weight).select("pa", "pb").transform(
+        truncate_lineage
+    )
+    out = None
+    for r in range(1, rounds + 1):
+        edges = (
+            _edge_support(edges)
+            .filter(F.col("support") >= k - 2)
+            .select("pa", "pb")
+            .transform(truncate_lineage)
+        )
+        row = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges")).select(
+            F.lit(r).cast("int").alias("round"), "n_edges"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("round")

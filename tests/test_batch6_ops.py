@@ -81,3 +81,44 @@ def test_dow_anomalies_corpus(spark, sf_dir):
     )
     assert total_days == n_days
     assert all(r["n_outliers"] <= r["n_days"] for r in rows)
+
+
+def test_ktruss_monotone_and_subset(spark, sf_dir):
+    from graphdb_td2_spark.graph.triangles import (
+        cooccurrence_edges,
+        ktruss_edge_counts,
+    )
+    from graphdb_td2_spark.io import read_table
+
+    rows = ktruss_edge_counts(spark, sf_dir).collect()
+    assert [r["round"] for r in rows] == [1, 2]
+    # peeling only removes edges
+    li = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    n0 = cooccurrence_edges(li).count()
+    assert n0 >= rows[0]["n_edges"] >= rows[1]["n_edges"] >= 0
+
+
+def test_ktruss_k4_clique_is_stable(spark, tmp_path):
+    import datetime as dt
+
+    from graphdb_td2_spark.graph.triangles import ktruss_edge_counts
+
+    d = tmp_path / "fx"
+    # K4 (every pair in 2 common orders): each edge closes 2 triangles →
+    # survives k=4 peeling (needs ≥ k−2 = 2) in every round.
+    rows = []
+    oid = 0
+    for rep in range(2):
+        for a in range(1, 5):
+            for b in range(a + 1, 5):
+                oid += 1
+                rows += [(oid, a), (oid, b)]
+    spark.createDataFrame(
+        [
+            (ok, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, 1))
+            for ok, pk in rows
+        ],
+        LI,
+    ).write.parquet(str(d / "lineitem.parquet"))
+    out = {r["round"]: r["n_edges"] for r in ktruss_edge_counts(spark, str(d)).collect()}
+    assert out == {1: 6, 2: 6}
