@@ -195,3 +195,53 @@ def merge_upsert_parquet(
     return staged_overwrite(
         merged, target_path, target_path.rstrip("/") + "__merge_tmp"
     )
+
+
+def lake_health_report(spark, lake_dir: str) -> "DataFrame":
+    """Per-table lake health from FS METADATA only (no data read) — the
+    maintenance dashboard feeding ``compact_parquet_dir``: for every
+    first-level table directory under ``lake_dir``, file counts, byte
+    totals, the small-file count (< 1/4 of the 128 MiB target — the
+    fragmentation signal), and the Hive-partition directory count.
+
+    Same Hadoop-FS recursive listing as compaction, so it works on any
+    FileSystem implementation the session can reach (local, HDFS, S3A);
+    cost is one driver-side metadata sweep — the operation every lake
+    catalog performs, never proportional to data bytes.
+    """
+    import os
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(lake_dir)
+    fs = root.getFileSystem(conf)
+    rows = []
+    for st in fs.listStatus(root):
+        if not st.isDirectory():
+            continue
+        table = st.getPath().getName()
+        n_files = total = small = biggest = 0
+        partitions = set()
+        it = fs.listFiles(st.getPath(), True)
+        while it.hasNext():
+            f = it.next()
+            name = f.getPath().getName()
+            if not name.endswith(".parquet"):
+                continue
+            n_files += 1
+            sz = f.getLen()
+            total += sz
+            biggest = max(biggest, sz)
+            if sz < 128 * 1024 * 1024 // 4:
+                small += 1
+            parent = f.getPath().getParent().getName()
+            if "=" in parent:
+                partitions.add(parent)
+        rows.append(
+            (table, n_files, total, small, biggest, len(partitions))
+        )
+    return spark.createDataFrame(
+        sorted(rows),
+        "table string, n_files long, total_bytes long, n_small_files long, "
+        "max_file_bytes long, n_partitions long",
+    )

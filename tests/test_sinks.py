@@ -186,3 +186,20 @@ def test_dynamic_partition_pruning_engages(spark, tmp_path):
         joined.count()
         == events.filter(F.col("event_type") == min(types)).count()
     )
+
+
+def test_lake_health_report(spark, tmp_path):
+    from graphdb_td2_spark.graph.build import run_etl
+    from graphdb_td2_spark.sources.sinks import lake_health_report
+
+    lake = str(tmp_path / "lake")
+    run_etl(spark, SF_DIR, out_dir=lake)
+    rows = {r["table"]: r for r in lake_health_report(spark, lake).collect()}
+    assert "vertices" in rows and "edges" in rows
+    for r in rows.values():
+        assert r["n_files"] > 0 and r["total_bytes"] > 0
+        assert r["max_file_bytes"] <= r["total_bytes"]
+        assert 0 <= r["n_small_files"] <= r["n_files"]
+    # run_etl partitions vertices by label and edges by rel_type
+    assert rows["vertices"]["n_partitions"] > 0
+    assert rows["edges"]["n_partitions"] > 0
