@@ -123,7 +123,10 @@ from graphdb_td2_spark.graph.triangles import (
     ktruss_edge_counts,
 )
 from graphdb_td2_spark.operators.cdc import scd2_customer_history
-from graphdb_td2_spark.operators.timeseries import interpolated_daily_value
+from graphdb_td2_spark.operators.timeseries import (
+    interpolated_daily_value,
+    running_revenue_distributed,
+)
 from graphdb_td2_spark.recs.als import als_rank1_convergence
 from graphdb_td2_spark.similarity.gram import gram_fixed_point
 from graphdb_td2_spark.recs.linkpred import (
@@ -381,6 +384,9 @@ DEMOTED_TAIL = (
                          # classifier-family twin of quality_logit_stats
     "ktruss_edge_counts",  # fixed-round truss peel — iterative-family
                            # composition over edge_support_histogram
+    "running_revenue_distributed",  # two-phase distributed prefix sum —
+                                    # scale-safe twin of the running-total
+                                    # window family
 )
 
 
@@ -547,6 +553,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lateral_top_orders": lateral_top_orders,
         "gini_stump_train": gini_stump_train,
         "ktruss_edge_counts": ktruss_edge_counts,
+        "running_revenue_distributed": running_revenue_distributed,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -4046,5 +4053,20 @@ ORDER BY weighted_gini ASC, cents ASC LIMIT 1
     # graph/triangles.py:ktruss_edge_counts — fixed-round peel, one
     # support-recount chain per round.
     sqls["ktruss_edge_counts"] = _ktruss_sql()
+
+    # operators/timeseries.py:running_revenue_distributed — the oracle is
+    # the PLAIN cumulative window (the two-phase rewrite is plan-level,
+    # not semantic).
+    sqls["running_revenue_distributed"] = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+)
+SELECT day, cents,
+  CAST(SUM(cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+    AS running_cents
+FROM daily ORDER BY day
+"""
 
     return sqls

@@ -188,3 +188,63 @@ def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             / det.cast("double")
         ).alias("intercept_c"),
     ).orderBy("event_type")
+
+
+def running_revenue_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(day, cents, running_cents)`` — lifetime running
+    revenue per order day, computed with the TWO-PHASE distributed
+    prefix sum instead of a global window: within-month running sums use
+    a window PARTITIONED by month (parallel), and each month adds the
+    broadcast cumulative total of all prior months. Only the
+    |months|-row offset table ever crosses a global order — a
+    single-partition window over the full fact table (what the naive
+    ``Window.orderBy(day)`` compiles to) never exists in the plan.
+
+    This is the canonical fix for Spark's "No Partition Defined for
+    Window operation" hazard, applied to a corpus-sized running total;
+    the bounded-axis day-spine operators above don't need it, a 100 TB
+    fact table does. Exact cents throughout; ordered by day.
+
+    (tests/test_gram_interp.py pins bit-equality against the naive
+    global-window formulation.)
+    """
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    daily = (
+        orders.select(
+            F.date_trunc("day", "o_orderdate").alias("day"),
+            F.col("o_totalprice").cast("decimal(14,2)").alias("p"),
+        )
+        .groupBy("day")
+        .agg((F.sum("p") * 100).cast("long").alias("cents"))
+    )
+    month = F.date_trunc("month", F.col("day"))
+    w_in = (
+        Window.partitionBy("month")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = daily.withColumn("month", month).withColumn(
+        "within", F.sum("cents").over(w_in).cast("long")
+    )
+    month_totals = (
+        daily.groupBy(month.alias("month"))
+        .agg(F.sum("cents").cast("long").alias("m_total"))
+    )
+    w_prior = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = month_totals.select(
+        "month",
+        F.coalesce(F.sum("m_total").over(w_prior), F.lit(0))
+        .cast("long")
+        .alias("offset"),
+    )
+    return (
+        within.join(F.broadcast(offsets), "month")
+        .select(
+            "day",
+            "cents",
+            (F.col("within") + F.col("offset")).cast("long").alias("running_cents"),
+        )
+        .orderBy("day")
+    )

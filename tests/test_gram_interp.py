@@ -60,3 +60,34 @@ def test_interpolation_corpus_dense_and_observed_exact(spark, sf_dir):
     assert all((b - a) == dt.timedelta(days=1) for a, b in zip(days, days[1:]))
     for r in rows:
         assert r["interpolated"] == (r["n_events"] == 0)
+
+
+def test_distributed_prefix_sum_equals_global_window(spark, sf_dir):
+    """The two-phase month-partitioned prefix sum must be bit-equal to
+    the naive single-partition global window, and its plan must contain
+    NO unpartitioned window over the fact rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from graphdb_td2_spark.io import read_table
+    from graphdb_td2_spark.operators.timeseries import running_revenue_distributed
+
+    fast = running_revenue_distributed(spark, sf_dir)
+    orders = read_table(spark, sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    daily = (
+        orders.select(
+            F.date_trunc("day", "o_orderdate").alias("day"),
+            F.col("o_totalprice").cast("decimal(14,2)").alias("p"),
+        )
+        .groupBy("day")
+        .agg((F.sum("p") * 100).cast("long").alias("cents"))
+    )
+    naive = daily.select(
+        "day",
+        "cents",
+        F.sum("cents")
+        .over(Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("running_cents"),
+    ).orderBy("day")
+    assert [tuple(r) for r in fast.collect()] == [tuple(r) for r in naive.collect()]
