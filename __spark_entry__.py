@@ -116,7 +116,10 @@ from graphdb_td2_spark.operators.attribution import (
     ushape_attribution,
 )
 from graphdb_td2_spark.operators.anomaly import dow_daily_anomalies
-from graphdb_td2_spark.operators.drift import ks_value_drift
+from graphdb_td2_spark.operators.drift import (
+    ks_value_drift,
+    rolling_type_correlation,
+)
 from graphdb_td2_spark.graph.centrality import degree_assortativity
 from graphdb_td2_spark.graph.triangles import (
     edge_support_histogram,
@@ -387,6 +390,11 @@ DEMOTED_TAIL = (
     "running_revenue_distributed",  # two-phase distributed prefix sum —
                                     # scale-safe twin of the running-total
                                     # window family
+    "rolling_type_correlation",  # trailing-window Pearson over daily
+                                 # counts — drift-family companion of the
+                                 # KS gate
+    "geo_hierarchy_rollup",  # region→nation percent-of-parent star rollup
+                             # — join+window variant of region_sales
 )
 
 
@@ -554,6 +562,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_stump_train": gini_stump_train,
         "ktruss_edge_counts": ktruss_edge_counts,
         "running_revenue_distributed": running_revenue_distributed,
+        "rolling_type_correlation": rolling_type_correlation,
+        "geo_hierarchy_rollup": rel.geo_hierarchy_rollup,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -4067,6 +4077,72 @@ SELECT day, cents,
   CAST(SUM(cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
     AS running_cents
 FROM daily ORDER BY day
+"""
+
+    # operators/drift.py:rolling_type_correlation — integer sliding sums
+    # over the dense day axis, assortativity-style double combination.
+    sqls["rolling_type_correlation"] = """
+WITH t AS (
+  SELECT event_type, row_number() OVER (ORDER BY event_type) AS rn
+  FROM (SELECT DISTINCT event_type FROM events)
+  QUALIFY rn <= 2
+),
+daily AS (
+  SELECT date_trunc('day', e.ts) AS day,
+    CAST(SUM(CASE WHEN t.rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS x,
+    CAST(SUM(CASE WHEN t.rn = 2 THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events e JOIN t USING (event_type)
+  GROUP BY 1
+),
+bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds),
+dense AS (
+  SELECT a.day, COALESCE(d.x, 0) AS x, COALESCE(d.y, 0) AS y
+  FROM axis a LEFT JOIN daily d ON d.day = a.day
+),
+stats AS (
+  SELECT day,
+    CAST(COUNT(*) OVER w AS BIGINT) AS n,
+    CAST(SUM(x) OVER w AS BIGINT) AS sx,
+    CAST(SUM(y) OVER w AS BIGINT) AS sy,
+    CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+    CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+    CAST(SUM(y * y) OVER w AS BIGINT) AS syy
+  FROM dense
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT day, n AS n_days,
+  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+    AS corr
+FROM stats WHERE n = 7 ORDER BY day
+"""
+
+    # operators/relational.py:geo_hierarchy_rollup — star-schema rollup
+    # with percent-of-parent window shares over the bounded nation axis.
+    sqls["geo_hierarchy_rollup"] = """
+WITH per_cust AS (
+  SELECT o_custkey,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+per_nation AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+    CAST(SUM(pc.cents) AS BIGINT) AS revenue_cents
+  FROM per_cust pc
+  JOIN customer c ON pc.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, nation, revenue_cents,
+  CAST(revenue_cents AS DOUBLE)
+    / CAST(SUM(revenue_cents) OVER (PARTITION BY region) AS DOUBLE)
+    AS nation_share,
+  CAST(SUM(revenue_cents) OVER (PARTITION BY region) AS DOUBLE)
+    / CAST(SUM(revenue_cents) OVER () AS DOUBLE) AS region_share
+FROM per_nation ORDER BY region, nation
 """
 
     return sqls

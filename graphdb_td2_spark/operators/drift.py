@@ -84,3 +84,71 @@ def ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks"),
         )
     )
+
+
+ROLL_CORR_DAYS = 7
+
+
+def rolling_type_correlation(
+    spark: SparkSession, sf_dir: str, window_days: int = ROLL_CORR_DAYS
+) -> DataFrame:
+    """Registry entry: ``(day, n_days, corr)`` — trailing 7-day Pearson
+    correlation between the DAILY EVENT COUNTS of the two
+    lexicographically-first event types (the co-movement monitor a
+    pipeline dashboard plots next to the KS drift gate). Ordered by day;
+    emitted once the full window is available.
+
+    Determinism: per-day counts are exact integers; each window's five
+    sufficient statistics are exact integer SLIDING sums over the
+    bounded day axis, and r is the same closed-form / IEEE-double
+    combination as ``degree_assortativity``. Windows with zero variance
+    on either side yield NULL (0/0), identically in both engines.
+
+    Scale notes: the heavy pass is the per-(day, type) count rollup;
+    all windows range over the day axis (time-bounded, not
+    corpus-bounded).
+    """
+    ev = read_table(spark, sf_dir, "events", ["ts", "event_type"])
+    t = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.row_number().over(Window.orderBy("event_type")).alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+    )
+    daily = (
+        ev.join(F.broadcast(t), "event_type")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum((F.col("rn") == 1).cast("long")).alias("x"),
+            F.sum((F.col("rn") == 2).cast("long")).alias("y"),
+        )
+    )
+    axis = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    dense = axis.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+        F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+    )
+    w = Window.orderBy("day").rowsBetween(-(window_days - 1), 0)
+    stats = dense.select(
+        "day",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("x").over(w).cast("long").alias("sx"),
+        F.sum("y").over(w).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("long").alias("syy"),
+    ).filter(F.col("n") == window_days)
+    n_d, sx_d, sy_d = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxy_d, sxx_d, syy_d = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    corr = (n_d * sxy_d - sx_d * sy_d) / (
+        F.sqrt(n_d * sxx_d - sx_d * sx_d) * F.sqrt(n_d * syy_d - sy_d * sy_d)
+    )
+    return stats.select(
+        "day", F.col("n").alias("n_days"), corr.alias("corr")
+    ).orderBy("day")

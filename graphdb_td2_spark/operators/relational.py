@@ -409,3 +409,66 @@ def daily_activity_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def geo_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(region, nation, revenue_cents, nation_share,
+    region_share)`` — order revenue rolled up the region→nation→customer
+    dimension chain, with each nation's share of its region and each
+    region's share of the total as windowed percent-of-parent ratios.
+    Ordered by (region, nation).
+
+    Determinism: exact DECIMAL→BIGINT cents; shares are single IEEE
+    divisions of integer-valued window sums over the BOUNDED nation
+    axis (25 rows at any corpus scale).
+
+    Scale notes: the fact-side rollup aggregates to customer-nation
+    grain BEFORE touching the dim chain; region/nation/customer joins
+    broadcast (classic star schema); the share windows range over the
+    dimension axis only.
+    """
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    customer = read_table(spark, sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = read_table(spark, sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    region = read_table(spark, sf_dir, "region", ["r_regionkey", "r_name"])
+    per_cust = (
+        orders.select(
+            "o_custkey", F.col("o_totalprice").cast("decimal(14,2)").alias("p")
+        )
+        .groupBy("o_custkey")
+        .agg((F.sum("p") * 100).cast("long").alias("cents"))
+    )
+    per_nation = (
+        per_cust.join(
+            F.broadcast(customer), per_cust["o_custkey"] == customer["c_custkey"]
+        )
+        .groupBy("c_nationkey")
+        .agg(F.sum("cents").cast("long").alias("revenue_cents"))
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            "revenue_cents",
+        )
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return per_nation.select(
+        "region",
+        "nation",
+        "revenue_cents",
+        (
+            F.col("revenue_cents").cast("double")
+            / F.sum("revenue_cents").over(w_region).cast("double")
+        ).alias("nation_share"),
+        (
+            F.sum("revenue_cents").over(w_region).cast("double")
+            / F.sum("revenue_cents").over(w_all).cast("double")
+        ).alias("region_share"),
+    ).orderBy("region", "nation")

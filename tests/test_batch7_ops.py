@@ -59,3 +59,32 @@ def test_ks_corpus_in_unit_interval(spark, sf_dir):
     (r,) = ks_value_drift(spark, sf_dir).collect()
     assert 0.0 <= r["ks"] <= 1.0
     assert r["n_a"] > 0 and r["n_b"] > 0
+
+
+def test_rolling_correlation_bounds_and_window(spark, sf_dir):
+    from graphdb_td2_spark.operators.drift import rolling_type_correlation
+
+    rows = rolling_type_correlation(spark, sf_dir).collect()
+    assert rows
+    import math
+
+    for r in rows:
+        assert r["n_days"] == 7
+        if r["corr"] is not None and not math.isnan(r["corr"]):
+            assert -1.0 - 1e-12 <= r["corr"] <= 1.0 + 1e-12
+
+
+def test_geo_rollup_shares(spark, sf_dir):
+    from graphdb_td2_spark.operators.relational import geo_hierarchy_rollup
+
+    rows = geo_hierarchy_rollup(spark, sf_dir).collect()
+    assert rows
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r["region"], []).append(r)
+    region_share_total = 0.0
+    for rs in by_region.values():
+        assert abs(sum(r["nation_share"] for r in rs) - 1.0) < 1e-9
+        region_share_total += rs[0]["region_share"]
+        assert all(abs(r["region_share"] - rs[0]["region_share"]) < 1e-12 for r in rs)
+    assert abs(region_share_total - 1.0) < 1e-9
