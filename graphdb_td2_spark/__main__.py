@@ -36,6 +36,17 @@ def main(argv: list[str] | None = None) -> int:
     p_query.add_argument("--sf-dir", default=default_sf)
     p_query.add_argument("-n", type=int, default=20, help="rows to show")
 
+    p_explain = sub.add_parser(
+        "explain", help="print a registry query's physical plan"
+    )
+    p_explain.add_argument("name")
+    p_explain.add_argument("--sf-dir", default=default_sf)
+    p_explain.add_argument(
+        "--mode",
+        default="formatted",
+        choices=("simple", "extended", "formatted", "cost", "codegen"),
+    )
+
     sub.add_parser("list", help="list registry queries")
 
     args = parser.parse_args(argv)
@@ -69,6 +80,13 @@ def main(argv: list[str] | None = None) -> int:
             print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
             return 2
         queries[args.name](spark, args.sf_dir).show(args.n, truncate=False)
+        return 0
+    if args.cmd == "explain":
+        queries = registry.queries()
+        if args.name not in queries:
+            print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+            return 2
+        queries[args.name](spark, args.sf_dir).explain(args.mode)
         return 0
     return 2
 

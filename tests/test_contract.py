@@ -132,3 +132,12 @@ def test_cli_list_matches_registry(capsys):
     assert main(["list"]) == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert out == list(entry.queries())
+
+
+def test_cli_explain_prints_plan(spark, capsys):
+    from graphdb_td2_spark.__main__ import main
+
+    rc = main(["explain", "pricing_summary", "--sf-dir", "/root/testdata/sf0.001"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Physical Plan" in out or "AdaptiveSparkPlan" in out
