@@ -54,7 +54,7 @@ from graphdb_td2_spark.functions import (
 from graphdb_td2_spark.functions.profile import documents_profile
 from graphdb_td2_spark.functions.chunking import doc_chunks
 from graphdb_td2_spark.functions.lm import lm_bigram_scores
-from graphdb_td2_spark.functions.bpe import bpe_merge_table
+from graphdb_td2_spark.functions.bpe import bpe_encoded_stats, bpe_merge_table
 from graphdb_td2_spark.functions.bloom import bloom_urgent_order_events
 from graphdb_td2_spark.pipeline import clean_corpus_stats
 from graphdb_td2_spark.dedup.semantic import semantic_dedup_stats
@@ -395,6 +395,8 @@ DEMOTED_TAIL = (
                                  # KS gate
     "geo_hierarchy_rollup",  # region→nation percent-of-parent star rollup
                              # — join+window variant of region_sales
+    "bpe_encoded_stats",  # tokenizer compression curve off the trainer's
+                          # final vocab (bpe_merge_table checked in tail)
 )
 
 
@@ -564,6 +566,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_revenue_distributed": running_revenue_distributed,
         "rolling_type_correlation": rolling_type_correlation,
         "geo_hierarchy_rollup": rel.geo_hierarchy_rollup,
+        "bpe_encoded_stats": bpe_encoded_stats,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -1174,6 +1177,22 @@ SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, merged, pair_count
 FROM ({union}) ORDER BY rank
 """)
     return "".join(parts)
+
+
+def _bpe_encoded_sql(n_merges: int = 24) -> str:
+    """Segmentation-length histogram off the unrolled trainer's FINAL
+    vocab CTE (functions/bpe.py:bpe_encoded_stats)."""
+    full = _bpe_sql(n_merges)
+    prefix = full[: full.rindex("\nSELECT CAST(rank AS BIGINT)")]
+    return (
+        prefix
+        + f"""
+SELECT CAST(len(syms) AS BIGINT) AS n_subwords,
+       CAST(COUNT(*) AS BIGINT) AS n_word_types,
+       CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+FROM w{n_merges} GROUP BY 1 ORDER BY n_subwords
+"""
+    )
 
 
 def _clean_corpus_sql() -> str:
@@ -2309,6 +2328,7 @@ SELECT query_id, rank, vec_id, cosine FROM (
     sqls["semantic_dedup_stats"] = _semantic_dedup_sql()
 
     sqls["bpe_merge_table"] = _bpe_sql()
+    sqls["bpe_encoded_stats"] = _bpe_encoded_sql()
 
     sqls["clean_corpus_stats"] = _clean_corpus_sql()
 

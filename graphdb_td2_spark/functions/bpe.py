@@ -171,3 +171,29 @@ def reference_bpe(
                     i += 1
             vocab[w] = (out, c)
     return merges
+
+
+def bpe_encoded_stats(
+    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
+) -> DataFrame:
+    """Registry entry: ``(n_subwords, n_word_types, n_occurrences)`` —
+    the segmentation-length histogram of the corpus vocabulary AFTER the
+    trained merges: how many subword pieces each word type splits into,
+    weighted by corpus frequency. The compression curve a tokenizer
+    team reads before shipping a vocab. Ordered by n_subwords.
+
+    Free of charge from training: ``train_bpe`` maintains the merged
+    vocab as it learns, so the encode pass IS the trainer's final state
+    (the oracle likewise reuses the unrolled trainer's last CTE).
+    Scale notes: identical cost envelope to ``bpe_merge_table``; the
+    histogram adds one bounded hash agg.
+    """
+    _, vocab = train_bpe(spark, sf_dir, n_merges)
+    return (
+        vocab.groupBy(F.size("syms").cast("long").alias("n_subwords"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_word_types"),
+            F.sum("cnt").cast("long").alias("n_occurrences"),
+        )
+        .orderBy("n_subwords")
+    )

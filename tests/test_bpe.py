@@ -78,3 +78,17 @@ def test_corpus_words_free_of_fold_delimiter(spark, sf_dir):
     (documented precondition of the fold)."""
     docs = read_table(spark, sf_dir, "documents", ["text"])
     assert docs.filter(F.col("text").contains(_DELIM)).count() == 0
+
+
+def test_encoded_stats_accounting(spark, sf_dir):
+    from graphdb_td2_spark.functions.bpe import bpe_encoded_stats, word_counts
+
+    rows = bpe_encoded_stats(spark, sf_dir).collect()
+    assert rows
+    wc = word_counts(spark, sf_dir)
+    assert sum(r["n_word_types"] for r in rows) == wc.count()
+    from pyspark.sql import functions as F
+
+    assert sum(r["n_occurrences"] for r in rows) == wc.agg(F.sum("cnt")).collect()[0][0]
+    # merges only shorten segmentations vs raw characters
+    assert min(r["n_subwords"] for r in rows) >= 1
