@@ -397,6 +397,9 @@ DEMOTED_TAIL = (
                              # — join+window variant of region_sales
     "bpe_encoded_stats",  # tokenizer compression curve off the trainer's
                           # final vocab (bpe_merge_table checked in tail)
+    "variant_props_stats",  # VARIANT (parse_json/variant_get) sibling of
+                            # props_key_histogram — binary semi-structured
+                            # path
 )
 
 
@@ -567,6 +570,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_type_correlation": rolling_type_correlation,
         "geo_hierarchy_rollup": rel.geo_hierarchy_rollup,
         "bpe_encoded_stats": bpe_encoded_stats,
+        "variant_props_stats": json_props.variant_props_stats,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2329,6 +2333,19 @@ SELECT query_id, rank, vec_id, cosine FROM (
 
     sqls["bpe_merge_table"] = _bpe_sql()
     sqls["bpe_encoded_stats"] = _bpe_encoded_sql()
+
+    # functions/json_props.py:variant_props_stats — VARIANT path reads in
+    # Spark; DuckDB extracts the same JSON path.
+    sqls["variant_props_stats"] = """
+WITH k AS (
+  SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+)
+SELECT CAST((k // 10) * 10 AS BIGINT) AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+FROM k WHERE k IS NOT NULL
+GROUP BY 1 ORDER BY k_bucket
+"""
 
     sqls["clean_corpus_stats"] = _clean_corpus_sql()
 

@@ -66,3 +66,30 @@ def props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(k_bucket, n_events, min_k, max_k)`` — the
+    ``props`` JSON profiled through Spark's VARIANT type
+    (``parse_json`` → ``variant_get``), the open-schema semi-structured
+    path Spark 4 ships for exactly this "JSON column of unknown shape"
+    case. Functionally the binary-encoded sibling of
+    ``props_key_histogram``; at scale VARIANT's advantage is that the
+    parse happens ONCE into a shredded binary value and every
+    ``variant_get`` is a cheap path read, where repeated
+    ``get_json_object`` calls re-parse the string per extraction.
+    Ordered by k_bucket.
+    """
+    events = read_table(spark, sf_dir, "events", ["props"])
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        events.select(k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy((F.floor(F.col("k") / 10) * 10).cast("long").alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .orderBy("k_bucket")
+    )

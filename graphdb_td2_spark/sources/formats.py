@@ -112,3 +112,12 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """ORC write (zlib default codec; row-group stats for pushdown)."""
     df.write.mode(mode).orc(path)
+
+
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution scan: merge the footers of EVERY file under
+    ``path`` (``mergeSchema``), so files appended after a column was
+    added read alongside the old ones (missing columns null-fill). The
+    default reader takes one footer on faith — correct for immutable
+    corpus tables, wrong for a long-lived appended lake table."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -49,3 +49,15 @@ def test_stump_corpus_bounds(spark, sf_dir):
     assert 0.0 <= r["weighted_gini"] <= 0.5
     assert r["n_left"] > 0 and r["n_right"] > 0
     assert r["pos_left"] + r["pos_right"] > 0
+
+
+def test_variant_props_matches_string_path(spark, sf_dir):
+    """VARIANT extraction must agree with the get_json_object histogram."""
+    from graphdb_td2_spark.functions.json_props import (
+        props_key_histogram,
+        variant_props_stats,
+    )
+
+    v = {r["k_bucket"]: r["n_events"] for r in variant_props_stats(spark, sf_dir).collect()}
+    s = {r["k_bucket"]: r["n_events"] for r in props_key_histogram(spark, sf_dir).collect()}
+    assert v == s

@@ -203,3 +203,17 @@ def test_lake_health_report(spark, tmp_path):
     # run_etl partitions vertices by label and edges by rel_type
     assert rows["vertices"]["n_partitions"] > 0
     assert rows["edges"]["n_partitions"] > 0
+
+
+def test_read_parquet_evolved_merges_schemas(spark, tmp_path):
+    from graphdb_td2_spark.sources.formats import read_parquet_evolved
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, s string").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, s string, score double"
+    ).write.mode("append").parquet(path)
+    back = read_parquet_evolved(spark, path)
+    assert set(back.columns) == {"id", "s", "score"}
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
