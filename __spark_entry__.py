@@ -27,7 +27,7 @@ from graphdb_td2_spark.recs import queries as recs
 from graphdb_td2_spark.graph import queries as gq
 from graphdb_td2_spark.operators import relational as rel
 from graphdb_td2_spark.operators import windows as win
-from graphdb_td2_spark.operators.asof import events_last_order
+from graphdb_td2_spark.operators.asof import events_last_order, pit_training_set_stats
 from graphdb_td2_spark.operators.sql_api import (
     lateral_top_orders,
     order_priority_exists,
@@ -400,6 +400,8 @@ DEMOTED_TAIL = (
     "variant_props_stats",  # VARIANT (parse_json/variant_get) sibling of
                             # props_key_histogram — binary semi-structured
                             # path
+    "pit_training_set_stats",  # feature-store point-in-time assembly with
+                               # a leakage invariant — asof-family variant
 )
 
 
@@ -571,6 +573,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_hierarchy_rollup": rel.geo_hierarchy_rollup,
         "bpe_encoded_stats": bpe_encoded_stats,
         "variant_props_stats": json_props.variant_props_stats,
+        "pit_training_set_stats": pit_training_set_stats,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2345,6 +2348,37 @@ SELECT CAST((k // 10) * 10 AS BIGINT) AS k_bucket,
        CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
 FROM k WHERE k IS NOT NULL
 GROUP BY 1 ORDER BY k_bucket
+"""
+
+    # operators/asof.py:pit_training_set_stats — DuckDB's native ASOF JOIN
+    # mirrors the union+window carry (inclusive at-or-before).
+    sqls["pit_training_set_stats"] = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         CAST(COUNT(*) AS BIGINT) AS feat_events
+  FROM events GROUP BY 1, 2
+),
+feats AS (
+  SELECT user_id, day + INTERVAL 1 DAY AS as_of, day AS feat_day, feat_events
+  FROM daily
+),
+labels AS (
+  SELECT user_id, ts AS label_ts, event_id
+  FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT l.label_ts, f.feat_day, f.feat_events
+  FROM labels l ASOF LEFT JOIN feats f
+    ON l.user_id = f.user_id AND l.label_ts >= f.as_of
+)
+SELECT CAST(date_trunc('day', label_ts) AS TIMESTAMP) AS label_day,
+  CAST(COUNT(*) AS BIGINT) AS n_labels,
+  CAST(SUM(CASE WHEN feat_events IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_with_features,
+  CAST(SUM(CASE WHEN feat_day >= date_trunc('day', label_ts)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky,
+  CAST(SUM(COALESCE(feat_events, 0)) AS BIGINT) AS sum_feat_events
+FROM j GROUP BY 1 ORDER BY label_day
 """
 
     sqls["clean_corpus_stats"] = _clean_corpus_sql()

@@ -130,3 +130,73 @@ def events_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", "user_id", "ts", "last_order_key").orderBy(
         "event_id"
     )
+
+
+def pit_training_set_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(label_day, n_labels, n_with_features,
+    n_leaky, sum_feat_events)`` — POINT-IN-TIME training-set assembly
+    (the feature-store correctness pattern): each purchase label joins
+    the user's daily-activity feature row as of the PREVIOUS day —
+    strictly before the label's day, so no feature can contain the
+    label's own outcome (leakage). ``n_leaky`` counts violations of the
+    strictness invariant and must be 0 by construction. Ordered by
+    label_day.
+
+    Mechanics: features = per (user, day) event counts, valid FROM the
+    next day (``feature_as_of = day + 1``); the as-of join is the
+    engine's union+window carry-forward (one shuffle on user, no range
+    join). Determinism: pure integer counts; the carried struct leads
+    with the as-of day so "latest" is total-ordered.
+
+    Scale notes: identical cost envelope to ``events_asof_last_order``;
+    the feature build is one partial-agged rollup of the same events
+    scan.
+    """
+    ev = read_table(spark, sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    feats = (
+        ev.groupBy(
+            "user_id", F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("feat_events"))
+        .select(
+            "user_id",
+            (F.col("day") + F.expr("INTERVAL 1 DAY")).alias("as_of"),
+            F.col("day").alias("feat_day"),
+            "feat_events",
+        )
+    )
+    labels = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("label_ts"), "event_id"
+    )
+    joined = asof_join(
+        labels,
+        feats,
+        on=["user_id"],
+        left_ts="label_ts",
+        right_ts="as_of",
+        right_payload=["feat_day", "feat_events"],
+    )
+    label_day = F.date_trunc("day", "label_ts")
+    return (
+        joined.groupBy(label_day.alias("label_day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_labels"),
+            F.sum(F.col("feat_events").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_with_features"),
+            F.sum(
+                F.coalesce(
+                    (F.col("feat_day") >= F.date_trunc("day", "label_ts")).cast(
+                        "long"
+                    ),
+                    F.lit(0),
+                )
+            )
+            .cast("long")
+            .alias("n_leaky"),
+            F.sum(F.coalesce("feat_events", F.lit(0))).cast("long").alias(
+                "sum_feat_events"
+            ),
+        )
+        .orderBy("label_day")
+    )

@@ -61,3 +61,15 @@ def test_variant_props_matches_string_path(spark, sf_dir):
     v = {r["k_bucket"]: r["n_events"] for r in variant_props_stats(spark, sf_dir).collect()}
     s = {r["k_bucket"]: r["n_events"] for r in props_key_histogram(spark, sf_dir).collect()}
     assert v == s
+
+
+def test_pit_no_leakage_and_coverage(spark, sf_dir):
+    from graphdb_td2_spark.operators.asof import pit_training_set_stats
+
+    rows = pit_training_set_stats(spark, sf_dir).collect()
+    assert rows
+    assert all(r["n_leaky"] == 0 for r in rows)  # strict-before invariant
+    assert all(0 <= r["n_with_features"] <= r["n_labels"] for r in rows)
+    # after day 1, most purchase labels should find a prior-day feature
+    tail = rows[1:]
+    assert sum(r["n_with_features"] for r in tail) > 0
