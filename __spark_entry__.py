@@ -131,7 +131,7 @@ from graphdb_td2_spark.operators.timeseries import (
     running_revenue_distributed,
 )
 from graphdb_td2_spark.recs.als import als_rank1_convergence
-from graphdb_td2_spark.similarity.gram import gram_fixed_point
+from graphdb_td2_spark.similarity.gram import gram_fixed_point, label_centroid_distances
 from graphdb_td2_spark.recs.linkpred import (
     product_jaccard_topk,
     resource_allocation_topk,
@@ -402,6 +402,10 @@ DEMOTED_TAIL = (
                             # path
     "pit_training_set_stats",  # feature-store point-in-time assembly with
                                # a leakage invariant — asof-family variant
+    "label_centroid_distances",  # fixed-point centroid separation matrix
+                                 # — embedding-diagnostic family
+    "channel_cohort_retention",  # first-event-type cohorts — retention
+                                 # family variant (weekly cohorts in tail)
 )
 
 
@@ -574,6 +578,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encoded_stats": bpe_encoded_stats,
         "variant_props_stats": json_props.variant_props_stats,
         "pit_training_set_stats": pit_training_set_stats,
+        "label_centroid_distances": label_centroid_distances,
+        "channel_cohort_retention": win.channel_cohort_retention,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2379,6 +2385,67 @@ SELECT CAST(date_trunc('day', label_ts) AS TIMESTAMP) AS label_day,
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky,
   CAST(SUM(COALESCE(feat_events, 0)) AS BIGINT) AS sum_feat_events
 FROM j GROUP BY 1 ORDER BY label_day
+"""
+
+    # similarity/gram.py:label_centroid_distances — fixed-point centroids
+    # (truncating division spelled out — Spark DIV truncates, // floors)
+    # and exact integer squared distances.
+    sqls["label_centroid_distances"] = f"""
+WITH q AS (SELECT label, {_QE} AS qe FROM embeddings),
+dims AS (
+  SELECT CAST(unnest(generate_series(
+           1, (SELECT len(embedding) FROM embeddings LIMIT 1))) AS INTEGER)
+    AS idx
+),
+comp AS (
+  SELECT label, idx - 1 AS i, qe[idx] AS qx
+  FROM q CROSS JOIN dims
+),
+cent AS (
+  SELECT label, i, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(qx) AS BIGINT) AS s
+  FROM comp GROUP BY label, i
+),
+centc AS (
+  SELECT label, i, n,
+    CAST(CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS BIGINT) AS c
+  FROM cent
+)
+SELECT a.label AS label_a, b.label AS label_b,
+  CAST(MIN(a.n) AS BIGINT) AS n_a, CAST(MIN(b.n) AS BIGINT) AS n_b,
+  CAST(SUM((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS sq_dist_fp
+FROM centc a JOIN centc b ON a.i = b.i AND a.label < b.label
+GROUP BY a.label, b.label ORDER BY label_a, label_b
+"""
+
+    # operators/windows.py:channel_cohort_retention — first-event-type
+    # cohorts, UTC-Monday weeks, share-of-week-0 retention.
+    sqls["channel_cohort_retention"] = """
+WITH ranked AS (
+  SELECT user_id, event_type, ts,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+first AS (
+  SELECT user_id, event_type AS channel,
+         CAST(date_trunc('week', ts) AS DATE) AS cohort_week
+  FROM ranked WHERE rn = 1
+),
+weekly AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+),
+offsets AS (
+  SELECT f.channel,
+    CAST(date_diff('day', f.cohort_week, w.week) // 7 AS BIGINT) AS week_offset,
+    CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM weekly w JOIN first f USING (user_id)
+  GROUP BY 1, 2
+),
+base AS (SELECT channel, n_users AS n_base FROM offsets WHERE week_offset = 0)
+SELECT o.channel, o.week_offset, o.n_users,
+  CAST(o.n_users AS DOUBLE) / CAST(b.n_base AS DOUBLE) AS retention
+FROM offsets o JOIN base b ON b.channel = o.channel
+ORDER BY o.channel, o.week_offset
 """
 
     sqls["clean_corpus_stats"] = _clean_corpus_sql()

@@ -306,3 +306,54 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def channel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(channel, week_offset, n_users, retention)`` —
+    retention by ACQUISITION CHANNEL: users cohorted by the event type
+    of their very first event (the "how did they arrive" dimension),
+    counted in each subsequent active week, with retention as the share
+    of the channel's week-0 cohort. Ordered by (channel, week_offset).
+
+    Determinism: the first event is the ``min_by`` over the total
+    (ts, event_id) order; weeks/offsets follow
+    ``weekly_cohort_retention``'s UTC-Monday integer arithmetic;
+    retention is one integer/integer IEEE division. Scale: two
+    user-keyed hash aggs + one user join — the same envelope as the
+    week-cohort rollup, output |channel|·weeks-bounded.
+    """
+    events = read_table(spark, sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    first = events.groupBy("user_id").agg(
+        F.min_by(
+            F.col("event_type"), F.struct(F.col("ts"), F.col("event_id"))
+        ).alias("channel"),
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week"),
+    )
+    weekly = events.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("week")
+    ).distinct()
+    offsets = (
+        weekly.join(first, "user_id")
+        .select(
+            "channel",
+            F.expr("datediff(week, cohort_week) div 7").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("channel", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    base = offsets.filter(F.col("week_offset") == 0).select(
+        "channel", F.col("n_users").alias("n_base")
+    )
+    return (
+        offsets.join(F.broadcast(base), "channel")
+        .select(
+            "channel",
+            "week_offset",
+            "n_users",
+            (
+                F.col("n_users").cast("double") / F.col("n_base").cast("double")
+            ).alias("retention"),
+        )
+        .orderBy("channel", "week_offset")
+    )

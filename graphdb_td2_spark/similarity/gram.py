@@ -99,3 +99,56 @@ def gram_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("a.qx") * F.col("b.qx")).cast("long").alias("gram_fp"))
         .orderBy("i", "j")
     )
+
+
+def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(label_a, label_b, n_a, n_b, sq_dist_fp)`` —
+    pairwise squared distances between per-label embedding centroids,
+    the domain-shift / cluster-separation diagnostic an embedding
+    pipeline tracks release-over-release. Ordered by (label_a, label_b).
+
+    Exactness: centroids are computed in fixed point — per-dimension
+    quantized component sums (exact int64) floor-divided by the label
+    count — and the squared distance of two integer centroid vectors is
+    an exact int64 sum. No float means, no summation-order dependence.
+
+    Scale notes: the component rollup is one (label, dim)-keyed hash
+    agg (k·d rows out — label- and dimension-bounded, NOT row-bounded);
+    the pairwise stage joins two k·d-sized frames (k² d intermediate,
+    trivial for any real label count). The corpus-sized pass never
+    leaves partial aggregation.
+    """
+    emb = read_table(spark, sf_dir, "embeddings", ["label", "embedding"])
+    comp = emb.select(
+        "label", F.posexplode(quantize_embedding(F.col("embedding"))).alias("i", "qx")
+    )
+    # Spark's integer DIV truncates toward zero; component sums can be
+    # negative, so the oracle spells the same truncation explicitly
+    # (DuckDB's bare // floors).
+    cent = comp.groupBy("label", "i").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("qx").cast("long").alias("s"),
+    ).select("label", "i", "n", F.expr("s DIV n").cast("long").alias("c"))
+    a = cent.select(
+        F.col("label").alias("label_a"), "i",
+        F.col("n").alias("n_a"), F.col("c").alias("ca"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "i",
+        F.col("n").alias("n_b"), F.col("c").alias("cb"),
+    )
+    return (
+        a.join(b, "i")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.first("n_a").cast("long").alias("n_a"),
+            F.first("n_b").cast("long").alias("n_b"),
+            F.sum(
+                (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))
+            )
+            .cast("long")
+            .alias("sq_dist_fp"),
+        )
+        .orderBy("label_a", "label_b")
+    )

@@ -91,3 +91,27 @@ def test_distributed_prefix_sum_equals_global_window(spark, sf_dir):
         .alias("running_cents"),
     ).orderBy("day")
     assert [tuple(r) for r in fast.collect()] == [tuple(r) for r in naive.collect()]
+
+
+def test_label_centroid_distances_shape(spark, sf_dir):
+    from graphdb_td2_spark.similarity.gram import label_centroid_distances
+
+    rows = label_centroid_distances(spark, sf_dir).collect()
+    labels = set()
+    for r in rows:
+        assert r["label_a"] < r["label_b"]
+        assert r["sq_dist_fp"] >= 0
+        labels.update((r["label_a"], r["label_b"]))
+    k = len(labels)
+    assert len(rows) == k * (k - 1) // 2
+
+
+def test_channel_cohort_week0_is_full(spark, sf_dir):
+    from graphdb_td2_spark.operators.windows import channel_cohort_retention
+
+    rows = channel_cohort_retention(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["week_offset"] == 0:
+            assert r["retention"] == 1.0
+        assert 0 < r["retention"] <= 1.0 or r["week_offset"] > 0
