@@ -51,7 +51,7 @@ from graphdb_td2_spark.functions import (
     sketches,
     text,
 )
-from graphdb_td2_spark.functions.profile import documents_profile
+from graphdb_td2_spark.functions.profile import dataset_card, documents_profile
 from graphdb_td2_spark.functions.chunking import doc_chunks
 from graphdb_td2_spark.functions.lm import lm_bigram_scores
 from graphdb_td2_spark.functions.bpe import bpe_encoded_stats, bpe_merge_table
@@ -406,6 +406,8 @@ DEMOTED_TAIL = (
                                  # — embedding-diagnostic family
     "channel_cohort_retention",  # first-event-type cohorts — retention
                                  # family variant (weekly cohorts in tail)
+    "dataset_card",  # model-card datasheet composing the profile family's
+                     # cheap summary tier
 )
 
 
@@ -580,6 +582,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_training_set_stats": pit_training_set_stats,
         "label_centroid_distances": label_centroid_distances,
         "channel_cohort_retention": win.channel_cohort_retention,
+        "dataset_card": dataset_card,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2446,6 +2449,27 @@ SELECT o.channel, o.week_offset, o.n_users,
   CAST(o.n_users AS DOUBLE) / CAST(b.n_base AS DOUBLE) AS retention
 FROM offsets o JOIN base b ON b.channel = o.channel
 ORDER BY o.channel, o.week_offset
+"""
+
+    # functions/profile.py:dataset_card — stacked integer datasheet.
+    sqls["dataset_card"] = f"""
+WITH base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+    CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+    CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
+    CAST(COUNT(*) - COUNT(DISTINCT md5(regexp_replace(trim(lower(text)),
+         '\\s+', ' ', 'g'))) AS BIGINT) AS n_exact_dups
+  FROM documents
+)
+SELECT 'n_docs' AS metric, n_docs AS value FROM base
+UNION ALL SELECT 'n_exact_dups', n_exact_dups FROM base
+UNION ALL SELECT 'n_langs', n_langs FROM base
+UNION ALL SELECT 'n_sources', n_sources FROM base
+UNION ALL SELECT 'total_chars', total_chars FROM base
+UNION ALL SELECT 'total_tokens', total_tokens FROM base
+ORDER BY metric
 """
 
     sqls["clean_corpus_stats"] = _clean_corpus_sql()

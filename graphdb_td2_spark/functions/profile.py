@@ -60,3 +60,43 @@ def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: the exact column profile of ``documents``."""
     docs = read_table(spark, sf_dir, "documents", list(PROFILE_COLUMNS))
     return column_profile(docs, list(PROFILE_COLUMNS)).orderBy("col_name")
+
+
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(metric, value)`` — the corpus datasheet a
+    training run records next to its config: document/source/language
+    counts, exact character and whitespace-token totals, and the
+    exact-duplicate count (normalized-digest distinct). One bounded
+    output a model card embeds verbatim. Ordered by metric.
+
+    All integer metrics from TWO passes (one scan-side conditional agg
+    + one digest distinct) — the cheap summary tier; the deep per-
+    capability numbers live in the dedicated operators this card
+    composes (documents_profile, exact_dedup_stats, token_stats).
+    """
+    from ..dedup.exact import content_digest
+    from .text import tokens_col
+
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    base = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.sum(F.size(tokens_col(F.col("text")))).cast("long").alias("total_tokens"),
+        (F.count(F.lit(1)) - F.countDistinct(content_digest(F.col("text"))))
+        .cast("long")
+        .alias("n_exact_dups"),
+    )
+    return base.select(
+        F.expr(
+            "stack(6,"
+            " 'n_docs', n_docs,"
+            " 'n_exact_dups', n_exact_dups,"
+            " 'n_langs', n_langs,"
+            " 'n_sources', n_sources,"
+            " 'total_chars', total_chars,"
+            " 'total_tokens', total_tokens"
+            ") AS (metric, value)"
+        )
+    ).orderBy("metric")

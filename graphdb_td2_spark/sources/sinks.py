@@ -245,3 +245,54 @@ def lake_health_report(spark, lake_dir: str) -> "DataFrame":
         "table string, n_files long, total_bytes long, n_small_files long, "
         "max_file_bytes long, n_partitions long",
     )
+
+
+def export_training_shards(
+    df: "DataFrame",
+    path: str,
+    key_col: str,
+    n_shards: int = 16,
+) -> dict:
+    """Training-data export: write ``df`` as ``n_shards`` hash-assigned
+    parquet shard directories plus a ``manifest.json`` with per-shard
+    row counts and an order-insensitive content checksum (xor of the
+    key's md5 head) — the artifact a trainer's data loader validates
+    before streaming shards independently.
+
+    Shard assignment is the engine's md5-bucket idiom (stable across
+    reruns, partitionings, and engines — NOT hash(), which is
+    seed/implementation-defined), so a re-export of identical data is
+    byte-for-byte re-verifiable against the old manifest.
+    """
+    import json as _json
+    from pathlib import Path as _Path
+
+    from pyspark.sql import functions as F
+
+    from ..functions.sampling import hash_bucket
+
+    sharded = df.withColumn("__shard", hash_bucket(F.col(key_col), n_shards))
+    sharded.write.mode("overwrite").partitionBy("__shard").parquet(path)
+    spark = df.sparkSession
+    stats = (
+        spark.read.parquet(path)
+        .groupBy("__shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.expr(
+                f"bit_xor(CAST(conv(substring(md5(CAST({key_col} AS STRING)), 1, 15), 16, 10) AS BIGINT))"
+            ).alias("checksum"),
+        )
+        .collect()
+    )
+    manifest = {
+        "n_shards": n_shards,
+        "key_col": key_col,
+        "shards": {
+            int(r["__shard"]): {"n_rows": r["n_rows"], "checksum": int(r["checksum"])}
+            for r in stats
+        },
+        "total_rows": int(sum(r["n_rows"] for r in stats)),
+    }
+    (_Path(path) / "manifest.json").write_text(_json.dumps(manifest, indent=2))
+    return manifest

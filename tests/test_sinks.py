@@ -217,3 +217,23 @@ def test_read_parquet_evolved_merges_schemas(spark, tmp_path):
     assert set(back.columns) == {"id", "s", "score"}
     rows = {r["id"]: r for r in back.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_export_training_shards_manifest_stable(spark, tmp_path):
+    import json
+
+    from graphdb_td2_spark.sources.sinks import export_training_shards
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    m1 = export_training_shards(docs, p1, "doc_id", n_shards=4)
+    # repartitioned input → identical manifest (assignment is md5, not hash())
+    m2 = export_training_shards(docs.repartition(7), p2, "doc_id", n_shards=4)
+    assert m1["shards"] == m2["shards"]
+    assert m1["total_rows"] == docs.count()
+    on_disk = json.loads((tmp_path / "s1" / "manifest.json").read_text())
+    assert on_disk["total_rows"] == m1["total_rows"]
+    # every shard dir exists and re-reads to its manifest count
+    for shard, meta in m1["shards"].items():
+        back = spark.read.parquet(f"{p1}/__shard={shard}")
+        assert back.count() == meta["n_rows"]
