@@ -149,6 +149,7 @@ from graphdb_td2_spark.streaming import (
     streaming_session_windows,
     streaming_sliding_windows,
 )
+from graphdb_td2_spark.streaming.core import streaming_daily_actives
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -408,6 +409,8 @@ DEMOTED_TAIL = (
                                  # family variant (weekly cohorts in tail)
     "dataset_card",  # model-card datasheet composing the profile family's
                      # cheap summary tier
+    "streaming_daily_actives",  # watermarked dedup→count stream — twin of
+                                # the batch daily-distinct rollup (§2.J)
 )
 
 
@@ -583,6 +586,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroid_distances": label_centroid_distances,
         "channel_cohort_retention": win.channel_cohort_retention,
         "dataset_card": dataset_card,
+        "streaming_daily_actives": streaming_daily_actives,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2470,6 +2474,14 @@ UNION ALL SELECT 'n_sources', n_sources FROM base
 UNION ALL SELECT 'total_chars', total_chars FROM base
 UNION ALL SELECT 'total_tokens', total_tokens FROM base
 ORDER BY metric
+"""
+
+    # streaming/core.py:streaming_daily_actives — the stream's dedup→count
+    # equals the batch COUNT(DISTINCT) per day.
+    sqls["streaming_daily_actives"] = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+FROM events GROUP BY 1 ORDER BY day
 """
 
     sqls["clean_corpus_stats"] = _clean_corpus_sql()

@@ -580,3 +580,42 @@ def first_seen_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_daily_actives(events: DataFrame) -> DataFrame:
+    """Watermarked exact daily-distinct-users: per-user-day dedup
+    (``dropDuplicates`` keyed on (user_id, day) with the watermark
+    expiring state) feeding a daily count — the streaming twin of the
+    batch rolling-actives' inner rollup. Exactly-once per (user, day)
+    under replay because the dedup key IS the output grain."""
+    daily = (
+        events.withWatermark("ts", "1 day")
+        .withColumn("day", F.date_trunc("day", "ts"))
+        .dropDuplicates(["user_id", "day"])
+    )
+    return daily.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("active_users")
+    )
+
+
+def streaming_daily_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: exact daily active users computed on the
+    stream (availableNow → memory sink), hash-equal to the batch
+    ``COUNT(DISTINCT user)`` per day — the dedup-then-aggregate pattern
+    every usage pipeline streams. State: one (user, day) row until the
+    watermark passes the day — bounded by daily actives, not corpus
+    size."""
+    import uuid
+
+    name = "stream_dau_" + uuid.uuid4().hex[:8]
+    events = events_stream(spark, sf_dir, ts_unit="auto", file_glob="events.parquet")
+    q = (
+        stream_daily_actives(events)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("day", "active_users").orderBy("day")
