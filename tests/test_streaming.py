@@ -383,3 +383,23 @@ def test_session_window_boundary_gap_merges(spark, tmp_path):
         ).collect()
     }
     assert got == {10: 1, 20: 2}
+
+
+def test_streaming_daily_actives_equals_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from graphdb_td2_spark.io import read_table
+    from graphdb_td2_spark.streaming.core import streaming_daily_actives
+
+    got = {
+        r["day"]: r["active_users"]
+        for r in streaming_daily_actives(spark, sf_dir).collect()
+    }
+    want = {
+        r["day"]: r["n"]
+        for r in read_table(spark, sf_dir, "events", ["ts", "user_id"])
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
