@@ -52,7 +52,7 @@ from graphdb_td2_spark.functions import (
     text,
 )
 from graphdb_td2_spark.functions.profile import dataset_card, documents_profile
-from graphdb_td2_spark.functions.chunking import doc_chunks
+from graphdb_td2_spark.functions.chunking import doc_chunks, span_corruption_stats
 from graphdb_td2_spark.functions.lm import lm_bigram_scores
 from graphdb_td2_spark.functions.bpe import bpe_encoded_stats, bpe_merge_table
 from graphdb_td2_spark.functions.bloom import bloom_urgent_order_events
@@ -411,6 +411,8 @@ DEMOTED_TAIL = (
                      # cheap summary tier
     "streaming_daily_actives",  # watermarked dedup→count stream — twin of
                                 # the batch daily-distinct rollup (§2.J)
+    "span_corruption_stats",  # T5 denoising mask planning — md5-span
+                              # variant of the token-explode family
 )
 
 
@@ -587,6 +589,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "channel_cohort_retention": win.channel_cohort_retention,
         "dataset_card": dataset_card,
         "streaming_daily_actives": streaming_daily_actives,
+        "span_corruption_stats": span_corruption_stats,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2482,6 +2485,31 @@ ORDER BY metric
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
 FROM events GROUP BY 1 ORDER BY day
+"""
+
+    # functions/chunking.py:span_corruption_stats — md5-selected aligned
+    # spans; same tokenization fragment as the token family.
+    sqls["span_corruption_stats"] = f"""
+WITH toks AS (
+  SELECT doc_id, source, t.i - 1 AS i
+  FROM (SELECT doc_id, source, {_TOKS} AS tk FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) t
+),
+flagged AS (
+  SELECT source, doc_id, i // 3 AS span,
+    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                 || CAST(i // 3 AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 15
+         THEN 1 ELSE 0 END AS masked
+  FROM toks
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(masked) AS BIGINT) AS n_masked,
+  CAST(COUNT(DISTINCT CASE WHEN masked = 1
+       THEN CAST(doc_id AS VARCHAR) || ':' || CAST(span AS VARCHAR) END)
+       AS BIGINT) AS n_spans,
+  CAST(SUM(masked) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mask_rate
+FROM flagged GROUP BY source ORDER BY source
 """
 
     sqls["clean_corpus_stats"] = _clean_corpus_sql()

@@ -95,3 +95,70 @@ def doc_chunks(
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+MASK_RATE_PCT = 15
+SPAN_LEN = 3
+
+
+def span_corruption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(source, n_tokens, n_masked, n_spans,
+    mask_rate)`` — T5-style span-corruption planning: tokens are masked
+    in aligned spans of ``SPAN_LEN`` (a span is selected iff
+    ``md5(doc_id:span_index) mod 100 < 15``), giving the denoising
+    objective's (inputs, targets) split sizes per source BEFORE any
+    expensive materialization. Ordered by source.
+
+    Determinism: span selection is the engine's md5-bucket idiom on
+    (doc_id, span index) — reproducible across engines, partitionings
+    and reruns, unlike RNG-state masking. All counts are exact integers;
+    mask_rate is one final division (it converges to 15% by md5
+    uniformity — the test pins the tolerance).
+
+    Scale notes: one tokens explode (the same shape as token_stats) into
+    a partial-agged rollup; no per-doc Python, no RNG state to
+    checkpoint.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text", "source"])
+    toks = docs.select(
+        "doc_id", "source", F.posexplode(tokens_col(F.col("text"))).alias("i", "tok")
+    )
+    span = F.floor(F.col("i") / SPAN_LEN)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), span)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    flagged = toks.select(
+        "source",
+        span.alias("span"),
+        "doc_id",
+        (bucket < MASK_RATE_PCT).cast("long").alias("masked"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("masked").cast("long").alias("n_masked"),
+            F.countDistinct(
+                F.when(F.col("masked") == 1, F.concat_ws(":", "doc_id", "span"))
+            )
+            .cast("long")
+            .alias("n_spans"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_masked",
+            "n_spans",
+            (F.col("n_masked").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "mask_rate"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -70,3 +70,21 @@ def test_invalid_window_rejected(spark, sf_dir):
         doc_chunks(spark, sf_dir, window=32, stride=0)
     with pytest.raises(ValueError):
         doc_chunks(spark, sf_dir, window=32, stride=33)
+
+
+def test_span_corruption_rate_and_span_math(spark, sf_dir):
+    from graphdb_td2_spark.functions.chunking import (
+        SPAN_LEN,
+        span_corruption_stats,
+    )
+
+    rows = span_corruption_stats(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["n_tokens"] for r in rows)
+    masked = sum(r["n_masked"] for r in rows)
+    # md5 uniformity: corpus-level mask rate within 2 points of 15%
+    assert abs(masked / total - 0.15) < 0.02
+    for r in rows:
+        # every span contributes at most SPAN_LEN masked tokens
+        assert r["n_masked"] <= r["n_spans"] * SPAN_LEN
+        assert r["n_spans"] <= r["n_masked"]  # and at least 1 each
