@@ -413,6 +413,10 @@ DEMOTED_TAIL = (
                                 # the batch daily-distinct rollup (§2.J)
     "span_corruption_stats",  # T5 denoising mask planning — md5-span
                               # variant of the token-explode family
+    "shipping_latency_quantiles",  # order→ship day-delta percentiles per
+                                   # priority — percentile-family variant
+    "supplier_concentration_topk",  # HHI supply-risk screen — exact-
+                                    # integer ratio family, top-k
 )
 
 
@@ -590,6 +594,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_card": dataset_card,
         "streaming_daily_actives": streaming_daily_actives,
         "span_corruption_stats": span_corruption_stats,
+        "shipping_latency_quantiles": rel.shipping_latency_quantiles,
+        "supplier_concentration_topk": rel.supplier_concentration_topk,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2510,6 +2516,40 @@ SELECT source,
        AS BIGINT) AS n_spans,
   CAST(SUM(masked) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mask_rate
 FROM flagged GROUP BY source ORDER BY source
+"""
+
+    # operators/relational.py:shipping_latency_quantiles
+    sqls["shipping_latency_quantiles"] = """
+WITH lat AS (
+  SELECT o.o_orderpriority,
+    CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+  quantile_cont(d, 0.5) AS p50_days, quantile_cont(d, 0.9) AS p90_days
+FROM lat GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+    # operators/relational.py:supplier_concentration_topk — exact
+    # centiquantity HHI with a single final division.
+    sqls["supplier_concentration_topk"] = """
+WITH per_supp AS (
+  SELECT l_partkey, l_suppkey,
+    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(14,2)) * 100 AS BIGINT))
+         AS BIGINT) AS sq
+  FROM lineitem GROUP BY 1, 2
+),
+per_part AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+    CAST(SUM(sq) AS BIGINT) AS sum_q,
+    CAST(SUM(sq * sq) AS BIGINT) AS sum_sq2
+  FROM per_supp GROUP BY l_partkey
+)
+SELECT l_partkey, n_suppliers, sum_q AS sum_qty,
+  CAST(sum_sq2 AS DOUBLE) / (CAST(sum_q AS DOUBLE) * CAST(sum_q AS DOUBLE))
+    AS hhi
+FROM per_part WHERE n_suppliers >= 2
+ORDER BY hhi DESC, l_partkey ASC LIMIT 20
 """
 
     sqls["clean_corpus_stats"] = _clean_corpus_sql()

@@ -472,3 +472,76 @@ def geo_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("revenue_cents").over(w_all).cast("double")
         ).alias("region_share"),
     ).orderBy("region", "nation")
+
+
+def shipping_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(o_orderpriority, n_items, p50_days, p90_days)``
+    — order-to-ship latency distribution per priority class: does URGENT
+    actually ship faster? Exact integer day deltas through the
+    parity-pinned percentile. Ordered by priority.
+
+    Scale notes: one orders⋈lineitem join on the order key (bucketed
+    co-location at lake scale), integer datediff projection, and a
+    5-group percentile agg.
+    """
+    orders = read_table(spark, sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    items = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    lat = items.join(orders, items["l_orderkey"] == orders["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast("long").alias("d"),
+    )
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.expr("percentile(d, 0.5)").alias("p50_days"),
+            F.expr("percentile(d, 0.9)").alias("p90_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def supplier_concentration_topk(
+    spark: SparkSession, sf_dir: str, k: int = 20, min_suppliers: int = 2
+) -> DataFrame:
+    """Registry entry: ``(l_partkey, n_suppliers, sum_qty, hhi)`` — the
+    ``k`` parts with the most concentrated supplier base by Herfindahl-
+    Hirschman index (Σ share², share = supplier quantity / part
+    quantity), the supply-chain-risk screen. Ties break on partkey;
+    single-supplier parts (HHI trivially 1) are excluded by
+    ``min_suppliers``.
+
+    Determinism: quantities are ≤2-dp → exact integer centiquantities;
+    HHI = Σq_s² / (Σq)² is ONE division of exact integers (numerator
+    summed as int64). Scale notes: two stacked partial-agged hash aggs
+    ((part, supplier) then part); top-k is TakeOrderedAndProject.
+    """
+    items = read_table(spark, sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"])
+    per_supp = (
+        items.select(
+            "l_partkey",
+            "l_suppkey",
+            (F.col("l_quantity").cast("decimal(14,2)") * 100).cast("long").alias("q"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("q").cast("long").alias("sq"))
+    )
+    per_part = per_supp.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("sq").cast("long").alias("sum_q"),
+        F.sum(F.col("sq") * F.col("sq")).cast("long").alias("sum_sq2"),
+    )
+    return (
+        per_part.filter(F.col("n_suppliers") >= min_suppliers)
+        .select(
+            "l_partkey",
+            "n_suppliers",
+            F.col("sum_q").alias("sum_qty"),
+            (
+                F.col("sum_sq2").cast("double")
+                / (F.col("sum_q").cast("double") * F.col("sum_q").cast("double"))
+            ).alias("hhi"),
+        )
+        .orderBy(F.desc("hhi"), F.asc("l_partkey"))
+        .limit(k)
+    )

@@ -360,3 +360,25 @@ def test_bfs_distances_on_known_graph(spark):
         for r in bfs_distances(verts, edges, seed="a", max_hops=2).collect()
     }
     assert capped == {"a": 0, "b": 1, "c": 2, "d": None, "e": None}
+
+
+def test_shipping_latency_nonneg(spark, sf_dir):
+    from graphdb_td2_spark.operators.relational import shipping_latency_quantiles
+
+    rows = shipping_latency_quantiles(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["p50_days"] <= r["p90_days"]
+
+
+def test_supplier_concentration_bounds(spark, sf_dir):
+    from graphdb_td2_spark.operators.relational import supplier_concentration_topk
+
+    rows = supplier_concentration_topk(spark, sf_dir).collect()
+    assert rows
+    hhis = [r["hhi"] for r in rows]
+    assert hhis == sorted(hhis, reverse=True)
+    for r in rows:
+        assert r["n_suppliers"] >= 2
+        # HHI of n equal suppliers is 1/n ≤ hhi < 1 for n ≥ 2
+        assert 1.0 / r["n_suppliers"] <= r["hhi"] < 1.0 + 1e-12
