@@ -417,6 +417,8 @@ DEMOTED_TAIL = (
                                    # priority — percentile-family variant
     "supplier_concentration_topk",  # HHI supply-risk screen — exact-
                                     # integer ratio family, top-k
+    "nation_trade_flows",  # Q7-shaped two-armed star join — role-playing
+                           # nation dims, top-k flows
 )
 
 
@@ -596,6 +598,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corruption_stats": span_corruption_stats,
         "shipping_latency_quantiles": rel.shipping_latency_quantiles,
         "supplier_concentration_topk": rel.supplier_concentration_topk,
+        "nation_trade_flows": rel.nation_trade_flows,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2550,6 +2553,27 @@ SELECT l_partkey, n_suppliers, sum_q AS sum_qty,
     AS hhi
 FROM per_part WHERE n_suppliers >= 2
 ORDER BY hhi DESC, l_partkey ASC LIMIT 20
+"""
+
+    # operators/relational.py:nation_trade_flows — Q7 shape; revenue in
+    # exact 1/10000 units (2dp × 2dp), reported as truncated cents.
+    sqls["nation_trade_flows"] = """
+WITH flows AS (
+  SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+    CAST(CAST(l.l_extendedprice AS DECIMAL(14,2))
+         * (CAST(1 AS DECIMAL(14,2)) - CAST(l.l_discount AS DECIMAL(14,2)))
+         * 10000 AS BIGINT) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+)
+SELECT cust_nation, supp_nation, CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(SUM(rev) // 100 AS BIGINT) AS revenue_cents
+FROM flows GROUP BY 1, 2
+ORDER BY revenue_cents DESC, cust_nation, supp_nation LIMIT 25
 """
 
     sqls["clean_corpus_stats"] = _clean_corpus_sql()

@@ -545,3 +545,56 @@ def supplier_concentration_topk(
         .orderBy(F.desc("hhi"), F.asc("l_partkey"))
         .limit(k)
     )
+
+
+def nation_trade_flows(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame:
+    """Registry entry: ``(cust_nation, supp_nation, n_items,
+    revenue_cents)`` — the TPC-H Q7 "volume shipping" shape: line-item
+    revenue flowing from supplier nation to customer nation, top-k flows
+    by revenue (ties on the nation pair). The canonical two-armed
+    star join — one fact scan resolving BOTH role-playing nation
+    dimensions.
+
+    Determinism: exact DECIMAL→BIGINT revenue cents
+    (extendedprice·(1−discount) per Q7, both ≤2-dp so the product is
+    exact at 4 decimals); top-k carries a total order.
+
+    Scale notes: the fact joins orders on the order key (bucketed at
+    lake scale); customer/supplier/nation dims broadcast; the flow
+    matrix is |nations|²-bounded before the top-k.
+    """
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    orders = read_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    customer = read_table(spark, sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    supplier = read_table(spark, sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nation = read_table(spark, sf_dir, "nation", ["n_nationkey", "n_name"])
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    # revenue in exact 1/10000 currency units: price(2dp) × (1-disc)(2dp)
+    rev_fp = (
+        F.col("l_extendedprice").cast("decimal(14,2)")
+        * (F.lit(1).cast("decimal(14,2)") - F.col("l_discount").cast("decimal(14,2)"))
+        * 10000
+    ).cast("long")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cn), "c_nationkey")
+        .join(F.broadcast(sn), "s_nationkey")
+        .select("cust_nation", "supp_nation", rev_fp.alias("rev"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.expr("CAST(SUM(rev) DIV 100 AS BIGINT)").alias("revenue_cents"),
+        )
+        .orderBy(F.desc("revenue_cents"), "cust_nation", "supp_nation")
+        .limit(k)
+    )

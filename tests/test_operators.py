@@ -382,3 +382,13 @@ def test_supplier_concentration_bounds(spark, sf_dir):
         assert r["n_suppliers"] >= 2
         # HHI of n equal suppliers is 1/n ≤ hhi < 1 for n ≥ 2
         assert 1.0 / r["n_suppliers"] <= r["hhi"] < 1.0 + 1e-12
+
+
+def test_nation_trade_flows_topk(spark, sf_dir):
+    from graphdb_td2_spark.operators.relational import nation_trade_flows
+
+    rows = nation_trade_flows(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 25
+    revs = [r["revenue_cents"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    assert all(r["n_items"] > 0 for r in rows)
