@@ -115,8 +115,9 @@ from graphdb_td2_spark.operators.attribution import (
     conversion_latency_quantiles,
     ushape_attribution,
 )
-from graphdb_td2_spark.operators.anomaly import dow_daily_anomalies
+from graphdb_td2_spark.operators.anomaly import dow_daily_anomalies, winsorized_value_stats
 from graphdb_td2_spark.operators.drift import (
+    daily_count_autocorr,
     ks_value_drift,
     rolling_type_correlation,
 )
@@ -419,6 +420,10 @@ DEMOTED_TAIL = (
                                     # integer ratio family, top-k
     "nation_trade_flows",  # Q7-shaped two-armed star join — role-playing
                            # nation dims, top-k flows
+    "winsorized_value_stats",  # p1/p99 clipping audit with the exact
+                               # decomposed winsorized mean
+    "daily_count_autocorr",  # lag-1/lag-7 series memory — drift-family
+                             # companion (closed-form integer stats)
 )
 
 
@@ -599,6 +604,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_latency_quantiles": rel.shipping_latency_quantiles,
         "supplier_concentration_topk": rel.supplier_concentration_topk,
         "nation_trade_flows": rel.nation_trade_flows,
+        "winsorized_value_stats": winsorized_value_stats,
+        "daily_count_autocorr": daily_count_autocorr,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2574,6 +2581,76 @@ SELECT cust_nation, supp_nation, CAST(COUNT(*) AS BIGINT) AS n_items,
   CAST(SUM(rev) // 100 AS BIGINT) AS revenue_cents
 FROM flows GROUP BY 1, 2
 ORDER BY revenue_cents DESC, cust_nation, supp_nation LIMIT 25
+"""
+
+    # operators/anomaly.py:winsorized_value_stats — decomposed winsorized
+    # mean: exact in-range DECIMAL mass + count·bound tails.
+    sqls["winsorized_value_stats"] = """
+WITH bounds AS (
+  SELECT event_type, quantile_cont(value, 0.01) AS p01,
+         quantile_cont(value, 0.99) AS p99
+  FROM events GROUP BY event_type
+),
+tagged AS (
+  SELECT e.event_type, e.value, b.p01, b.p99,
+    (e.value < b.p01) AS lo, (e.value > b.p99) AS hi
+  FROM events e JOIN bounds b USING (event_type)
+),
+agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+    MIN(p01) AS p01, MIN(p99) AS p99,
+    CAST(SUM(CASE WHEN lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+    CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+    CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_all,
+    CAST(SUM(CASE WHEN NOT lo AND NOT hi THEN CAST(value AS DECIMAL(14,2))
+                  ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE) AS sum_mid
+  FROM tagged GROUP BY event_type
+)
+SELECT event_type, n_events, p01, p99,
+  CAST(n_lo + n_hi AS BIGINT) AS n_clipped,
+  sum_all / CAST(n_events AS DOUBLE) AS mean_raw,
+  (sum_mid + CAST(n_lo AS DOUBLE) * p01 + CAST(n_hi AS DOUBLE) * p99)
+    / CAST(n_events AS DOUBLE) AS mean_winsorized
+FROM agg ORDER BY event_type
+"""
+
+    # operators/drift.py:daily_count_autocorr — dense-axis self-join at
+    # lag 1 and 7, assortativity-style combination.
+    _ac = """
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(a.c) AS BIGINT) AS sx, CAST(SUM(b.c) AS BIGINT) AS sy,
+    CAST(SUM(a.c * b.c) AS BIGINT) AS sxy,
+    CAST(SUM(a.c * a.c) AS BIGINT) AS sxx,
+    CAST(SUM(b.c * b.c) AS BIGINT) AS syy
+  FROM dense a JOIN dense b ON b.day = a.day + INTERVAL {lag} DAY
+"""
+    _ac_sel = (
+        "SELECT CAST({lag} AS INTEGER) AS lag_days, n AS n_pairs,"
+        " (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        "  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        "        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        "    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        "          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS autocorr"
+        " FROM s{lag}"
+    )
+    sqls["daily_count_autocorr"] = f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds),
+dense AS (
+  SELECT a.day, COALESCE(d.c, 0) AS c
+  FROM axis a LEFT JOIN daily d ON d.day = a.day
+),
+s1 AS ({_ac.format(lag=1)}),
+s7 AS ({_ac.format(lag=7)})
+{_ac_sel.format(lag=1)}
+UNION ALL
+{_ac_sel.format(lag=7)}
+ORDER BY lag_days
 """
 
     sqls["clean_corpus_stats"] = _clean_corpus_sql()

@@ -100,3 +100,68 @@ def dow_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(event_type, n_events, p01, p99, n_clipped,
+    mean_raw, mean_winsorized)`` — per-type winsorization audit: clip
+    values to [p1, p99] and compare means — the robust-preprocessing
+    step a feature pipeline applies before standardization. Ordered by
+    event_type.
+
+    Determinism: exact-interpolation percentiles (parity-pinned);
+    means are exact DECIMAL sums divided once (clipped values are
+    min/max against the percentile doubles — the same IEEE ops in both
+    engines). Scale: two grouped passes (percentiles, then clip+agg
+    against the broadcast bounds).
+    """
+    events = read_table(spark, sf_dir, "events", ["event_type", "value"])
+    bounds = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("p01"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    # A direct Σ(clipped doubles) would be summation-order-dependent; the
+    # winsorized mean decomposes exactly instead: the in-range mass is an
+    # exact DECIMAL sum (≤2-dp values), the clipped tails contribute
+    # count·bound — a fixed expression over deterministic scalars.
+    tagged = events.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "value",
+        "p01",
+        "p99",
+        (F.col("value") < F.col("p01")).alias("lo"),
+        (F.col("value") > F.col("p99")).alias("hi"),
+    )
+    n = F.count(F.lit(1))
+    agg = tagged.groupBy("event_type").agg(
+        n.cast("long").alias("n_events"),
+        F.first("p01").alias("p01"),
+        F.first("p99").alias("p99"),
+        F.sum(F.col("lo").cast("long")).cast("long").alias("n_lo"),
+        F.sum(F.col("hi").cast("long")).cast("long").alias("n_hi"),
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sum_all"),
+        F.sum(
+            F.when(
+                ~F.col("lo") & ~F.col("hi"), F.col("value").cast("decimal(14,2)")
+            ).otherwise(F.lit(0).cast("decimal(14,2)"))
+        )
+        .cast("double")
+        .alias("sum_mid"),
+    )
+    nd = F.col("n_events").cast("double")
+    return agg.select(
+        "event_type",
+        "n_events",
+        "p01",
+        "p99",
+        (F.col("n_lo") + F.col("n_hi")).cast("long").alias("n_clipped"),
+        (F.col("sum_all") / nd).alias("mean_raw"),
+        (
+            (
+                F.col("sum_mid")
+                + F.col("n_lo").cast("double") * F.col("p01")
+                + F.col("n_hi").cast("double") * F.col("p99")
+            )
+            / nd
+        ).alias("mean_winsorized"),
+    ).orderBy("event_type")

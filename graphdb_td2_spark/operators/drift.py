@@ -152,3 +152,59 @@ def rolling_type_correlation(
     return stats.select(
         "day", F.col("n").alias("n_days"), corr.alias("corr")
     ).orderBy("day")
+
+
+def daily_count_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(lag_days, n_pairs, autocorr)`` — lag-1 and
+    lag-7 Pearson autocorrelation of the daily event count series (is
+    activity momentum daily or weekly-seasonal?). Ordered by lag.
+
+    Determinism: (x, y) pairs come from an exact self-join of the dense
+    daily counts at the two offsets; the five sufficient statistics are
+    exact integers and the correlation is the same fixed double
+    combination as ``degree_assortativity``. Scale: the series is the
+    bounded day axis — every stage after the daily rollup is
+    axis-sized.
+    """
+    ev = read_table(spark, sf_dir, "events", ["ts"])
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    axis = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    dense = axis.join(daily, "day", "left").select(
+        "day", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    out = None
+    for lag in (1, 7):
+        a = dense.select(F.col("day"), F.col("c").alias("x"))
+        b = dense.select(
+            (F.col("day") - F.expr(f"INTERVAL {lag} DAY")).alias("day"),
+            F.col("c").alias("y"),
+        )
+        stats = (
+            a.join(b, "day")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("x").cast("long").alias("sx"),
+                F.sum("y").cast("long").alias("sy"),
+                F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+                F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+                F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+            )
+        )
+        n_d, sx_d, sy_d = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+        sxy_d, sxx_d, syy_d = (
+            F.col(c).cast("double") for c in ("sxy", "sxx", "syy")
+        )
+        corr = (n_d * sxy_d - sx_d * sy_d) / (
+            F.sqrt(n_d * sxx_d - sx_d * sx_d) * F.sqrt(n_d * syy_d - sy_d * sy_d)
+        )
+        row = stats.select(
+            F.lit(lag).cast("int").alias("lag_days"),
+            F.col("n").alias("n_pairs"),
+            corr.alias("autocorr"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("lag_days")

@@ -35,3 +35,27 @@ def test_corpus_outliers_are_a_minority(spark, sf_dir):
     for r in rows:
         assert r["mad"] >= 0
         assert 0 <= r["n_outliers"] < r["n_events"] / 2
+
+
+def test_winsorized_mean_between_bounds(spark, sf_dir):
+    from graphdb_td2_spark.operators.anomaly import winsorized_value_stats
+
+    rows = winsorized_value_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["p01"] <= r["p99"]
+        assert r["p01"] <= r["mean_winsorized"] <= r["p99"]
+        assert r["n_clipped"] <= r["n_events"] * 0.03  # ~2% tails
+
+
+def test_autocorr_bounds(spark, sf_dir):
+    import math
+
+    from graphdb_td2_spark.operators.drift import daily_count_autocorr
+
+    rows = daily_count_autocorr(spark, sf_dir).collect()
+    assert [r["lag_days"] for r in rows] == [1, 7]
+    for r in rows:
+        assert r["n_pairs"] > 0
+        if not math.isnan(r["autocorr"]):
+            assert -1.0 - 1e-12 <= r["autocorr"] <= 1.0 + 1e-12
