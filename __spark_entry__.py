@@ -132,6 +132,7 @@ from graphdb_td2_spark.operators.timeseries import (
     running_revenue_distributed,
 )
 from graphdb_td2_spark.recs.als import als_rank1_convergence
+from graphdb_td2_spark.recs.batch import batch_recommendations_stats
 from graphdb_td2_spark.similarity.gram import gram_fixed_point, label_centroid_distances
 from graphdb_td2_spark.recs.linkpred import (
     product_jaccard_topk,
@@ -424,6 +425,9 @@ DEMOTED_TAIL = (
                                # decomposed winsorized mean
     "daily_count_autocorr",  # lag-1/lag-7 series memory — drift-family
                              # companion (closed-form integer stats)
+    "batch_recommendations_stats",  # corpus-wide offline twin of the
+                                    # /recs chain over the materialized
+                                    # co-occurrence edge model
 )
 
 
@@ -606,6 +610,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_trade_flows": rel.nation_trade_flows,
         "winsorized_value_stats": winsorized_value_stats,
         "daily_count_autocorr": daily_count_autocorr,
+        "batch_recommendations_stats": batch_recommendations_stats,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2651,6 +2656,64 @@ s7 AS ({_ac.format(lag=7)})
 UNION ALL
 {_ac_sel.format(lag=7)}
 ORDER BY lag_days
+"""
+
+    # recs/batch.py:batch_recommendations_stats — set-based try-then-
+    # fallback over the support-thresholded edge table.
+    sqls["batch_recommendations_stats"] = """
+WITH pairs AS (
+  SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id FROM lineitem
+),
+edges AS (
+  SELECT a.product_id AS pa, b.product_id AS pb, CAST(COUNT(*) AS BIGINT) AS w
+  FROM pairs a JOIN pairs b
+    ON a.order_id = b.order_id AND a.product_id < b.product_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+und AS (
+  SELECT pa, pb, w FROM edges
+  UNION ALL SELECT pb, pa, w FROM edges
+),
+owned AS (
+  SELECT DISTINCT o.o_custkey AS customer_id, l.l_partkey AS product_id
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+cand AS (
+  SELECT ow.customer_id, u.pb AS rec, CAST(SUM(u.w) AS BIGINT) AS score
+  FROM owned ow JOIN und u ON ow.product_id = u.pa
+  GROUP BY 1, 2
+),
+cand2 AS (
+  SELECT c.* FROM cand c
+  LEFT JOIN owned o ON o.customer_id = c.customer_id AND o.product_id = c.rec
+  WHERE o.customer_id IS NULL
+),
+top_cf AS (
+  SELECT customer_id, rec AS cf_product FROM (
+    SELECT customer_id, rec,
+      row_number() OVER (PARTITION BY customer_id
+                         ORDER BY score DESC, rec ASC) AS rn
+    FROM cand2
+  ) WHERE rn = 1
+),
+best AS (
+  SELECT product_id AS global_product FROM (
+    SELECT product_id, COUNT(*) AS n_buyers FROM owned GROUP BY product_id
+  ) ORDER BY n_buyers DESC, product_id ASC LIMIT 1
+),
+recs AS (
+  SELECT c.c_custkey AS customer_id,
+    COALESCE(t.cf_product, b.global_product) AS product_id,
+    CASE WHEN t.cf_product IS NOT NULL THEN 'cooccurrence'
+         ELSE 'global_fallback' END AS strategy
+  FROM customer c
+  LEFT JOIN top_cf t ON t.customer_id = c.c_custkey
+  CROSS JOIN best b
+)
+SELECT strategy, CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(product_id) AS BIGINT) AS product_id_sum,
+  CAST(COUNT(DISTINCT product_id) AS BIGINT) AS n_distinct_products
+FROM recs GROUP BY strategy ORDER BY strategy
 """
 
     sqls["clean_corpus_stats"] = _clean_corpus_sql()
