@@ -109,7 +109,7 @@ from graphdb_td2_spark.operators.activity import (
     user_event_bitmaps,
 )
 from graphdb_td2_spark.graph.lpa import community_modularity
-from graphdb_td2_spark.recs.trending import abc_product_classes
+from graphdb_td2_spark.recs.trending import abc_product_classes, weekly_product_movers
 from graphdb_td2_spark.operators.timeseries import value_trend_by_type
 from graphdb_td2_spark.operators.attribution import (
     conversion_latency_quantiles,
@@ -130,6 +130,7 @@ from graphdb_td2_spark.operators.cdc import scd2_customer_history
 from graphdb_td2_spark.operators.timeseries import (
     interpolated_daily_value,
     running_revenue_distributed,
+    smoothed_daily_revenue,
 )
 from graphdb_td2_spark.recs.als import als_rank1_convergence
 from graphdb_td2_spark.recs.batch import batch_recommendations_stats
@@ -428,6 +429,10 @@ DEMOTED_TAIL = (
     "batch_recommendations_stats",  # corpus-wide offline twin of the
                                     # /recs chain over the materialized
                                     # co-occurrence edge model
+    "smoothed_daily_revenue",  # EWMA as a fixed FIR kernel — windowed,
+                               # not recursive (timeseries family)
+    "weekly_product_movers",  # week-over-week growth screen — trending-
+                              # family variant
 )
 
 
@@ -611,6 +616,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_value_stats": winsorized_value_stats,
         "daily_count_autocorr": daily_count_autocorr,
         "batch_recommendations_stats": batch_recommendations_stats,
+        "smoothed_daily_revenue": smoothed_daily_revenue,
+        "weekly_product_movers": weekly_product_movers,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2714,6 +2721,59 @@ SELECT strategy, CAST(COUNT(*) AS BIGINT) AS n_customers,
   CAST(SUM(product_id) AS BIGINT) AS product_id_sum,
   CAST(COUNT(DISTINCT product_id) AS BIGINT) AS n_distinct_products
 FROM recs GROUP BY strategy ORDER BY strategy
+"""
+
+    # operators/timeseries.py:smoothed_daily_revenue — 8-tap power-of-two
+    # FIR kernel, flooring division on non-negative operands.
+    sqls["smoothed_daily_revenue"] = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds),
+dense AS (
+  SELECT a.day, COALESCE(d.cents, 0) AS cents
+  FROM axis a LEFT JOIN daily d ON d.day = a.day
+)
+SELECT day, CAST(cents AS BIGINT) AS cents,
+  CAST((COALESCE(lag(cents, 0) OVER w, 0) * 128 + COALESCE(lag(cents, 1) OVER w, 0) * 64 + COALESCE(lag(cents, 2) OVER w, 0) * 32 + COALESCE(lag(cents, 3) OVER w, 0) * 16 + COALESCE(lag(cents, 4) OVER w, 0) * 8 + COALESCE(lag(cents, 5) OVER w, 0) * 4 + COALESCE(lag(cents, 6) OVER w, 0) * 2 + COALESCE(lag(cents, 7) OVER w, 0) * 1)
+       // (CASE WHEN lag(cents, 0) OVER w IS NOT NULL THEN 128 ELSE 0 END + CASE WHEN lag(cents, 1) OVER w IS NOT NULL THEN 64 ELSE 0 END + CASE WHEN lag(cents, 2) OVER w IS NOT NULL THEN 32 ELSE 0 END + CASE WHEN lag(cents, 3) OVER w IS NOT NULL THEN 16 ELSE 0 END + CASE WHEN lag(cents, 4) OVER w IS NOT NULL THEN 8 ELSE 0 END + CASE WHEN lag(cents, 5) OVER w IS NOT NULL THEN 4 ELSE 0 END + CASE WHEN lag(cents, 6) OVER w IS NOT NULL THEN 2 ELSE 0 END + CASE WHEN lag(cents, 7) OVER w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS smoothed_cents
+FROM dense
+WINDOW w AS (ORDER BY day)
+ORDER BY day
+"""
+
+    # recs/trending.py:weekly_product_movers — last-full-week anchor from
+    # the corpus itself; two-week conditional alignment, top-k by |growth|.
+    sqls["weekly_product_movers"] = """
+WITH weekly AS (
+  SELECT l_partkey, date_trunc('week', l_shipdate) AS week FROM lineitem
+),
+anchor AS (
+  SELECT date_trunc('week', MAX(week) - INTERVAL 7 DAY) AS last_full
+  FROM weekly
+),
+tagged AS (
+  SELECT w.l_partkey,
+    CASE WHEN w.week = a.last_full THEN 1
+         WHEN w.week = a.last_full - INTERVAL 7 DAY THEN 0 END AS bucket
+  FROM weekly w CROSS JOIN anchor a
+  WHERE w.week = a.last_full OR w.week = a.last_full - INTERVAL 7 DAY
+),
+counts AS (
+  SELECT l_partkey,
+    CAST(SUM(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS prev_week_items,
+    CAST(SUM(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS last_week_items
+  FROM tagged GROUP BY l_partkey
+)
+SELECT l_partkey, prev_week_items, last_week_items,
+  CAST(last_week_items - prev_week_items AS BIGINT) AS growth
+FROM counts
+ORDER BY abs(last_week_items - prev_week_items) DESC, l_partkey ASC LIMIT 20
 """
 
     sqls["clean_corpus_stats"] = _clean_corpus_sql()

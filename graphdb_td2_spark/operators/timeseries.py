@@ -248,3 +248,57 @@ def running_revenue_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+EWMA_LAGS = 8  # kernel length; weights 2^(EWMA_LAGS-1) ... 2^0
+
+
+def smoothed_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(day, cents, smoothed_cents)`` — the daily order
+    revenue series convolved with a truncated exponential kernel
+    (weights 2⁷…2⁰ over the trailing 8 days, integer DIV by the weight
+    mass actually present) — the EWMA control-chart line computed as a
+    FIXED FIR filter, so it is windowed (parallel, replayable) instead
+    of recursive (sequential, state-carrying). Ordered by day.
+
+    Determinism: pure integer arithmetic — power-of-two weights, one
+    flooring division per row (operands non-negative, so Spark's DIV
+    and DuckDB's // agree); partial windows at the series head use
+    exactly the weights present (no padding bias). Scale: dense
+    day-axis lags after one partial-agged rollup.
+    """
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    daily = (
+        orders.select(
+            F.date_trunc("day", "o_orderdate").alias("day"),
+            F.col("o_totalprice").cast("decimal(14,2)").alias("p"),
+        )
+        .groupBy("day")
+        .agg((F.sum("p") * 100).cast("long").alias("cents"))
+    )
+    axis = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    dense = axis.join(daily, "day", "left").select(
+        "day", F.coalesce("cents", F.lit(0)).cast("long").alias("cents")
+    )
+    ow = Window.orderBy("day")
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for j in range(EWMA_LAGS):
+        weight = 1 << (EWMA_LAGS - 1 - j)
+        c = F.lag("cents", j).over(ow)
+        num = num + F.coalesce(c, F.lit(0)) * F.lit(weight)
+        den = den + F.when(c.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
+    return (
+        dense.withColumn("num_", num.cast("long"))
+        .withColumn("den_", den.cast("long"))
+        .select(
+            "day",
+            "cents",
+            F.expr("CAST(num_ DIV den_ AS BIGINT)").alias("smoothed_cents"),
+        )
+        .orderBy("day")
+    )

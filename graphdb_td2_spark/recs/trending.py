@@ -110,3 +110,56 @@ def abc_product_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+def weekly_product_movers(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Registry entry: ``(l_partkey, prev_week_items, last_week_items,
+    growth)`` — the ``k`` products with the largest absolute item-count
+    change between the corpus's LAST full week and the week before — the
+    "movers" screen a merchandising dashboard leads with. Ties break on
+    partkey; growth is an exact integer difference.
+
+    Deterministic week anchoring: weeks are UTC-Monday buckets; the
+    "last" week is the maximum COMPLETE week (max ship-date week is
+    excluded if the corpus ends mid-week — computed from the max date's
+    own truncation, no wall-clock). Scale: one (product, week) rollup,
+    a 1-row anchor broadcast, and a two-week self-alignment via
+    conditional aggregation (no join).
+    """
+    items = read_table(spark, sf_dir, "lineitem", ["l_partkey", "l_shipdate"])
+    weekly = items.select(
+        "l_partkey", F.date_trunc("week", "l_shipdate").alias("week")
+    )
+    anchor = weekly.agg(
+        F.date_trunc("week", F.max(F.col("week")) - F.expr("INTERVAL 7 DAY")).alias(
+            "last_full"
+        )
+    )
+    tagged = weekly.crossJoin(F.broadcast(anchor)).select(
+        "l_partkey",
+        F.when(F.col("week") == F.col("last_full"), F.lit(1))
+        .when(
+            F.col("week") == F.col("last_full") - F.expr("INTERVAL 7 DAY"), F.lit(0)
+        )
+        .alias("bucket"),
+    ).filter(F.col("bucket").isNotNull())
+    counts = tagged.groupBy("l_partkey").agg(
+        F.sum(F.when(F.col("bucket") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("prev_week_items"),
+        F.sum(F.when(F.col("bucket") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("last_week_items"),
+    )
+    return (
+        counts.select(
+            "l_partkey",
+            "prev_week_items",
+            "last_week_items",
+            (F.col("last_week_items") - F.col("prev_week_items"))
+            .cast("long")
+            .alias("growth"),
+        )
+        .orderBy(F.desc(F.abs(F.col("growth"))), F.asc("l_partkey"))
+        .limit(k)
+    )

@@ -115,3 +115,27 @@ def test_channel_cohort_week0_is_full(spark, sf_dir):
         if r["week_offset"] == 0:
             assert r["retention"] == 1.0
         assert 0 < r["retention"] <= 1.0 or r["week_offset"] > 0
+
+
+def test_smoothed_daily_revenue_kernel(spark, sf_dir):
+    from graphdb_td2_spark.operators.timeseries import smoothed_daily_revenue
+
+    rows = smoothed_daily_revenue(spark, sf_dir).collect()
+    assert rows
+    # day 1 has only its own tap → smoothed == raw
+    assert rows[0]["smoothed_cents"] == rows[0]["cents"]
+    # smoothing stays within the window's min/max envelope
+    for i, r in enumerate(rows):
+        window = [x["cents"] for x in rows[max(0, i - 7): i + 1]]
+        assert min(window) <= r["smoothed_cents"] <= max(window)
+
+
+def test_weekly_movers_shape(spark, sf_dir):
+    from graphdb_td2_spark.recs.trending import weekly_product_movers
+
+    rows = weekly_product_movers(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    growths = [abs(r["growth"]) for r in rows]
+    assert growths == sorted(growths, reverse=True)
+    for r in rows:
+        assert r["growth"] == r["last_week_items"] - r["prev_week_items"]
