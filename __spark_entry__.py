@@ -433,6 +433,8 @@ DEMOTED_TAIL = (
                                # not recursive (timeseries family)
     "weekly_product_movers",  # week-over-week growth screen — trending-
                               # family variant
+    "script_profile",  # character-class composition — text-quality
+                       # family screen (mojibake/markup floods)
 )
 
 
@@ -618,6 +620,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_recommendations_stats": batch_recommendations_stats,
         "smoothed_daily_revenue": smoothed_daily_revenue,
         "weekly_product_movers": weekly_product_movers,
+        "script_profile": text.script_profile,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2774,6 +2777,24 @@ SELECT l_partkey, prev_week_items, last_week_items,
   CAST(last_week_items - prev_week_items AS BIGINT) AS growth
 FROM counts
 ORDER BY abs(last_week_items - prev_week_items) DESC, l_partkey ASC LIMIT 20
+"""
+
+    # functions/text.py:script_profile — POSIX-class counts; n_other is
+    # the exact remainder so the classes partition n_chars.
+    sqls["script_profile"] = """
+WITH per_doc AS (
+  SELECT source, CAST(length(text) AS BIGINT) AS c,
+    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS l,
+    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS d,
+    CAST(len(regexp_extract_all(text, '[ \t\n\r]')) AS BIGINT) AS s,
+    CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]-]')) AS BIGINT) AS p
+  FROM documents
+)
+SELECT source, CAST(SUM(c) AS BIGINT) AS n_chars,
+  CAST(SUM(l) AS BIGINT) AS n_letter, CAST(SUM(d) AS BIGINT) AS n_digit,
+  CAST(SUM(s) AS BIGINT) AS n_space, CAST(SUM(p) AS BIGINT) AS n_punct,
+  CAST(SUM(c) - SUM(l) - SUM(d) - SUM(s) - SUM(p) AS BIGINT) AS n_other
+FROM per_doc GROUP BY source ORDER BY source
 """
 
     sqls["clean_corpus_stats"] = _clean_corpus_sql()

@@ -451,3 +451,41 @@ def readability_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "n_docs", "n_words", "n_sentences", "n_syllables",
         flesch.alias("flesch"),
     ).orderBy("source")
+
+
+def script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(source, n_chars, n_letter, n_digit, n_space,
+    n_punct, n_other)`` — character-class composition per source (the
+    multilingual-corpus screen that catches mojibake, binary spill, and
+    markup floods before tokenization). Ordered by source.
+
+    Determinism: five exact ``regexp_extract_all`` counts over POSIX
+    classes both engines implement identically; ``n_other`` is the
+    arithmetic remainder, so the six counts partition ``n_chars``
+    exactly (the test pins the identity). Scale: codegen'd per-row
+    regex into one partial-agged rollup.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["source", "text"])
+    cls = lambda pat: F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)).cast("long")  # noqa: E731
+    per_doc = docs.select(
+        "source",
+        F.length("text").cast("long").alias("c"),
+        cls(r"[A-Za-z]").alias("l"),
+        cls(r"[0-9]").alias("d"),
+        cls(r"[ \t\n\r]").alias("s"),
+        cls(r"[.,;:!?'\"()\[\]-]").alias("p"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_chars"),
+            F.sum("l").cast("long").alias("n_letter"),
+            F.sum("d").cast("long").alias("n_digit"),
+            F.sum("s").cast("long").alias("n_space"),
+            F.sum("p").cast("long").alias("n_punct"),
+            (F.sum("c") - F.sum("l") - F.sum("d") - F.sum("s") - F.sum("p"))
+            .cast("long")
+            .alias("n_other"),
+        )
+        .orderBy("source")
+    )

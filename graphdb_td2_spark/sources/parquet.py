@@ -137,3 +137,43 @@ def safe_read_table(
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All ten corpus tables as lazy DataFrames keyed by name."""
     return {name: read_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column drift between each corpus table's EXPECTED schema
+    (schemas.CORPUS) and what the parquet footers actually serve — the
+    report that would have caught the round-5 corpus regeneration
+    (TIMESTAMP(NANOS) → tz-naive micros) BEFORE queries broke:
+    ``(table, column, expected, actual, status)`` with status in
+    ok / normalized (the reader reconciles it) / type_drift / missing /
+    unexpected. Driver-side footer metadata only — no data read.
+    """
+    from ..schemas import CORPUS
+
+    rows = []
+    for name, expected in CORPUS.items():
+        try:
+            actual = dict(
+                spark.read.parquet(table_path(sf_dir, name)).dtypes
+            )
+        except Exception:
+            for field in expected.fields:
+                rows.append((name, field.name, field.dataType.simpleString(), None, "missing_table"))
+            continue
+        for field in expected.fields:
+            want = field.dataType.simpleString()
+            got = actual.pop(field.name, None)
+            if got is None:
+                status = "missing"
+            elif got == want:
+                status = "ok"
+            elif want == "timestamp" and got in ("timestamp_ntz", "date", "bigint"):
+                status = "normalized"  # read_table reconciles these
+            else:
+                status = "type_drift"
+            rows.append((name, field.name, want, got, status))
+        for col, got in actual.items():
+            rows.append((name, col, None, got, "unexpected"))
+    return spark.createDataFrame(
+        rows, "table string, column string, expected string, actual string, status string"
+    ).orderBy("table", "column")

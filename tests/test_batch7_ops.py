@@ -88,3 +88,16 @@ def test_geo_rollup_shares(spark, sf_dir):
         region_share_total += rs[0]["region_share"]
         assert all(abs(r["region_share"] - rs[0]["region_share"]) < 1e-12 for r in rs)
     assert abs(region_share_total - 1.0) < 1e-9
+
+
+def test_script_profile_partitions_chars(spark, sf_dir):
+    from graphdb_td2_spark.functions.text import script_profile
+
+    rows = script_profile(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["n_letter"] + r["n_digit"] + r["n_space"] + r["n_punct"] + r["n_other"]
+            == r["n_chars"]
+        )
+        assert r["n_other"] >= 0

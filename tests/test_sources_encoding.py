@@ -69,3 +69,37 @@ def test_read_table_normalizes_date_narrowed_column(spark, tmp_path):
     assert got == {
         i + 1: dt.datetime.combine(days[i], dt.time()) for i in range(3)
     }
+
+
+def test_schema_drift_report_on_corpus_and_planted_drift(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graphdb_td2_spark.sources.parquet import schema_drift_report
+
+    rows = schema_drift_report(spark, "/root/testdata/sf0.001").collect()
+    # current corpus: every expected column present, ok or normalized
+    assert rows
+    assert all(r["status"] in ("ok", "normalized") for r in rows)
+    # planted drift: events.ts as NTZ micros (normalized), value as string
+    # (type_drift), an extra column (unexpected), props missing
+    table = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array([__import__("datetime").datetime(2024, 1, 1)], pa.timestamp("us")),
+            "user_id": pa.array([1], pa.int64()),
+            "event_type": pa.array(["x"]),
+            "value": pa.array(["oops"]),
+            "extra": pa.array([1], pa.int64()),
+        }
+    )
+    pq.write_table(table, tmp_path / "events.parquet")
+    got = {
+        (r["column"]): r["status"]
+        for r in schema_drift_report(spark, str(tmp_path)).collect()
+        if r["table"] == "events"
+    }
+    assert got["ts"] == "normalized"
+    assert got["value"] == "type_drift"
+    assert got["extra"] == "unexpected"
+    assert got["props"] == "missing"
