@@ -134,7 +134,11 @@ from graphdb_td2_spark.operators.timeseries import (
 )
 from graphdb_td2_spark.recs.als import als_rank1_convergence
 from graphdb_td2_spark.recs.batch import batch_recommendations_stats
-from graphdb_td2_spark.similarity.gram import gram_fixed_point, label_centroid_distances
+from graphdb_td2_spark.similarity.gram import (
+    embedding_quality_report,
+    gram_fixed_point,
+    label_centroid_distances,
+)
 from graphdb_td2_spark.recs.linkpred import (
     product_jaccard_topk,
     resource_allocation_topk,
@@ -435,6 +439,10 @@ DEMOTED_TAIL = (
                               # family variant
     "script_profile",  # character-class composition — text-quality
                        # family screen (mojibake/markup floods)
+    "brand_market_share_by_year",  # Q8-shaped six-table snowflake —
+                                   # deepest join chain, share division
+    "embedding_quality_report",  # vector-table health audit — quantized
+                                 # norms + dim/null/zero accounting
 )
 
 
@@ -621,6 +629,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smoothed_daily_revenue": smoothed_daily_revenue,
         "weekly_product_movers": weekly_product_movers,
         "script_profile": text.script_profile,
+        "brand_market_share_by_year": rel.brand_market_share_by_year,
+        "embedding_quality_report": embedding_quality_report,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -4630,6 +4640,63 @@ SELECT region, nation, revenue_cents,
   CAST(SUM(revenue_cents) OVER (PARTITION BY region) AS DOUBLE)
     / CAST(SUM(revenue_cents) OVER () AS DOUBLE) AS region_share
 FROM per_nation ORDER BY region, nation
+"""
+
+
+    # operators/relational.py:brand_market_share_by_year — Q8 shape.
+    sqls["brand_market_share_by_year"] = """
+WITH asia_custs AS (
+  SELECT c.c_custkey
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA'
+),
+flagged AS (
+  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+    CAST(CAST(l.l_extendedprice AS DECIMAL(14,2))
+         * (CAST(1 AS DECIMAL(14,2)) - CAST(l.l_discount AS DECIMAL(14,2)))
+         * 10000 AS BIGINT) AS rev,
+    CASE WHEN p.p_brand = 'Brand#1' THEN 1 ELSE 0 END AS is_brand
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN asia_custs ac ON o.o_custkey = ac.c_custkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+),
+agg AS (
+  SELECT o_year,
+    CAST(SUM(rev * is_brand) // 100 AS BIGINT) AS brand_cents,
+    CAST(SUM(rev) // 100 AS BIGINT) AS total_cents
+  FROM flagged GROUP BY o_year
+)
+SELECT o_year, brand_cents, total_cents,
+  CAST(brand_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) AS mkt_share
+FROM agg ORDER BY o_year
+"""
+
+    # similarity/gram.py:embedding_quality_report — quantized exact norms
+    # through the parity-pinned percentile; null-safe accounting.
+    sqls["embedding_quality_report"] = f"""
+WITH dim0 AS (
+  SELECT MIN(len(embedding)) AS d0 FROM embeddings WHERE embedding IS NOT NULL
+),
+q AS (
+  SELECT CASE WHEN embedding IS NULL THEN 1 ELSE 0 END AS is_null,
+    CASE WHEN embedding IS NOT NULL AND len(embedding) <> d.d0
+         THEN 1 ELSE 0 END AS dim_mismatch,
+    CASE WHEN embedding IS NOT NULL THEN
+      list_sum(list_transform({_QE}, x -> x * x))
+    END AS sqn
+  FROM embeddings CROSS JOIN dim0 d
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  CAST((SELECT d0 FROM dim0) AS BIGINT) AS n_dims,
+  CAST(SUM(dim_mismatch) AS BIGINT) AS n_dim_mismatch,
+  CAST(SUM(is_null) AS BIGINT) AS n_null_vec,
+  CAST(SUM(CASE WHEN sqn = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+  quantile_cont(sqn, 0.5) AS p50_sqnorm_fp,
+  CAST(MAX(sqn) AS BIGINT) AS max_sqnorm_fp
+FROM q
 """
 
     return sqls

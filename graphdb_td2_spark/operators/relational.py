@@ -598,3 +598,73 @@ def nation_trade_flows(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFra
         .orderBy(F.desc("revenue_cents"), "cust_nation", "supp_nation")
         .limit(k)
     )
+
+
+MKT_REGION = "ASIA"
+MKT_BRAND = "Brand#1"
+
+
+def brand_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(o_year, brand_cents, total_cents, mkt_share)``
+    — the TPC-H Q8 "national market share" shape: per order year, the
+    share of ASIA-region customer revenue carried by Brand#1 parts. The
+    deepest join chain in the registry — six tables
+    (region→nation→customer→orders→lineitem→part) — exercising
+    Catalyst's join reordering with every dimension broadcast. Ordered
+    by year.
+
+    Determinism: exact 1/10000-unit revenue fixed point (as Q7's
+    flows); the share is ONE division of int64 sums. Scale: the
+    region→nation→customer reduction happens dim-side BEFORE touching
+    facts (a semi-join-shaped broadcast), parts broadcast with the
+    brand flag riding along, one fact pass.
+    """
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_extendedprice", "l_discount"],
+    )
+    orders = read_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    customer = read_table(spark, sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = read_table(spark, sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = read_table(spark, sf_dir, "region", ["r_regionkey", "r_name"])
+    part = read_table(spark, sf_dir, "part", ["p_partkey", "p_brand"])
+    asia_custs = (
+        customer.join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == MKT_REGION)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    rev_fp = (
+        F.col("l_extendedprice").cast("decimal(14,2)")
+        * (F.lit(1).cast("decimal(14,2)") - F.col("l_discount").cast("decimal(14,2)"))
+        * 10000
+    ).cast("long")
+    flagged = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(asia_custs), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            rev_fp.alias("rev"),
+            (F.col("p_brand") == MKT_BRAND).cast("long").alias("is_brand"),
+        )
+    )
+    return (
+        flagged.groupBy("o_year")
+        .agg(
+            F.expr("CAST(SUM(rev * is_brand) DIV 100 AS BIGINT)").alias("brand_cents"),
+            F.expr("CAST(SUM(rev) DIV 100 AS BIGINT)").alias("total_cents"),
+        )
+        .select(
+            "o_year",
+            "brand_cents",
+            "total_cents",
+            (
+                F.col("brand_cents").cast("double")
+                / F.col("total_cents").cast("double")
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )

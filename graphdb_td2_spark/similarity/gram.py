@@ -152,3 +152,43 @@ def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+def embedding_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: one row ``(n_vecs, n_dims, n_dim_mismatch,
+    n_null_vec, n_zero_norm, p50_sqnorm_fp, max_sqnorm_fp)`` — the
+    embedding-table health audit an ANN pipeline gates on: dimension
+    consistency, null/zero vectors (cosine-undefined), and the quantized
+    squared-norm distribution (exact int64 norms → parity-pinned
+    percentile). One pass, one row.
+    """
+    from ..functions.vectors import quantize_embedding, sqnorm_q
+
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    dim0 = emb.filter(F.col("embedding").isNotNull()).agg(
+        F.min(F.size("embedding")).alias("d0")
+    )
+    q = emb.crossJoin(F.broadcast(dim0)).select(
+        F.col("embedding").isNull().cast("long").alias("is_null"),
+        F.when(
+            F.col("embedding").isNotNull(),
+            (F.size("embedding") != F.col("d0")).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("dim_mismatch"),
+        F.when(
+            F.col("embedding").isNotNull(),
+            sqnorm_q(quantize_embedding(F.col("embedding"))),
+        ).alias("sqn"),
+    )
+    return q.crossJoin(F.broadcast(dim0)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.first("d0").cast("long").alias("n_dims"),
+        F.sum("dim_mismatch").cast("long").alias("n_dim_mismatch"),
+        F.sum("is_null").cast("long").alias("n_null_vec"),
+        F.sum(F.coalesce((F.col("sqn") == 0).cast("long"), F.lit(0)))
+        .cast("long")
+        .alias("n_zero_norm"),
+        F.expr("percentile(sqn, 0.5)").alias("p50_sqnorm_fp"),
+        F.max("sqn").cast("long").alias("max_sqnorm_fp"),
+    )

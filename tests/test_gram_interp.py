@@ -139,3 +139,13 @@ def test_weekly_movers_shape(spark, sf_dir):
     assert growths == sorted(growths, reverse=True)
     for r in rows:
         assert r["growth"] == r["last_week_items"] - r["prev_week_items"]
+
+
+def test_embedding_quality_clean_corpus(spark, sf_dir):
+    from graphdb_td2_spark.similarity.gram import embedding_quality_report
+
+    (r,) = embedding_quality_report(spark, sf_dir).collect()
+    assert r["n_vecs"] > 0 and r["n_dims"] > 0
+    assert r["n_dim_mismatch"] == 0 and r["n_null_vec"] == 0
+    assert 0 <= r["n_zero_norm"] <= r["n_vecs"]
+    assert 0 < r["p50_sqnorm_fp"] <= r["max_sqnorm_fp"]

@@ -392,3 +392,13 @@ def test_nation_trade_flows_topk(spark, sf_dir):
     revs = [r["revenue_cents"] for r in rows]
     assert revs == sorted(revs, reverse=True)
     assert all(r["n_items"] > 0 for r in rows)
+
+
+def test_market_share_bounds(spark, sf_dir):
+    from graphdb_td2_spark.operators.relational import brand_market_share_by_year
+
+    rows = brand_market_share_by_year(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["brand_cents"] <= r["total_cents"]
+        assert 0.0 <= r["mkt_share"] <= 1.0
