@@ -119,6 +119,7 @@ from graphdb_td2_spark.operators.anomaly import dow_daily_anomalies, winsorized_
 from graphdb_td2_spark.operators.drift import (
     daily_count_autocorr,
     ks_value_drift,
+    revenue_changepoint,
     rolling_type_correlation,
 )
 from graphdb_td2_spark.graph.centrality import degree_assortativity
@@ -443,6 +444,9 @@ DEMOTED_TAIL = (
                                    # deepest join chain, share division
     "embedding_quality_report",  # vector-table health audit — quantized
                                  # norms + dim/null/zero accounting
+    "revenue_changepoint",  # two-segment least-squares split via prefix
+                            # sums — CUSUM's batch equivalent (drift
+                            # family, stump-style argmax)
 )
 
 
@@ -631,6 +635,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": text.script_profile,
         "brand_market_share_by_year": rel.brand_market_share_by_year,
         "embedding_quality_report": embedding_quality_report,
+        "revenue_changepoint": revenue_changepoint,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -4697,6 +4702,49 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
   quantile_cont(sqn, 0.5) AS p50_sqnorm_fp,
   CAST(MAX(sqn) AS BIGINT) AS max_sqnorm_fp
 FROM q
+"""
+
+
+    # operators/drift.py:revenue_changepoint — prefix-sum split scoring,
+    # stump-style (score DESC, day ASC) argmax.
+    sqls["revenue_changepoint"] = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds),
+dense AS (
+  SELECT a.day, COALESCE(d.cents, 0) AS cents
+  FROM axis a LEFT JOIN daily d ON d.day = a.day
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s
+  FROM dense
+),
+cand AS (
+  SELECT day,
+    CAST(COUNT(*) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl,
+    CAST(SUM(cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sl
+  FROM dense
+),
+scored AS (
+  SELECT day, nl, t.n - nl AS nr,
+    CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE) AS mean_left,
+    CAST(t.s - sl AS DOUBLE) / CAST(t.n - nl AS DOUBLE) AS mean_right,
+    CAST(nl AS DOUBLE) * CAST(t.n - nl AS DOUBLE)
+      / (CAST(nl AS DOUBLE) + CAST(t.n - nl AS DOUBLE))
+      * ((CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)
+          - CAST(t.s - sl AS DOUBLE) / CAST(t.n - nl AS DOUBLE))
+         * (CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)
+            - CAST(t.s - sl AS DOUBLE) / CAST(t.n - nl AS DOUBLE))) AS score
+  FROM cand CROSS JOIN tot t
+  WHERE nl < t.n
+)
+SELECT day AS split_day, nl AS n_left, nr AS n_right,
+       mean_left, mean_right, score
+FROM scored ORDER BY score DESC, day ASC LIMIT 1
 """
 
     return sqls

@@ -208,3 +208,77 @@ def daily_count_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("lag_days")
+
+
+def revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: one row ``(split_day, n_left, n_right, mean_left,
+    mean_right, score)`` — offline change-point detection on the daily
+    revenue series: the day boundary maximizing the between-segment
+    variance ``nL·nR/(nL+nR) · (meanL − meanR)²`` (the two-segment
+    least-squares split — CUSUM's batch equivalent, but windowable:
+    every candidate split is scored from PREFIX SUMS in one pass, the
+    same trick as the Gini stump).
+
+    Determinism: prefix sums of exact cents over the bounded day axis;
+    the score is a fixed double combination of int64 values with a
+    (score DESC, day ASC) total-order argmax; means are single
+    divisions.
+    """
+    orders = read_table(spark, sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    daily = (
+        orders.select(
+            F.date_trunc("day", "o_orderdate").alias("day"),
+            F.col("o_totalprice").cast("decimal(14,2)").alias("p"),
+        )
+        .groupBy("day")
+        .agg((F.sum("p") * 100).cast("long").alias("cents"))
+    )
+    axis = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    dense = axis.join(daily, "day", "left").select(
+        "day", F.coalesce("cents", F.lit(0)).cast("long").alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    tot = dense.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    cand = (
+        dense.select(
+            "day",
+            F.count(F.lit(1)).over(w).cast("long").alias("nl"),
+            F.sum("cents").over(w).cast("long").alias("sl"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("nl") < F.col("n"))
+    )
+    nl_d = F.col("nl").cast("double")
+    nr = F.col("n") - F.col("nl")
+    nr_d = nr.cast("double")
+    ml = F.col("sl").cast("double") / nl_d
+    mr = (F.col("s") - F.col("sl")).cast("double") / nr_d
+    score = nl_d * nr_d / (nl_d + nr_d) * ((ml - mr) * (ml - mr))
+    best = (
+        cand.select(
+            "day",
+            "nl",
+            nr.cast("long").alias("nr"),
+            ml.alias("mean_left"),
+            mr.alias("mean_right"),
+            score.alias("score"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("day"))),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    return best.select(
+        F.col("day").alias("split_day"),
+        F.col("nl").alias("n_left"),
+        F.col("nr").alias("n_right"),
+        "mean_left",
+        "mean_right",
+        "score",
+    )

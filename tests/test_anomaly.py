@@ -59,3 +59,25 @@ def test_autocorr_bounds(spark, sf_dir):
         assert r["n_pairs"] > 0
         if not math.isnan(r["autocorr"]):
             assert -1.0 - 1e-12 <= r["autocorr"] <= 1.0 + 1e-12
+
+
+def test_changepoint_planted_step(spark, tmp_path):
+    import datetime as dt
+
+    from graphdb_td2_spark.operators.drift import revenue_changepoint
+
+    d = tmp_path / "fx"
+    # revenue 10.00/day for days 1-10, then 50.00/day for days 11-20:
+    # best split is day 10 (left segment ends there)
+    rows = [
+        (i, 1, "O", 10.0 if i <= 10 else 50.0, dt.datetime(2024, 1, i), "1-URGENT")
+        for i in range(1, 21)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(d / "orders.parquet"))
+    (r,) = revenue_changepoint(spark, str(d)).collect()
+    assert r["split_day"].day == 10
+    assert r["mean_left"] == 1000.0 and r["mean_right"] == 5000.0
+    assert r["n_left"] == 10 and r["n_right"] == 10
