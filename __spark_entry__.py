@@ -135,6 +135,7 @@ from graphdb_td2_spark.operators.timeseries import (
 )
 from graphdb_td2_spark.recs.als import als_rank1_convergence
 from graphdb_td2_spark.recs.batch import batch_recommendations_stats
+from graphdb_td2_spark.similarity.ann import ann_recall_report
 from graphdb_td2_spark.similarity.gram import (
     embedding_quality_report,
     gram_fixed_point,
@@ -144,7 +145,11 @@ from graphdb_td2_spark.recs.linkpred import (
     product_jaccard_topk,
     resource_allocation_topk,
 )
-from graphdb_td2_spark.recs.itemsets import frequent_triples
+from graphdb_td2_spark.recs.itemsets import (
+    frequent_triples,
+    order_size_histogram,
+    repurchase_cycle_topk,
+)
 from graphdb_td2_spark.functions.hashing_tf import hashing_tf_stats
 from graphdb_td2_spark.multimodal import media_pool_resize, multimodal_feature_stats
 from graphdb_td2_spark.streaming.ivm import ivm_cooccurrence_top20
@@ -447,6 +452,12 @@ DEMOTED_TAIL = (
     "revenue_changepoint",  # two-segment least-squares split via prefix
                             # sums — CUSUM's batch equivalent (drift
                             # family, stump-style argmax)
+    "ann_recall_report",  # recall@k of IVF vs brute-force ground truth —
+                          # the ANN accuracy/cost accounting
+    "order_size_histogram",  # basket-size distribution — itemset-family
+                             # calibration histogram
+    "repurchase_cycle_topk",  # shortest median repurchase interval —
+                              # consumables detector (window+percentile)
 )
 
 
@@ -636,6 +647,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_market_share_by_year": rel.brand_market_share_by_year,
         "embedding_quality_report": embedding_quality_report,
         "revenue_changepoint": revenue_changepoint,
+        "ann_recall_report": ann_recall_report,
+        "order_size_histogram": order_size_histogram,
+        "repurchase_cycle_topk": repurchase_cycle_topk,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -4745,6 +4759,94 @@ scored AS (
 SELECT day AS split_day, nl AS n_left, nr AS n_right,
        mean_left, mean_right, score
 FROM scored ORDER BY score DESC, day ASC LIMIT 1
+"""
+
+
+    # similarity/ann.py:ann_recall_report — IVF vs brute-force recall@k,
+    # composing both existing CTE formulations.
+    sqls["ann_recall_report"] = f"""
+WITH q AS (SELECT vec_id, {_QE} AS qe FROM embeddings),
+queries_b AS (SELECT vec_id AS query_id, qe AS query_qe FROM q WHERE vec_id < 5),
+scored_b AS (
+  SELECT query_id, q.vec_id, {_cosine_sql("query_qe", "qe")} AS cosine
+  FROM q CROSS JOIN queries_b WHERE q.vec_id <> query_id
+),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM scored_b
+  ) WHERE rank <= 5
+),
+cent AS (SELECT vec_id AS cent_id, qe AS cent_qe FROM q WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, qe, cent_id AS cell FROM (
+    SELECT q.vec_id, q.qe, cent.cent_id,
+      row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY {_cosine_sql("cent.cent_qe", "q.qe")} DESC, cent.cent_id ASC
+      ) AS rn
+    FROM q CROSS JOIN cent
+  ) WHERE rn = 1
+),
+queries_i AS (
+  SELECT vec_id AS query_id, qe AS query_qe, cell FROM assigned WHERE vec_id < 5
+),
+scored_i AS (
+  SELECT query_id, assigned.vec_id AS vec_id,
+         {_cosine_sql("query_qe", "assigned.qe")} AS cosine
+  FROM assigned JOIN queries_i USING (cell)
+  WHERE assigned.vec_id <> query_id
+),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM scored_i
+  ) WHERE rank <= 5
+),
+counts AS (
+  SELECT
+    (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) FROM truth) AS n_queries,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t JOIN approx a
+       ON t.query_id = a.query_id AND t.vec_id = a.vec_id) AS n_hits
+)
+SELECT n_queries, CAST(n_truth // n_queries AS BIGINT) AS k, n_hits,
+  CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+FROM counts
+"""
+
+    # recs/itemsets.py:order_size_histogram
+    sqls["order_size_histogram"] = """
+WITH sizes AS (
+  SELECT l_orderkey, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_items
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT n_items, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM sizes GROUP BY n_items ORDER BY n_items
+"""
+
+    # recs/itemsets.py:repurchase_cycle_topk — per-(customer, product)
+    # date-gap lags, median per product, shortest-cycle top-k.
+    sqls["repurchase_cycle_topk"] = """
+WITH dated AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p,
+    date_trunc('day', o.o_orderdate) AS d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+gaps AS (
+  SELECT p, CAST(date_diff('day', lag(d) OVER w, d) AS BIGINT) AS gap
+  FROM dated
+  WINDOW w AS (PARTITION BY c, p ORDER BY d)
+)
+SELECT p AS l_partkey, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+  quantile_cont(gap, 0.5) AS p50_gap_days
+FROM gaps WHERE gap IS NOT NULL
+GROUP BY p HAVING COUNT(*) >= 2
+ORDER BY p50_gap_days ASC, l_partkey ASC LIMIT 20
 """
 
     return sqls

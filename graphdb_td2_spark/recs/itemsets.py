@@ -100,3 +100,75 @@ def frequent_triples(
         .limit(k)
         .select("item_a", "item_b", "item_c", "support")
     )
+
+
+def order_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(n_items, n_orders)`` — basket-size
+    distribution (distinct products per order), the sanity histogram the
+    whole basket-analysis tier (pairs, triples, lift) is calibrated
+    against. Ordered by n_items.
+
+    Scale: two stacked partial-agged hash aggs; output bounded by the
+    largest basket."""
+    items = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    sizes = (
+        items.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+    )
+    return (
+        sizes.groupBy("n_items")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy("n_items")
+    )
+
+
+REPURCHASE_MIN_GAPS = 2
+
+
+def repurchase_cycle_topk(
+    spark: SparkSession, sf_dir: str, k: int = 20, min_gaps: int = REPURCHASE_MIN_GAPS
+) -> DataFrame:
+    """Registry entry: ``(l_partkey, n_gaps, p50_gap_days)`` — the ``k``
+    products with the SHORTEST median repurchase interval (per-customer
+    consecutive purchase-date gaps), the consumables/replenishment
+    detector. Ties break on partkey; products with < ``min_gaps``
+    observed gaps are excluded.
+
+    Determinism: gaps are exact integer day deltas under the total
+    (customer, product, date) order; the median is the parity-pinned
+    percentile; top-k carries (p50 ASC, partkey ASC).
+
+    Scale: one (customer, product)-keyed window over the joined facts
+    (the same user-style partitioning as the window family), one
+    product rollup, TakeOrderedAndProject.
+    """
+    from pyspark.sql import Window
+
+    items = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    orders = read_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    dated = (
+        items.join(orders, items["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("l_partkey").alias("p"),
+            F.date_trunc("day", "o_orderdate").alias("d"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("c", "p").orderBy("d")
+    gaps = dated.select(
+        "p", F.datediff(F.col("d"), F.lag("d").over(w)).cast("long").alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    return (
+        gaps.groupBy("p")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.expr("percentile(gap, 0.5)").alias("p50_gap_days"),
+        )
+        .filter(F.col("n_gaps") >= min_gaps)
+        .select(F.col("p").alias("l_partkey"), "n_gaps", "p50_gap_days")
+        .orderBy(F.asc("p50_gap_days"), F.asc("l_partkey"))
+        .limit(k)
+    )

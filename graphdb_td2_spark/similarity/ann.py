@@ -320,3 +320,35 @@ def ann_topk_ivf_trained(
         centroids=centroids,
         nprobe=nprobe,
     )
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: one row ``(n_queries, k, n_hits, recall)`` —
+    recall@k of the IVF index against the brute-force ground truth over
+    the same query set: the accuracy-vs-cost accounting every ANN
+    deployment publishes next to its latency numbers. Both sides are
+    the engine's own deterministic top-k, so recall is an exact integer
+    ratio (one division).
+
+    Scale notes: reuses both existing plans; the comparison is a
+    (query, vec) equi-join of two k·|queries|-sized frames.
+    """
+    truth = ann_topk_bruteforce(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("t_vec")
+    )
+    approx = ann_topk_ivf(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("a_vec")
+    )
+    hits = truth.join(
+        approx,
+        (truth["query_id"] == approx["query_id"])
+        & (truth["t_vec"] == approx["a_vec"]),
+    )
+    nq = truth.select("query_id").distinct().count()
+    n_truth = truth.count()
+    n_hits = hits.count()
+    k = n_truth // max(nq, 1)
+    return spark.createDataFrame(
+        [(nq, k, n_hits, float(n_hits) / float(n_truth))],
+        "n_queries long, k long, n_hits long, recall double",
+    )

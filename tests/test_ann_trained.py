@@ -156,3 +156,12 @@ def test_kmeans_training_is_deterministic(spark, sf_dir):
     ]
     assert [r["cent_id"] for r in a] == list(range(8))
     assert all(len(r["cent_qe"]) == 64 for r in a)
+
+
+def test_ann_recall_report_bounds(spark, sf_dir):
+    from graphdb_td2_spark.similarity.ann import ann_recall_report
+
+    (r,) = ann_recall_report(spark, sf_dir).collect()
+    assert r["n_queries"] > 0 and r["k"] == 5
+    assert 0 <= r["n_hits"] <= r["n_queries"] * r["k"]
+    assert 0.0 <= r["recall"] <= 1.0

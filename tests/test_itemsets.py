@@ -48,3 +48,25 @@ def test_matches_bruteforce_on_corpus(spark, sf_dir):
         for r in frequent_triples(spark, sf_dir).collect()
     ]
     assert got == want
+
+
+def test_order_size_histogram_accounting(spark, sf_dir):
+    from graphdb_td2_spark.io import read_table
+    from graphdb_td2_spark.recs.itemsets import order_size_histogram
+
+    rows = order_size_histogram(spark, sf_dir).collect()
+    n_orders = (
+        read_table(spark, sf_dir, "lineitem", ["l_orderkey"]).distinct().count()
+    )
+    assert sum(r["n_orders"] for r in rows) == n_orders
+    assert all(r["n_items"] >= 1 for r in rows)
+
+
+def test_repurchase_cycle_sorted(spark, sf_dir):
+    from graphdb_td2_spark.recs.itemsets import repurchase_cycle_topk
+
+    rows = repurchase_cycle_topk(spark, sf_dir).collect()
+    assert rows
+    p50s = [r["p50_gap_days"] for r in rows]
+    assert p50s == sorted(p50s)
+    assert all(r["n_gaps"] >= 2 and r["p50_gap_days"] >= 0 for r in rows)
