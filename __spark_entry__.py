@@ -135,7 +135,7 @@ from graphdb_td2_spark.operators.timeseries import (
 )
 from graphdb_td2_spark.recs.als import als_rank1_convergence
 from graphdb_td2_spark.recs.batch import batch_recommendations_stats
-from graphdb_td2_spark.similarity.ann import ann_recall_report
+from graphdb_td2_spark.similarity.ann import ann_recall_report, ivf_cell_balance
 from graphdb_td2_spark.similarity.gram import (
     embedding_quality_report,
     gram_fixed_point,
@@ -151,7 +151,11 @@ from graphdb_td2_spark.recs.itemsets import (
     repurchase_cycle_topk,
 )
 from graphdb_td2_spark.functions.hashing_tf import hashing_tf_stats
-from graphdb_td2_spark.multimodal import media_pool_resize, multimodal_feature_stats
+from graphdb_td2_spark.multimodal import (
+    media_inventory,
+    media_pool_resize,
+    multimodal_feature_stats,
+)
 from graphdb_td2_spark.streaming.ivm import ivm_cooccurrence_top20
 from graphdb_td2_spark.streaming.dedup_stream import streaming_minhash_pairs
 from graphdb_td2_spark.streaming import (
@@ -458,6 +462,10 @@ DEMOTED_TAIL = (
                              # calibration histogram
     "repurchase_cycle_topk",  # shortest median repurchase interval —
                               # consumables detector (window+percentile)
+    "ivf_cell_balance",  # inverted-list size balance — quantizer-health
+                         # report for the ANN tier
+    "media_inventory",  # media-lake kind/size rollup over the synthesized
+                        # binary table (multimodal family)
 )
 
 
@@ -650,6 +658,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_report": ann_recall_report,
         "order_size_histogram": order_size_histogram,
         "repurchase_cycle_topk": repurchase_cycle_topk,
+        "ivf_cell_balance": ivf_cell_balance,
+        "media_inventory": media_inventory,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -4847,6 +4857,45 @@ SELECT p AS l_partkey, CAST(COUNT(*) AS BIGINT) AS n_gaps,
 FROM gaps WHERE gap IS NOT NULL
 GROUP BY p HAVING COUNT(*) >= 2
 ORDER BY p50_gap_days ASC, l_partkey ASC LIMIT 20
+"""
+
+
+    # similarity/ann.py:ivf_cell_balance — the ANN oracle's assignment
+    # CTE rolled up per cell.
+    sqls["ivf_cell_balance"] = f"""
+WITH q AS (SELECT vec_id, {_QE} AS qe FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, qe AS cent_qe FROM q WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT q.vec_id, cent.cent_id,
+      row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY {_cosine_sql("cent.cent_qe", "q.qe")} DESC, cent.cent_id ASC
+      ) AS rn
+    FROM q CROSS JOIN cent
+  ) WHERE rn = 1
+),
+counts AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM assigned GROUP BY cell
+)
+SELECT cell, n_vecs,
+  CAST(n_vecs AS DOUBLE) / CAST((SELECT SUM(n_vecs) FROM counts) AS DOUBLE)
+    AS share
+FROM counts ORDER BY cell
+"""
+
+    # multimodal.py:media_inventory — doc_id→kind cycling + octet lengths.
+    sqls["media_inventory"] = """
+WITH media AS (
+  SELECT CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+    CAST(octet_length(encode(text)) AS BIGINT) AS b
+  FROM documents
+)
+SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(SUM(b) AS BIGINT) AS total_bytes,
+  CAST(MIN(b) AS BIGINT) AS min_bytes, CAST(MAX(b) AS BIGINT) AS max_bytes
+FROM media GROUP BY kind ORDER BY kind
 """
 
     return sqls

@@ -359,3 +359,28 @@ def media_pool_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "documents", ["doc_id", "text", "source", "lang"])
     ).repartition(max(2, spark.sparkContext.defaultParallelism // 4))
     return pool_resize(media).orderBy("media_id", "pool_idx")
+
+
+def media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(kind, n_items, total_bytes, min_bytes,
+    max_bytes)`` — the media-lake inventory rollup over the synthesized
+    binary table (kind histogram + payload-size envelope), the
+    accounting a multimodal ingest job publishes per batch. Ordered by
+    kind.
+
+    Exact integers throughout (UTF-8 byte lengths); the oracle mirrors
+    the deterministic doc_id→kind cycling and octet-length arithmetic.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    media = synthesize_media(docs)
+    return (
+        media.select("kind", F.length("payload").cast("long").alias("b"))
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("b").cast("long").alias("total_bytes"),
+            F.min("b").cast("long").alias("min_bytes"),
+            F.max("b").cast("long").alias("max_bytes"),
+        )
+        .orderBy("kind")
+    )

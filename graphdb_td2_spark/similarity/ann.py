@@ -352,3 +352,36 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(nq, k, n_hits, float(n_hits) / float(n_truth))],
         "n_queries long, k long, n_hits long, recall double",
     )
+
+
+def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(cell, n_vecs, share)`` — inverted-list size
+    balance of the IVF coarse quantizer (the quantizer-health report: a
+    hot cell means probe cost concentrates and recall degrades for its
+    residents). Ordered by cell.
+
+    Exactness: assignment is the engine's deterministic quantized-cosine
+    argmax (same CTE the ANN oracle unrolls); share is one integer
+    division. Scale: the assignment scan is the index build itself; the
+    rollup is |cells|-bounded.
+    """
+    queries, corpus = _queries_and_corpus(spark, sf_dir, DEFAULT_N_QUERIES)
+    centroids = corpus.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cent_id"), F.col("qe").alias("cent_qe")
+    )
+    assigned = _assign_cells(corpus, centroids)
+    counts = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    total = counts.agg(F.sum("n_vecs").cast("long").alias("t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "cell",
+            "n_vecs",
+            (F.col("n_vecs").cast("double") / F.col("t").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy("cell")
+    )

@@ -165,3 +165,12 @@ def test_ann_recall_report_bounds(spark, sf_dir):
     assert r["n_queries"] > 0 and r["k"] == 5
     assert 0 <= r["n_hits"] <= r["n_queries"] * r["k"]
     assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_ivf_cell_balance_partition(spark, sf_dir):
+    from graphdb_td2_spark.similarity.ann import ivf_cell_balance
+
+    rows = ivf_cell_balance(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 8
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+    assert all(r["n_vecs"] > 0 for r in rows)

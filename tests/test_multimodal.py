@@ -202,3 +202,15 @@ def test_pool_resize_short_and_empty_payloads(spark):
     assert non_null_1 == {5, 10, 15}
     assert out[(1, 5)] == ord("a") and out[(1, 15)] == ord("c")
     assert all(out[(2, p)] is None for p in range(N_POOLS))
+
+
+def test_media_inventory_partitions_docs(spark, sf_dir):
+    from graphdb_td2_spark.io import read_table
+    from graphdb_td2_spark.multimodal import media_inventory
+
+    rows = media_inventory(spark, sf_dir).collect()
+    assert {r["kind"] for r in rows} == {"image", "audio", "video"}
+    n_docs = read_table(spark, sf_dir, "documents", ["doc_id"]).count()
+    assert sum(r["n_items"] for r in rows) == n_docs
+    for r in rows:
+        assert r["min_bytes"] <= r["max_bytes"] <= r["total_bytes"]
