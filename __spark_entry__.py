@@ -466,6 +466,8 @@ DEMOTED_TAIL = (
                          # report for the ANN tier
     "media_inventory",  # media-lake kind/size rollup over the synthesized
                         # binary table (multimodal family)
+    "segment_churn_rates",  # corpus-horizon lifecycle accounting per
+                            # market segment (customer-aggregate family)
 )
 
 
@@ -660,6 +662,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repurchase_cycle_topk": repurchase_cycle_topk,
         "ivf_cell_balance": ivf_cell_balance,
         "media_inventory": media_inventory,
+        "segment_churn_rates": rel.segment_churn_rates,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -4896,6 +4899,33 @@ SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_items,
   CAST(SUM(b) AS BIGINT) AS total_bytes,
   CAST(MIN(b) AS BIGINT) AS min_bytes, CAST(MAX(b) AS BIGINT) AS max_bytes
 FROM media GROUP BY kind ORDER BY kind
+"""
+
+
+    # operators/relational.py:segment_churn_rates — trailing-90-day
+    # activity buckets against the corpus horizon.
+    sqls["segment_churn_rates"] = """
+WITH last AS (
+  SELECT o_custkey, MAX(o_orderdate) AS last_order FROM orders GROUP BY o_custkey
+),
+horizon AS (SELECT MAX(o_orderdate) AS hmax FROM orders),
+tagged AS (
+  SELECT c.c_mktsegment,
+    CASE WHEN l.last_order IS NULL THEN 'never'
+         WHEN l.last_order >= h.hmax - INTERVAL 90 DAY THEN 'active'
+         ELSE 'churned' END AS state
+  FROM customer c
+  LEFT JOIN last l ON c.c_custkey = l.o_custkey
+  CROSS JOIN horizon h
+)
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(CASE WHEN state = 'active' THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+  CAST(SUM(CASE WHEN state = 'churned' THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+  CAST(SUM(CASE WHEN state = 'never' THEN 1 ELSE 0 END) AS BIGINT) AS n_never,
+  CAST(SUM(CASE WHEN state = 'churned' THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(CASE WHEN state IN ('active', 'churned') THEN 1 ELSE 0 END)
+           AS DOUBLE) AS churn_rate
+FROM tagged GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
     return sqls

@@ -668,3 +668,61 @@ def brand_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+CHURN_WINDOW_DAYS = 90
+
+
+def segment_churn_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(c_mktsegment, n_customers, n_active, n_churned,
+    n_never, churn_rate)`` — customer-lifecycle accounting per market
+    segment: active = ordered within the trailing ``CHURN_WINDOW_DAYS``
+    of the corpus horizon (the corpus max order date — no wall clock),
+    churned = ordered before that only, never = no orders at all.
+    Ordered by segment.
+
+    Determinism: the horizon is a 1-row broadcast scalar; buckets are
+    integer date comparisons; churn_rate = churned / ever-ordered, one
+    division. Scale: one per-customer max-date rollup joined to the
+    broadcast segment dim; output |segment|-bounded.
+    """
+    customer = read_table(spark, sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = read_table(spark, sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    last = orders.groupBy("o_custkey").agg(F.max("o_orderdate").alias("last_order"))
+    horizon = orders.agg(F.max("o_orderdate").alias("hmax"))
+    tagged = (
+        customer.join(last, customer["c_custkey"] == last["o_custkey"], "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "c_mktsegment",
+            F.when(F.col("last_order").isNull(), F.lit("never"))
+            .when(
+                F.col("last_order")
+                >= F.col("hmax") - F.expr(f"INTERVAL {CHURN_WINDOW_DAYS} DAY"),
+                F.lit("active"),
+            )
+            .otherwise(F.lit("churned"))
+            .alias("state"),
+        )
+    )
+    return (
+        tagged.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum((F.col("state") == "active").cast("long")).cast("long").alias("n_active"),
+            F.sum((F.col("state") == "churned").cast("long")).cast("long").alias("n_churned"),
+            F.sum((F.col("state") == "never").cast("long")).cast("long").alias("n_never"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            "n_active",
+            "n_churned",
+            "n_never",
+            (
+                F.col("n_churned").cast("double")
+                / (F.col("n_active") + F.col("n_churned")).cast("double")
+            ).alias("churn_rate"),
+        )
+        .orderBy("c_mktsegment")
+    )

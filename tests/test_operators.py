@@ -402,3 +402,13 @@ def test_market_share_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r["brand_cents"] <= r["total_cents"]
         assert 0.0 <= r["mkt_share"] <= 1.0
+
+
+def test_churn_buckets_partition(spark, sf_dir):
+    from graphdb_td2_spark.operators.relational import segment_churn_rates
+
+    rows = segment_churn_rates(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_active"] + r["n_churned"] + r["n_never"] == r["n_customers"]
+        assert 0.0 <= r["churn_rate"] <= 1.0
