@@ -468,6 +468,10 @@ DEMOTED_TAIL = (
                         # binary table (multimodal family)
     "segment_churn_rates",  # corpus-horizon lifecycle accounting per
                             # market segment (customer-aggregate family)
+    "k_anonymity_report",  # quasi-identifier group-size audit —
+                           # governance-family privacy gate
+    "blocklist_hit_stats",  # word-blocklist screening — safety pre-filter
+                            # (lexicon-hit family)
 )
 
 
@@ -663,6 +667,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cell_balance": ivf_cell_balance,
         "media_inventory": media_inventory,
         "segment_churn_rates": rel.segment_churn_rates,
+        "k_anonymity_report": governance.k_anonymity_report,
+        "blocklist_hit_stats": text.blocklist_hit_stats,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -4926,6 +4932,56 @@ SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
     / CAST(SUM(CASE WHEN state IN ('active', 'churned') THEN 1 ELSE 0 END)
            AS DOUBLE) AS churn_rate
 FROM tagged GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+    # functions/governance.py:k_anonymity_report — QI group-size audit.
+    sqls["k_anonymity_report"] = """
+WITH g_nation AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer
+  GROUP BY CAST(c_nationkey AS VARCHAR)
+),
+g_segment AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer GROUP BY c_mktsegment
+),
+g_both AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer
+  GROUP BY CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment
+)
+SELECT 'nation' AS quasi_identifier, CAST(COUNT(*) AS BIGINT) AS n_groups,
+  CAST(MIN(n) AS BIGINT) AS min_group_size,
+  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_exposed_rows
+FROM g_nation
+UNION ALL
+SELECT 'nation+segment', CAST(COUNT(*) AS BIGINT), CAST(MIN(n) AS BIGINT),
+  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+FROM g_both
+UNION ALL
+SELECT 'segment', CAST(COUNT(*) AS BIGINT), CAST(MIN(n) AS BIGINT),
+  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+FROM g_segment
+ORDER BY quasi_identifier
+"""
+
+    # functions/text.py:blocklist_hit_stats — whitespace-token membership
+    # against the inlined list (same tokenization fragment).
+    sqls["blocklist_hit_stats"] = f"""
+WITH per_doc AS (
+  SELECT source,
+    CAST(len(list_filter({_TOKS},
+         t -> t IN ('damn', 'hell', 'stupid', 'hate', 'kill'))) AS BIGINT)
+      AS hits
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+  CAST(SUM(hits) AS BIGINT) AS total_hits,
+  CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS flag_rate
+FROM per_doc GROUP BY source ORDER BY source
 """
 
     return sqls

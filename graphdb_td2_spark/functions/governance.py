@@ -103,3 +103,49 @@ def propagate_forget(
         "lineitem": lineitem,
         "events": events,
     }
+
+
+K_ANON_THRESHOLD = 5
+
+
+def k_anonymity_report(
+    spark: SparkSession, sf_dir: str, k: int = K_ANON_THRESHOLD
+) -> DataFrame:
+    """Registry entry: ``(quasi_identifier, n_groups, min_group_size,
+    n_small_groups, n_exposed_rows)`` — k-anonymity audit over the
+    customer dimension's quasi-identifier combinations (nation,
+    market segment, and their pair): groups smaller than ``k`` are
+    re-identification risks, and ``n_exposed_rows`` counts the
+    customers inside them. The privacy gate that complements the
+    right-to-be-forgotten cascade. Ordered by quasi_identifier.
+
+    Scale: one hash agg per quasi-identifier set (all partial-agged),
+    output bounded by the QI list. All exact integers.
+    """
+    customer = read_table(
+        spark, sf_dir, "customer", ["c_custkey", "c_nationkey", "c_mktsegment"]
+    )
+    qis = {
+        "nation": [F.col("c_nationkey").cast("string")],
+        "segment": [F.col("c_mktsegment")],
+        "nation+segment": [
+            F.col("c_nationkey").cast("string"),
+            F.col("c_mktsegment"),
+        ],
+    }
+    out = None
+    for name, cols in qis.items():
+        groups = customer.groupBy(
+            F.concat_ws("|", *cols).alias("g")
+        ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+        row = groups.agg(
+            F.lit(name).alias("quasi_identifier"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.min("n").cast("long").alias("min_group_size"),
+            F.sum((F.col("n") < k).cast("long")).cast("long").alias("n_small_groups"),
+            F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_exposed_rows"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("quasi_identifier")

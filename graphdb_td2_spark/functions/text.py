@@ -489,3 +489,42 @@ def script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+BLOCKLIST = ("damn", "hell", "stupid", "hate", "kill")
+
+
+def blocklist_hit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(source, n_docs, n_flagged, total_hits,
+    flag_rate)`` — word-blocklist screening per source (the cheap
+    harmful-content pre-filter that runs before any model-based safety
+    scorer; the list here is a tame stand-in exercising the plumbing).
+    Ordered by source.
+
+    Determinism: hits are exact whitespace-token membership counts
+    against the broadcast-inlined list (same ``_lex_hits`` idiom as the
+    stopword features); one division for the rate. Scale: the usual
+    token-explode-free higher-order-function scan + per-source rollup.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["source", "text"])
+    tokens = tokens_col(F.col("text"))
+    hits = _lex_hits(tokens, BLOCKLIST).cast("long")
+    per_doc = docs.select("source", hits.alias("hits"))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("hits") > 0).cast("long")).cast("long").alias("n_flagged"),
+            F.sum("hits").cast("long").alias("total_hits"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_flagged",
+            "total_hits",
+            (F.col("n_flagged").cast("double") / F.col("n_docs").cast("double")).alias(
+                "flag_rate"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -101,3 +101,14 @@ def test_script_profile_partitions_chars(spark, sf_dir):
             == r["n_chars"]
         )
         assert r["n_other"] >= 0
+
+
+def test_blocklist_accounting(spark, sf_dir):
+    from graphdb_td2_spark.functions.text import blocklist_hit_stats
+
+    rows = blocklist_hit_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_flagged"] <= r["n_docs"]
+        assert r["total_hits"] >= r["n_flagged"]
+        assert 0.0 <= r["flag_rate"] <= 1.0

@@ -45,3 +45,18 @@ def test_survivors_reference_no_seed(spark, sf_dir):
     }
     left_li = {r["l_orderkey"] for r in survivors["lineitem"].collect()}
     assert not (left_li & dead_orders)
+
+
+def test_k_anonymity_monotone_in_qi(spark, sf_dir):
+    from graphdb_td2_spark.functions.governance import k_anonymity_report
+
+    rows = {r["quasi_identifier"]: r for r in k_anonymity_report(spark, sf_dir).collect()}
+    assert set(rows) == {"nation", "segment", "nation+segment"}
+    # refining the QI can only shrink groups: the pair has at least as
+    # many groups and a min size no larger than either single QI
+    both = rows["nation+segment"]
+    for single in ("nation", "segment"):
+        assert both["n_groups"] >= rows[single]["n_groups"]
+        assert both["min_group_size"] <= rows[single]["min_group_size"]
+    for r in rows.values():
+        assert r["n_exposed_rows"] <= 5 * r["n_small_groups"]
