@@ -97,7 +97,10 @@ from graphdb_td2_spark.graph.centrality import (
 from graphdb_td2_spark.recs.trending import decayed_product_popularity
 from graphdb_td2_spark.operators.rfm import rfm_segments
 from graphdb_td2_spark.operators.anomaly import event_value_anomalies
-from graphdb_td2_spark.operators.conversion import session_conversion_stats
+from graphdb_td2_spark.operators.conversion import (
+    channel_bounce_rates,
+    session_conversion_stats,
+)
 from graphdb_td2_spark.operators.quality_checks import (
     benford_first_digit,
     orders_quality_report,
@@ -129,6 +132,7 @@ from graphdb_td2_spark.graph.triangles import (
 )
 from graphdb_td2_spark.operators.cdc import scd2_customer_history
 from graphdb_td2_spark.operators.timeseries import (
+    daily_value_bands,
     interpolated_daily_value,
     running_revenue_distributed,
     smoothed_daily_revenue,
@@ -472,6 +476,11 @@ DEMOTED_TAIL = (
                            # governance-family privacy gate
     "blocklist_hit_stats",  # word-blocklist screening — safety pre-filter
                             # (lexicon-hit family)
+    "daily_value_bands",  # per-day percentile envelope (percentile family)
+    "lang_script_crosstab",  # declared-language vs dominant-class screen
+                             # (text-quality family)
+    "channel_bounce_rates",  # single-event-session share per entry channel
+                             # (session family)
 )
 
 
@@ -669,6 +678,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_churn_rates": rel.segment_churn_rates,
         "k_anonymity_report": governance.k_anonymity_report,
         "blocklist_hit_stats": text.blocklist_hit_stats,
+        "daily_value_bands": daily_value_bands,
+        "lang_script_crosstab": text.lang_script_crosstab,
+        "channel_bounce_rates": channel_bounce_rates,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -4982,6 +4994,66 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS DOUBLE)
     / CAST(COUNT(*) AS DOUBLE) AS flag_rate
 FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+    # operators/timeseries.py:daily_value_bands
+    sqls["daily_value_bands"] = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  quantile_cont(value, 0.1) AS p10,
+  quantile_cont(value, 0.5) AS p50,
+  quantile_cont(value, 0.9) AS p90
+FROM events GROUP BY 1 ORDER BY day
+"""
+
+    # functions/text.py:lang_script_crosstab — fixed CASE argmax priority
+    # letter > digit > other.
+    sqls["lang_script_crosstab"] = """
+WITH per_doc AS (
+  SELECT lang,
+    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS nl,
+    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS nd,
+    CAST(length(text) AS BIGINT)
+      - CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT)
+      - CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS no_
+  FROM documents
+)
+SELECT lang,
+  CASE WHEN nl >= nd AND nl >= no_ THEN 'letter'
+       WHEN nd >= no_ THEN 'digit' ELSE 'other' END AS dominant_class,
+  CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM per_doc GROUP BY 1, 2 ORDER BY lang, dominant_class
+"""
+
+    # operators/conversion.py:channel_bounce_rates — sessionize CTE, entry
+    # channel by (ts, event_id) first, bounce = 1-event session.
+    sqls["channel_bounce_rates"] = """
+WITH x AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM x
+),
+sess AS (
+  SELECT user_id, session_id,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    first(event_type ORDER BY ts, event_id) AS channel
+  FROM s GROUP BY user_id, session_id
+)
+SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
+FROM sess GROUP BY channel ORDER BY channel
 """
 
     return sqls

@@ -528,3 +528,30 @@ def blocklist_hit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def lang_script_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(lang, dominant_class, n_docs)`` — cross-tab of
+    the DECLARED language column against each document's dominant
+    character class (letter / digit / other) — the consistency screen
+    that catches mislabeled or non-text rows per language. Ordered by
+    (lang, dominant_class).
+
+    Determinism: per-doc class counts are exact; the argmax is a fixed
+    CASE priority (letter > digit > other on ties). One scan, one
+    |lang|·3-bounded rollup."""
+    docs = read_table(spark, sf_dir, "documents", ["lang", "text"])
+    n_letter = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]"), 0)).cast("long")
+    n_digit = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[0-9]"), 0)).cast("long")
+    n_other = F.length("text").cast("long") - n_letter - n_digit
+    dominant = (
+        F.when((n_letter >= n_digit) & (n_letter >= n_other), F.lit("letter"))
+        .when(n_digit >= n_other, F.lit("digit"))
+        .otherwise(F.lit("other"))
+    )
+    return (
+        docs.select("lang", dominant.alias("dominant_class"))
+        .groupBy("lang", "dominant_class")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("lang", "dominant_class")
+    )

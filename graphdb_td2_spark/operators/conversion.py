@@ -63,3 +63,57 @@ def session_conversion_stats(
         )
         .orderBy("depth_bucket")
     )
+
+
+def channel_bounce_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(channel, n_sessions, n_bounces, bounce_rate)``
+    — single-event-session (bounce) share per session ENTRY channel
+    (the session's first event type) — the engagement diagnostic next
+    to the depth-bucketed conversion profile. Ordered by channel.
+
+    Determinism: sessionize's integer gap rule; the entry channel is
+    the first event under the total (ts, event_id) order; one division.
+    Scale: the same single user_id window shuffle as the session
+    family, then a (user, session) rollup and a |channel|-bounded agg.
+    """
+    from pyspark.sql import Window
+
+    events = read_table(
+        spark, sf_dir, "events", ["user_id", "ts", "event_id", "event_type"]
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    gap = micros - F.lag(micros).over(w)
+    sessions = (
+        events.withColumn(
+            "new_session",
+            F.when(
+                gap.isNull() | (gap > SESSION_GAP_MINUTES * 60 * 1_000_000),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min_by(
+                F.col("event_type"), F.struct(F.col("ts"), F.col("event_id"))
+            ).alias("channel"),
+        )
+    )
+    return (
+        sessions.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("long")).cast("long").alias("n_bounces"),
+        )
+        .select(
+            "channel",
+            "n_sessions",
+            "n_bounces",
+            (
+                F.col("n_bounces").cast("double") / F.col("n_sessions").cast("double")
+            ).alias("bounce_rate"),
+        )
+        .orderBy("channel")
+    )

@@ -302,3 +302,22 @@ def smoothed_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def daily_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(day, n_events, p10, p50, p90)`` — per-day
+    percentile envelope of event values (the anomaly-band chart the
+    daily dashboards draw around the median). Exact-interpolation
+    percentiles per day group; output bounded by the day axis. Ordered
+    by day."""
+    events = read_table(spark, sf_dir, "events", ["ts", "value"])
+    return (
+        events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.expr("percentile(value, 0.1)").alias("p10"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+        )
+        .orderBy("day")
+    )

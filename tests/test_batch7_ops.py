@@ -112,3 +112,21 @@ def test_blocklist_accounting(spark, sf_dir):
         assert 0 <= r["n_flagged"] <= r["n_docs"]
         assert r["total_hits"] >= r["n_flagged"]
         assert 0.0 <= r["flag_rate"] <= 1.0
+
+
+def test_lang_crosstab_accounting(spark, sf_dir):
+    from graphdb_td2_spark.functions.text import lang_script_crosstab
+    from graphdb_td2_spark.io import read_table
+
+    rows = lang_script_crosstab(spark, sf_dir).collect()
+    n_docs = read_table(spark, sf_dir, "documents", ["doc_id"]).count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+
+
+def test_daily_bands_ordered(spark, sf_dir):
+    from graphdb_td2_spark.operators.timeseries import daily_value_bands
+
+    rows = daily_value_bands(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["p10"] <= r["p50"] <= r["p90"]

@@ -41,3 +41,22 @@ def test_session_totals_match_sessionize(spark, sf_dir):
     conv = session_conversion_stats(spark, sf_dir).collect()
     sess = sessionize(spark, sf_dir).collect()
     assert sum(r["n_sessions"] for r in conv) == sum(r["n_sessions"] for r in sess)
+
+
+def test_bounce_rates_consistent_with_sessionize(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from graphdb_td2_spark.operators.conversion import channel_bounce_rates
+    from graphdb_td2_spark.operators.windows import sessionize
+
+    rows = channel_bounce_rates(spark, sf_dir).collect()
+    assert rows
+    total_sessions = sum(r["n_sessions"] for r in rows)
+    want = (
+        sessionize(spark, sf_dir)
+        .agg(F.sum("n_sessions").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert total_sessions == want
+    for r in rows:
+        assert 0.0 <= r["bounce_rate"] <= 1.0
