@@ -84,7 +84,10 @@ from graphdb_td2_spark.similarity import (
     ann_topk_lsh,
 )
 from graphdb_td2_spark.similarity.pq import ann_topk_ivfpq, pq_adc_topk
-from graphdb_td2_spark.operators.transitions import event_transition_matrix
+from graphdb_td2_spark.operators.transitions import (
+    event_transition_matrix,
+    event_type_affinity,
+)
 from graphdb_td2_spark.graph.walks import product_random_walks, walk_skipgram_pairs
 from graphdb_td2_spark.operators.cdc import cdc_customer_state
 from graphdb_td2_spark.dedup.substrings import repeated_ngram_stats
@@ -481,6 +484,8 @@ DEMOTED_TAIL = (
                              # (text-quality family)
     "channel_bounce_rates",  # single-event-session share per entry channel
                              # (session family)
+    "event_type_affinity",  # unordered user-set lift — companion of the
+                            # sequential transition matrix
 )
 
 
@@ -681,6 +686,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_value_bands": daily_value_bands,
         "lang_script_crosstab": text.lang_script_crosstab,
         "channel_bounce_rates": channel_bounce_rates,
+        "event_type_affinity": event_type_affinity,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -5054,6 +5060,32 @@ SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_sessions,
   CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
     / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
 FROM sess GROUP BY channel ORDER BY channel
+"""
+
+
+    # operators/transitions.py:event_type_affinity — user-set lift with
+    # the same single-expression double as top_lift_pairs.
+    sqls["event_type_affinity"] = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+n_users AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+per_type AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+    CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_both, na.n AS n_a, nb.n AS n_b,
+  (CAST(p.n_both AS DOUBLE) * CAST(u.n_users AS DOUBLE))
+    / (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)) AS lift
+FROM pairs p
+JOIN per_type na ON na.event_type = p.type_a
+JOIN per_type nb ON nb.event_type = p.type_b
+CROSS JOIN n_users u
+ORDER BY p.type_a, p.type_b
 """
 
     return sqls

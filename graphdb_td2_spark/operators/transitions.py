@@ -47,3 +47,57 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("prev_type", "next_type", "n_trans", "n_from", "p")
         .orderBy("prev_type", "next_type")
     )
+
+
+def event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(type_a, type_b, n_both, n_a, n_b, lift)`` —
+    SET-level affinity between event types: for each unordered pair,
+    the lift ``(n_both · n_users) / (n_a · n_b)`` over user sets (did
+    doing A make doing B more likely over a user's lifetime?) — the
+    unordered companion of the sequential transition matrix above.
+    Ordered by (type_a, type_b).
+
+    Determinism: distinct (user, type) sets are exact; lift is ONE
+    double expression over four exact integers with the same
+    parenthesization as the basket-level ``top_lift_pairs``. Scale: the
+    self-join is keyed on user_id with |types|-bounded per-user sides;
+    output |types|²-bounded.
+    """
+    ev = read_table(spark, sf_dir, "events", ["user_id", "event_type"])
+    ut = ev.distinct()
+    n_users = ut.select("user_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    per_type = ut.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a, b = ut.alias("a"), ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    na = per_type.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    nb = per_type.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_both").cast("double") * F.col("n_users").cast("double"))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )

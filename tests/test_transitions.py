@@ -51,3 +51,14 @@ def test_hand_computed_fixture_with_ts_ties(spark, tmp_path):
         ("b", "b"): (1, 2),
         ("b", "a"): (1, 2),
     }
+
+
+def test_type_affinity_symmetric_bounds(spark, sf_dir):
+    from graphdb_td2_spark.operators.transitions import event_type_affinity
+
+    rows = event_type_affinity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert 0 < r["n_both"] <= min(r["n_a"], r["n_b"])
+        assert r["lift"] > 0
