@@ -136,6 +136,7 @@ from graphdb_td2_spark.graph.triangles import (
 from graphdb_td2_spark.operators.cdc import scd2_customer_history
 from graphdb_td2_spark.operators.timeseries import (
     daily_value_bands,
+    diurnal_profile,
     interpolated_daily_value,
     running_revenue_distributed,
     smoothed_daily_revenue,
@@ -149,6 +150,7 @@ from graphdb_td2_spark.similarity.gram import (
     label_centroid_distances,
 )
 from graphdb_td2_spark.recs.linkpred import (
+    brand_cooccurrence_topk,
     product_jaccard_topk,
     resource_allocation_topk,
 )
@@ -486,6 +488,11 @@ DEMOTED_TAIL = (
                              # (session family)
     "event_type_affinity",  # unordered user-set lift — companion of the
                             # sequential transition matrix
+    "brand_cooccurrence_topk",  # dimension-grain cross-shopping matrix —
+                                # pair family rolled up to brands
+    "diurnal_profile",  # 24-hour folded load curve (rollup family)
+    "weighted_median_price",  # exact quantity-weighted median via the
+                              # integer-ECDF construction (no built-in)
 )
 
 
@@ -687,6 +694,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_script_crosstab": text.lang_script_crosstab,
         "channel_bounce_rates": channel_bounce_rates,
         "event_type_affinity": event_type_affinity,
+        "brand_cooccurrence_topk": brand_cooccurrence_topk,
+        "diurnal_profile": diurnal_profile,
+        "weighted_median_price": rel.weighted_median_price,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -5086,6 +5096,59 @@ JOIN per_type na ON na.event_type = p.type_a
 JOIN per_type nb ON nb.event_type = p.type_b
 CROSS JOIN n_users u
 ORDER BY p.type_a, p.type_b
+"""
+
+
+    # recs/linkpred.py:brand_cooccurrence_topk
+    sqls["brand_cooccurrence_topk"] = """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT x.b AS brand_a, y.b AS brand_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM ob x JOIN ob y ON x.o = y.o AND x.b < y.b
+GROUP BY 1, 2
+ORDER BY n_orders DESC, brand_a, brand_b LIMIT 20
+"""
+
+    # operators/timeseries.py:diurnal_profile
+    sqls["diurnal_profile"] = """
+WITH counts AS (
+  SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day,
+    CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT hour_of_day, n_events,
+  CAST(n_events AS DOUBLE)
+    / CAST((SELECT SUM(n_events) FROM counts) AS DOUBLE) AS share
+FROM counts ORDER BY hour_of_day
+"""
+
+    # operators/relational.py:weighted_median_price — integer-ECDF
+    # weighted median: first price with 2·cum ≥ total weight.
+    sqls["weighted_median_price"] = """
+WITH per_price AS (
+  SELECT l_returnflag,
+    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS price_cents,
+    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
+      AS w
+  FROM lineitem GROUP BY 1, 2
+),
+tot AS (
+  SELECT l_returnflag, CAST(SUM(w) AS BIGINT) AS total_weight
+  FROM per_price GROUP BY l_returnflag
+),
+cums AS (
+  SELECT l_returnflag, price_cents,
+    CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price_cents
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM per_price
+)
+SELECT c.l_returnflag, CAST(MIN(t.total_weight) AS BIGINT) AS total_weight,
+  CAST(MIN(c.price_cents) AS BIGINT) AS median_price_cents
+FROM cums c JOIN tot t USING (l_returnflag)
+WHERE c.cum * 2 >= t.total_weight
+GROUP BY c.l_returnflag ORDER BY c.l_returnflag
 """
 
     return sqls

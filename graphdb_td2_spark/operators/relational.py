@@ -726,3 +726,57 @@ def segment_churn_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(l_returnflag, total_weight, median_price_cents)``
+    — QUANTITY-WEIGHTED median of line-item price per return flag, a
+    statistic Spark has no built-in for: the exact integer-ECDF
+    construction (the KS/stump trick) finds the first price whose
+    doubled running weight reaches the total. Ordered by flag.
+
+    Determinism: prices and quantities are exact integer cents /
+    centiquantities; the selection predicate ``2·cum ≥ total`` is pure
+    integer comparison — no interpolation, no floats anywhere. Scale:
+    one (flag, price) rollup, a per-flag window over the distinct-price
+    axis, one row per flag out.
+    """
+    from pyspark.sql import Window
+
+    items = read_table(
+        spark, sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"]
+    )
+    per_price = (
+        items.select(
+            "l_returnflag",
+            (F.col("l_extendedprice").cast("decimal(14,2)") * 100)
+            .cast("long")
+            .alias("price_cents"),
+            (F.col("l_quantity").cast("decimal(14,2)") * 100)
+            .cast("long")
+            .alias("w"),
+        )
+        .groupBy("l_returnflag", "price_cents")
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    win = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = per_price.groupBy("l_returnflag").agg(
+        F.sum("w").cast("long").alias("total_weight")
+    )
+    cums = per_price.select(
+        "l_returnflag", "price_cents", F.sum("w").over(win).cast("long").alias("cum")
+    )
+    hits = (
+        cums.join(tot, "l_returnflag")
+        .filter(F.col("cum") * 2 >= F.col("total_weight"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.first("total_weight").cast("long").alias("total_weight"),
+            F.min("price_cents").cast("long").alias("median_price_cents"),
+        )
+    )
+    return hits.orderBy("l_returnflag")

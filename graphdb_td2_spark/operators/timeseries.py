@@ -321,3 +321,26 @@ def daily_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def diurnal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(hour_of_day, n_events, share)`` — the 24-row
+    diurnal activity curve (all days folded onto one clock), the load
+    profile capacity planning reads. Integer counts, one division.
+    Ordered by hour."""
+    events = read_table(spark, sf_dir, "events", ["ts"])
+    counts = events.groupBy(F.hour("ts").cast("int").alias("hour_of_day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    total = counts.agg(F.sum("n_events").cast("long").alias("t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "hour_of_day",
+            "n_events",
+            (F.col("n_events").cast("double") / F.col("t").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy("hour_of_day")
+    )

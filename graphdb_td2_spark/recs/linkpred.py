@@ -126,3 +126,34 @@ def resource_allocation_topk(
         .orderBy(F.desc("ra_score"), F.asc("product_a"), F.asc("product_b"))
         .limit(k)
     )
+
+
+def brand_cooccurrence_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Registry entry: ``(brand_a, brand_b, n_orders)`` — top-k BRAND
+    pairs by distinct orders containing both (the cross-shopping matrix
+    a category manager reads; the product-level pair machinery rolled
+    up to the dimension grain). Ties on the brand pair.
+
+    Scale: items map to brands via the broadcast part dim BEFORE
+    pairing, and per-order brand sets are distinct-collapsed first, so
+    the self-join blowup is bounded by |brands-per-order|², not
+    |items-per-order|².
+    """
+    items = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    part = read_table(spark, sf_dir, "part", ["p_partkey", "p_brand"])
+    ob = (
+        items.join(F.broadcast(part), items["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    x, y = ob.alias("x"), ob.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.o") == F.col("y.o")) & (F.col("x.b") < F.col("y.b")),
+        )
+        .groupBy(F.col("x.b").alias("brand_a"), F.col("y.b").alias("brand_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "brand_a", "brand_b")
+        .limit(k)
+    )

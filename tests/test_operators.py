@@ -412,3 +412,42 @@ def test_churn_buckets_partition(spark, sf_dir):
     for r in rows:
         assert r["n_active"] + r["n_churned"] + r["n_never"] == r["n_customers"]
         assert 0.0 <= r["churn_rate"] <= 1.0
+
+
+def test_weighted_median_hand_computed(spark, tmp_path):
+    import datetime as dt
+
+    from graphdb_td2_spark.operators.relational import weighted_median_price
+
+    d = tmp_path / "fx"
+    # flag N: price 1.00 weight 1, price 2.00 weight 1, price 3.00 weight 10
+    # → total 12, first price with 2·cum ≥ 12 is 3.00
+    li = [(1, 1, 1.0, 1.0), (2, 1, 1.0, 2.0), (3, 10, 10.0, 3.0)]
+    spark.createDataFrame(
+        [
+            (ok, 1, 1, 1, float(q), p, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, 1))
+            for ok, q, _, p in [(a, b, b, c) for a, b, c in [(x[0], x[1], x[3]) for x in li]]
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, l_quantity double, l_extendedprice double, l_discount double, l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(str(d / "lineitem.parquet"))
+    (r,) = weighted_median_price(spark, str(d)).collect()
+    assert r["median_price_cents"] == 300
+    assert r["total_weight"] == 1200
+
+
+def test_diurnal_shares_sum(spark, sf_dir):
+    from graphdb_td2_spark.operators.timeseries import diurnal_profile
+
+    rows = diurnal_profile(spark, sf_dir).collect()
+    assert all(0 <= r["hour_of_day"] <= 23 for r in rows)
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+
+
+def test_brand_pairs_sorted(spark, sf_dir):
+    from graphdb_td2_spark.recs.linkpred import brand_cooccurrence_topk
+
+    rows = brand_cooccurrence_topk(spark, sf_dir).collect()
+    assert rows
+    counts = [r["n_orders"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(r["brand_a"] < r["brand_b"] for r in rows)
