@@ -128,7 +128,10 @@ from graphdb_td2_spark.operators.drift import (
     revenue_changepoint,
     rolling_type_correlation,
 )
-from graphdb_td2_spark.graph.centrality import degree_assortativity
+from graphdb_td2_spark.graph.centrality import (
+    degree_assortativity,
+    rich_club_coefficients,
+)
 from graphdb_td2_spark.graph.triangles import (
     edge_support_histogram,
     ktruss_edge_counts,
@@ -493,6 +496,10 @@ DEMOTED_TAIL = (
     "diurnal_profile",  # 24-hour folded load curve (rollup family)
     "weighted_median_price",  # exact quantity-weighted median via the
                               # integer-ECDF construction (no built-in)
+    "brand_return_rates",  # return-flag complaint signal per brand
+                           # (join+ratio family)
+    "rich_club_coefficients",  # hub-interconnection density — graph-
+                               # diagnostic family
 )
 
 
@@ -697,6 +704,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_cooccurrence_topk": brand_cooccurrence_topk,
         "diurnal_profile": diurnal_profile,
         "weighted_median_price": rel.weighted_median_price,
+        "brand_return_rates": rel.brand_return_rates,
+        "rich_club_coefficients": rich_club_coefficients,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -5149,6 +5158,58 @@ SELECT c.l_returnflag, CAST(MIN(t.total_weight) AS BIGINT) AS total_weight,
 FROM cums c JOIN tot t USING (l_returnflag)
 WHERE c.cum * 2 >= t.total_weight
 GROUP BY c.l_returnflag ORDER BY c.l_returnflag
+"""
+
+
+    # operators/relational.py:brand_return_rates
+    sqls["brand_return_rates"] = """
+WITH agg AS (
+  SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_items,
+    CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_returned
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand HAVING COUNT(*) >= 100
+)
+SELECT p_brand, n_items, n_returned,
+  CAST(n_returned AS DOUBLE) / CAST(n_items AS DOUBLE) AS return_rate
+FROM agg ORDER BY return_rate DESC, p_brand LIMIT 20
+"""
+
+    # graph/centrality.py:rich_club_coefficients — per-k membership
+    # filters over the shared adjacency.
+    _rc = """
+  SELECT CAST({k} AS INTEGER) AS k,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM club{k}) AS n_nodes,
+    (SELECT CAST(COUNT(*) // 2 AS BIGINT)
+     FROM adj a JOIN club{k} c1 ON a.src = c1.src
+                JOIN club{k} c2 ON a.dst = c2.src) AS n_edges_within
+"""
+    sqls["rich_club_coefficients"] = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id FROM lineitem
+),
+adj AS MATERIALIZED (
+  SELECT DISTINCT a.product_id AS src, b.product_id AS dst
+  FROM items a JOIN items b
+    ON a.order_id = b.order_id AND a.product_id <> b.product_id
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY src),
+club8 AS (SELECT src FROM deg WHERE d > 8),
+club16 AS (SELECT src FROM deg WHERE d > 16),
+club32 AS (SELECT src FROM deg WHERE d > 32),
+rows_ AS (
+  {_rc.format(k=8)}
+  UNION ALL
+  {_rc.format(k=16)}
+  UNION ALL
+  {_rc.format(k=32)}
+)
+SELECT k, n_nodes, n_edges_within,
+  CASE WHEN n_nodes >= 2
+       THEN CAST(n_edges_within AS DOUBLE)
+            / CAST(n_nodes * (n_nodes - 1) // 2 AS DOUBLE)
+  END AS phi
+FROM rows_ ORDER BY k
 """
 
     return sqls

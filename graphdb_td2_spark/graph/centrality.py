@@ -150,3 +150,46 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         r.alias("assortativity"),
     )
+
+
+RICH_CLUB_KS = (8, 16, 32)
+
+
+def rich_club_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(k, n_nodes, n_edges_within, phi)`` — rich-club
+    coefficients of the co-purchase graph: among nodes with degree > k,
+    the realized fraction of possible undirected edges
+    ``phi = 2·E_club / (n·(n−1))`` — do the hubs preferentially trade
+    with each other? One row per k in {8, 16, 32}, ordered by k.
+
+    Determinism: exact integer degrees/edge counts, one division per k.
+    Scale: degrees once, then per k a semi-join-shaped membership filter
+    on BOTH edge endpoints (broadcast club id set) and a 1-row count —
+    no pair materialization beyond the existing adjacency.
+    """
+    adj = copurchase_adjacency(spark, sf_dir)
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    out = None
+    for k in RICH_CLUB_KS:
+        club = deg.filter(F.col("d") > k).select("src")
+        n_nodes = club.count()
+        within = (
+            adj.join(club, "src")
+            .join(club.select(F.col("src").alias("dst")), "dst")
+            .count()
+            // 2  # symmetric adjacency counts each undirected edge twice
+        )
+        denom = n_nodes * (n_nodes - 1) // 2
+        row = spark.createDataFrame(
+            [
+                (
+                    k,
+                    n_nodes,
+                    within,
+                    (float(within) / float(denom)) if denom else None,
+                )
+            ],
+            "k int, n_nodes long, n_edges_within long, phi double",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("k")

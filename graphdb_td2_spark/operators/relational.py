@@ -780,3 +780,36 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hits.orderBy("l_returnflag")
+
+
+def brand_return_rates(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Registry entry: ``(p_brand, n_items, n_returned, return_rate)`` —
+    line-item return share per brand (l_returnflag = 'R'), the
+    product-quality complaint signal, top-k by rate with (rate DESC,
+    brand) order and a minimum-volume floor of 100 items.
+
+    Integer counts + one division; broadcast part dim; |brand|-bounded
+    before the top-k."""
+    items = read_table(spark, sf_dir, "lineitem", ["l_partkey", "l_returnflag"])
+    part = read_table(spark, sf_dir, "part", ["p_partkey", "p_brand"])
+    return (
+        items.join(F.broadcast(part), items["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum((F.col("l_returnflag") == "R").cast("long"))
+            .cast("long")
+            .alias("n_returned"),
+        )
+        .filter(F.col("n_items") >= 100)
+        .select(
+            "p_brand",
+            "n_items",
+            "n_returned",
+            (
+                F.col("n_returned").cast("double") / F.col("n_items").cast("double")
+            ).alias("return_rate"),
+        )
+        .orderBy(F.desc("return_rate"), "p_brand")
+        .limit(k)
+    )

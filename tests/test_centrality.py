@@ -67,3 +67,16 @@ def test_harmonic_path_graph_fixture(spark, tmp_path):
     corpus = harmonic_centrality_top20(spark, "/root/testdata/sf0.001").collect()
     for r in corpus:
         assert 3 * r["n_reached"] <= r["harmonic_fp"] <= HARMONIC_LCM * r["n_reached"]
+
+
+def test_rich_club_monotone_membership(spark, sf_dir):
+    from graphdb_td2_spark.graph.centrality import rich_club_coefficients
+
+    rows = {r["k"]: r for r in rich_club_coefficients(spark, sf_dir).collect()}
+    assert set(rows) == {8, 16, 32}
+    # raising k shrinks the club and its internal edge count
+    assert rows[8]["n_nodes"] >= rows[16]["n_nodes"] >= rows[32]["n_nodes"]
+    assert rows[8]["n_edges_within"] >= rows[16]["n_edges_within"]
+    for r in rows.values():
+        if r["phi"] is not None:
+            assert 0.0 <= r["phi"] <= 1.0

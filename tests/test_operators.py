@@ -451,3 +451,15 @@ def test_brand_pairs_sorted(spark, sf_dir):
     counts = [r["n_orders"] for r in rows]
     assert counts == sorted(counts, reverse=True)
     assert all(r["brand_a"] < r["brand_b"] for r in rows)
+
+
+def test_brand_return_rates_bounds(spark, sf_dir):
+    from graphdb_td2_spark.operators.relational import brand_return_rates
+
+    rows = brand_return_rates(spark, sf_dir).collect()
+    assert rows
+    rates = [r["return_rate"] for r in rows]
+    assert rates == sorted(rates, reverse=True)
+    for r in rows:
+        assert r["n_items"] >= 100
+        assert 0.0 <= r["return_rate"] <= 1.0
