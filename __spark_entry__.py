@@ -2866,7 +2866,7 @@ ORDER BY abs(last_week_items - prev_week_items) DESC, l_partkey ASC LIMIT 20
 
     # functions/text.py:script_profile — POSIX-class counts; n_other is
     # the exact remainder so the classes partition n_chars.
-    sqls["script_profile"] = """
+    sqls["script_profile"] = r"""
 WITH per_doc AS (
   SELECT source, CAST(length(text) AS BIGINT) AS c,
     CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS l,

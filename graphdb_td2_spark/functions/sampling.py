@@ -220,12 +220,17 @@ def negative_sample_stats(
         .distinct()
     )
     parts = read_table(spark, sf_dir, "part", ["p_partkey"])
-    from pyspark.sql import Window
+    from ..operators.prefix import bucketed_row_number
 
-    pidx = parts.select(
-        (F.row_number().over(Window.orderBy("p_partkey")) - 1).alias("idx"),
-        F.col("p_partkey"),
-    )
+    # Dense 0-based product index via two-phase row numbering (key-range
+    # buckets, operators/prefix.py) — no single-partition window over
+    # the part dimension.
+    pidx = bucketed_row_number(
+        parts,
+        bucket=F.floor(F.col("p_partkey") / 10_000),
+        order=[F.col("p_partkey").asc()],
+        out="rn",
+    ).select((F.col("rn") - 1).alias("idx"), F.col("p_partkey"))
     n_parts = parts.agg(F.count(F.lit(1)).alias("n_parts"))
     cand = (
         inter.select("c")

@@ -108,7 +108,7 @@ def gini_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluate splits — pre-binned feature histograms, not sorts of raw
     rows.
     """
-    from pyspark.sql import Window
+    from ..operators.prefix import bucketed_cumsum
 
     ev = read_table(spark, sf_dir, "events", ["event_type", "value"])
     per_v = (
@@ -122,16 +122,20 @@ def gini_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("pos").cast("long").alias("pos_v"),
         )
     )
-    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
     tot = per_v.agg(
         F.sum("n_v").cast("long").alias("n"), F.sum("pos_v").cast("long").alias("pos")
     )
+    # Two-phase prefix sum over the cent axis (whole-currency buckets
+    # are monotone in cents) — no single-partition window even when the
+    # distinct-value histogram is itself huge (operators/prefix.py).
     cand = (
-        per_v.select(
-            "cents",
-            F.sum("n_v").over(w).cast("long").alias("nl"),
-            F.sum("pos_v").over(w).cast("long").alias("posl"),
+        bucketed_cumsum(
+            per_v,
+            bucket=F.floor(F.col("cents") / 100),
+            order=[F.col("cents").asc()],
+            sums={"nl": "n_v", "posl": "pos_v"},
         )
+        .select("cents", "nl", "posl")
         .crossJoin(F.broadcast(tot))
         .filter(F.col("nl") < F.col("n"))  # right side non-empty
     )
@@ -153,12 +157,9 @@ def gini_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_gini"
         ),
     )
-    best = scored.select(
-        "*",
-        F.row_number()
-        .over(Window.orderBy(F.asc("weighted_gini"), F.asc("cents")))
-        .alias("rk"),
-    ).filter(F.col("rk") == 1)
+    # argmin via top-1 sort-limit (TakeOrderedAndProject — distributed
+    # per-partition top-k then a k-row driver merge, no global window).
+    best = scored.orderBy(F.asc("weighted_gini"), F.asc("cents")).limit(1)
     return best.select(
         F.col("cents").alias("threshold_cents"),
         F.col("nl").alias("n_left"),

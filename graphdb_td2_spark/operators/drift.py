@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..io import read_table
+from .prefix import bucketed_cumsum
 
 
 def ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -47,11 +48,15 @@ def ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("rn") == 1).cast("long")).alias("a_cnt"),
         F.sum((F.col("rn") == 2).cast("long")).alias("b_cnt"),
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    cums = per_value.select(
-        F.sum("a_cnt").over(w).alias("cum_a"),
-        F.sum("b_cnt").over(w).alias("cum_b"),
-    )
+    # Two-phase prefix sum: floor(value) buckets are monotone in the
+    # value order, so the ECDF never funnels through one partition
+    # (operators/prefix.py; bit-identical to the naive global window).
+    cums = bucketed_cumsum(
+        per_value,
+        bucket=F.floor("value"),
+        order=[F.col("value").asc()],
+        sums={"cum_a": "a_cnt", "cum_b": "b_cnt"},
+    ).select("cum_a", "cum_b")
     totals = per_value.agg(
         F.sum("a_cnt").cast("long").alias("n_a"),
         F.sum("b_cnt").cast("long").alias("n_b"),

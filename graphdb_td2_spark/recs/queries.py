@@ -387,9 +387,12 @@ def top_lift_pairs(
     )
     na = per_prod.select(F.col("product_id").alias("product_a"), F.col("n_p").alias("n_a"))
     nb = per_prod.select(F.col("product_id").alias("product_b"), F.col("n_p").alias("n_b"))
+    # na/nb are |product|-sized: no broadcast hint — at 100x the part
+    # dimension a forced broadcast is an executor-memory risk; AQE picks
+    # broadcast on its own whenever the side actually fits.
     return (
-        pair_counts.join(F.broadcast(na), "product_a")
-        .join(F.broadcast(nb), "product_b")
+        pair_counts.join(na, "product_a")
+        .join(nb, "product_b")
         .crossJoin(F.broadcast(n_baskets))
         .select(
             "product_a",

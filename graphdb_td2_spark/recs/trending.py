@@ -76,7 +76,7 @@ def abc_product_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the PRODUCT dimension only — |part| rows, the same bounded-axis
     argument as the day-spine operators. Output is 3 rows.
     """
-    from pyspark.sql import Window
+    from ..operators.prefix import bucketed_cumsum
 
     items = read_table(spark, sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
     rev = (
@@ -87,12 +87,19 @@ def abc_product_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg((F.sum("p") * 100).cast("long").alias("cents"))
     )
-    w = Window.orderBy(F.desc("cents"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
     tot = rev.agg(F.sum("cents").cast("long").alias("total"))
+    # Two-phase prefix sum over (cents DESC, partkey): $10k revenue
+    # buckets are monotone non-increasing along the descending cents
+    # order, and cent-ties share a bucket, so the Pareto running sum
+    # never funnels through one partition (operators/prefix.py).
     classed = (
-        rev.withColumn("cum", F.sum("cents").over(w).cast("long"))
+        bucketed_cumsum(
+            rev,
+            bucket=F.floor(F.col("cents") / 1_000_000),
+            order=[F.desc("cents"), F.asc("l_partkey")],
+            sums={"cum": "cents"},
+            bucket_desc=True,
+        )
         .crossJoin(F.broadcast(tot))
         .select(
             F.when(F.col("cum") * 100 <= F.col("total") * 80, F.lit("A"))

@@ -283,3 +283,51 @@ def test_clean_corpus_funnel_broadcasts_drop_lists(spark):
     plan = _plan(spark, "clean_corpus_stats")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# -- two-phase prefix sums (operators/prefix.py) ------------------------
+# The ECDF/rank family must never funnel its value/dimension axis
+# through a single-partition window: the only unpartitioned windows
+# allowed are over the |buckets|-row offset table (ordered by
+# __pfx_bucket), never directly by the raw axis column.
+
+_UNPARTITIONED_AXIS_WINDOW = (
+    r"windowspecdefinition\((value|cents|l_partkey|p_partkey)#\d+"
+)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ks_value_drift",
+        "gini_stump_train",
+        "abc_product_classes",
+        "negative_sample_stats",
+    ],
+)
+def test_prefix_family_no_single_partition_axis_window(spark, name):
+    import re
+
+    plan = _plan(spark, name)
+    assert "__pfx_bucket" in plan  # two-phase path actually taken
+    assert not re.search(_UNPARTITIONED_AXIS_WINDOW, plan)
+
+
+def test_gini_argmin_is_topk_not_global_window(spark):
+    plan = _plan(spark, "gini_stump_train")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_top_lift_pairs_no_forced_product_broadcast(spark):
+    # the |product|-sized count tables must not carry a forced broadcast
+    # hint; at sf0.001 AQE/Catalyst may still choose broadcast (fine) —
+    # what we pin is the logical plan carrying no hint, via the absence
+    # of a ResolvedHint surviving to the optimized plan with both
+    # count-side joins present, and no cartesian anywhere.
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["top_lift_pairs"](spark, SF_DIR)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("ResolvedHint") == 0
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in physical
