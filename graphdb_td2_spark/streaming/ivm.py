@@ -246,6 +246,84 @@ def _touched(df: DataFrame) -> list[int]:
     return sorted(r[0] for r in df.select("bucket").distinct().collect())
 
 
+# -- in-memory state cache (replay-speed optimization, never a
+# correctness dependency) -----------------------------------------------
+#
+# Each micro-batch's jobs scan the accumulated state several times (the
+# dedup anti-join, the cross-batch pair join, and the items rewrite all
+# consume it); without a cache every scan re-reads the state parquet.
+# The cache holds each part's FULL state for the committed version as
+# one persisted (memory-and-disk) DataFrame whose lineage is a flat
+# multi-path parquet scan of the manifest's bucket dirs — nothing ever
+# references a foreachBatch frame past its batch, and lineage never
+# grows. The bucket id is recomputed (same pmod(hash) that assigned the
+# dirs) so pruned requests filter in memory; a commit simply DROPS the
+# cache and the next batch rebuilds from the new manifest — one
+# materializing scan per batch instead of three-plus. A version mismatch
+# (external writer, fresh process) behaves the same way, so durability
+# and replay semantics are untouched. (At lake scale the win shifts
+# from I/O to scan reuse; the parquet bucket pruning path below remains
+# the source of truth whenever the cache is cold.)
+_MEM_STATE: dict[str, dict] = {}
+
+
+def _mem_drop(state_dir: str) -> None:
+    cache = _MEM_STATE.pop(state_dir, None)
+    if cache is None:
+        return
+    cache["items"].unpersist(False)
+    cache["counts"].unpersist(False)
+
+
+def _mem_ensure(
+    spark: SparkSession,
+    state_dir: str,
+    version: int,
+    manifest: dict,
+    n_buckets: int,
+) -> dict:
+    cache = _MEM_STATE.get(state_dir)
+    if cache is not None and cache["version"] == version:
+        return cache
+    _mem_drop(state_dir)
+    from pyspark import StorageLevel
+
+    items = _read_buckets(
+        spark, state_dir, manifest["items"], _ITEMS_SCHEMA
+    ).withColumn("bucket", F.pmod(F.hash("order_id"), F.lit(n_buckets)))
+    counts = _read_buckets(
+        spark, state_dir, manifest["counts"], _COUNTS_SCHEMA
+    ).withColumn(
+        "bucket", F.pmod(F.hash("product_a", "product_b"), F.lit(n_buckets))
+    )
+    cache = {
+        "version": version,
+        "items": items.persist(StorageLevel.MEMORY_AND_DISK),
+        "counts": counts.persist(StorageLevel.MEMORY_AND_DISK),
+    }
+    _MEM_STATE[state_dir] = cache
+    return cache
+
+
+def _mem_state_part(
+    spark: SparkSession,
+    state_dir: str,
+    version: int,
+    manifest: dict,
+    part: str,
+    schema: str,
+    buckets: list[int] | None,
+    n_buckets: int,
+) -> DataFrame:
+    """State rows of ``part`` restricted to ``buckets``, served from the
+    persisted full-state cache (built lazily from ``manifest`` on miss)."""
+    cache = _mem_ensure(spark, state_dir, version, manifest, n_buckets)
+    df = cache[part]
+    if buckets is not None:
+        df = df.filter(F.col("bucket").isin(buckets))
+    return df.drop("bucket")
+
+
 def apply_cooccurrence_delta(
     spark: SparkSession,
     batch: DataFrame,
@@ -300,13 +378,24 @@ def apply_cooccurrence_delta(
         inherited["n_buckets"] = n_buckets
         payload = json.dumps(inherited).encode()
         _publish_version(spark, state_dir, batch_id, payload)
+        cache = _MEM_STATE.get(state_dir)
+        if cache is not None and cache["version"] == latest:
+            cache["version"] = batch_id  # state unchanged, only renumbered
         return
 
     # state rows sharing an order with the batch all live in the batch's
     # order buckets — both the dedup anti-join and the cross join prune to
-    # these buckets
-    state_items = _read_buckets(
-        spark, state_dir, manifest["items"], _ITEMS_SCHEMA, touched_item_buckets
+    # these buckets (served from the in-memory cache when it matches the
+    # committed version)
+    state_items = _mem_state_part(
+        spark,
+        state_dir,
+        latest,
+        manifest,
+        "items",
+        _ITEMS_SCHEMA,
+        touched_item_buckets,
+        n_buckets,
     )
     new_items = batch_items.drop("bucket").join(
         state_items, ["order_id", "product_id"], "left_anti"
@@ -351,8 +440,15 @@ def apply_cooccurrence_delta(
         "n_buckets": n_buckets,
     }
     if touched_count_buckets:
-        counts = _read_buckets(
-            spark, state_dir, manifest["counts"], _COUNTS_SCHEMA, touched_count_buckets
+        counts = _mem_state_part(
+            spark,
+            state_dir,
+            latest,
+            manifest,
+            "counts",
+            _COUNTS_SCHEMA,
+            touched_count_buckets,
+            n_buckets,
         )
         merged = (
             counts.join(delta.drop("bucket"), ["product_a", "product_b"], "full_outer")
@@ -367,7 +463,7 @@ def apply_cooccurrence_delta(
             .withColumn("bucket", pair_bucket)
         )
         # new version dirs only for touched buckets, never touching live data
-        merged.repartition("bucket").write.mode("overwrite").partitionBy(
+        merged.repartition(n_buckets, "bucket").write.mode("overwrite").partitionBy(
             "bucket"
         ).parquet(f"{state_dir}/v{batch_id}/counts")
         for k in touched_count_buckets:
@@ -376,17 +472,21 @@ def apply_cooccurrence_delta(
     updated_items = state_items.unionByName(new_items).withColumn(
         "bucket", item_bucket
     )
-    updated_items.repartition("bucket").write.mode("overwrite").partitionBy(
+    updated_items.repartition(n_buckets, "bucket").write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(f"{state_dir}/v{batch_id}/items")
     for k in touched_item_buckets:
         new_manifest["items"][str(k)] = f"v{batch_id}/items/bucket={k}"
 
+    payload = json.dumps(new_manifest).encode()
+    _publish_version(spark, state_dir, batch_id, payload)
+    # post-commit: the committed state changed — drop the cache; the next
+    # batch (or the view read) rebuilds it from the new manifest with one
+    # materializing scan.
+    _mem_drop(state_dir)
     batch_items.unpersist()
     new_items.unpersist()
     delta.unpersist()
-    payload = json.dumps(new_manifest).encode()
-    _publish_version(spark, state_dir, batch_id, payload)
     _gc(
         spark,
         state_dir,
@@ -468,7 +568,24 @@ def run_incremental_cooccurrence(
     spark: SparkSession, stream_dir: str, state_dir: str, schema
 ) -> None:
     """Drive the IVM from a file stream of lineitem-shaped parquet,
-    one file per micro-batch (availableNow → runs to completion)."""
+    one file per micro-batch (availableNow → runs to completion).
+
+    Shuffle width is pinned to N_BUCKETS for the run: every state join
+    and state write moves ONE micro-batch's delta plus its pruned state
+    buckets — sizing those shuffles for the whole-corpus width just buys
+    scheduler overhead per batch (the dominant replay cost; restore on
+    exit)."""
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(N_BUCKETS))
+    try:
+        _run_incremental_cooccurrence(spark, stream_dir, state_dir, schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _run_incremental_cooccurrence(
+    spark: SparkSession, stream_dir: str, state_dir: str, schema
+) -> None:
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -497,7 +614,11 @@ def run_incremental_cooccurrence(
 def maintained_counts(spark: SparkSession, state_dir: str) -> DataFrame:
     version = _latest_version(spark, state_dir)
     manifest = _read_manifest(spark, state_dir, version)
-    return _read_buckets(spark, state_dir, manifest["counts"], _COUNTS_SCHEMA)
+    n_buckets = manifest.get("n_buckets") or N_BUCKETS
+    return _mem_state_part(
+        spark, state_dir, version, manifest, "counts", _COUNTS_SCHEMA, None,
+        n_buckets,
+    )
 
 
 # Session-scoped IVM state (one maintenance run per (application, sf_dir);
