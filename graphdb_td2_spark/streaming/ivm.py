@@ -15,15 +15,21 @@ once. Counts are additive, so the view merge is a full-outer sum.
 State layout (the 100 TB posture): both state relations are HASH-
 PARTITIONED — ``items`` by ``order_id`` into ``bucket=K`` dirs, ``counts``
 by ``(product_a, product_b)`` — and each version carries a MANIFEST
-mapping bucket → the parquet dir that last wrote it. A micro-batch only
-reads and rewrites the buckets its delta touches; untouched buckets are
-inherited by manifest reference from earlier versions, so per-batch I/O is
-O(Δ · fanout/n_buckets), not O(state). (Items partitioned by order_id
-alone keeps BOTH state joins bucket-prunable: the dedup anti-join and the
-cross-batch join each only involve state rows sharing an order_id with the
-batch, and those all live in the batch's order buckets.) This is exactly
-the file-pruning discipline a lake format's MERGE gives; the manifest is
-the no-txn-log stand-in.
+mapping bucket → the ordered LIST of parquet segment dirs that hold it
+(LSM-style). A micro-batch APPENDS one O(Δ)-sized segment per touched
+bucket — item segments are disjoint by construction (the dedup anti-join
+runs before the write) and count segments are additive deltas, so the
+maintained view is the union of item segments and the per-pair SUM of
+count segments. Untouched buckets inherit their whole segment list by
+manifest reference, so per-batch WRITE I/O is O(Δ), not O(state); a
+bucket whose list exceeds ``COMPACT_SEGMENTS`` is compacted (union /
+re-aggregated) into a single segment inside the same version commit,
+bounding read amplification the way any LSM level-merge does. (Items
+partitioned by order_id alone keeps BOTH state joins bucket-prunable:
+the dedup anti-join and the cross-batch join each only involve state
+rows sharing an order_id with the batch, and those all live in the
+batch's order buckets.) This is the append-plus-compact discipline of a
+lake format's MERGE; the manifest is the no-txn-log stand-in.
 
 Durability & replay-idempotency (foreachBatch is at-least-once): batch
 ``b`` writes brand-new ``v{b}`` bucket dirs + manifest, writes a
@@ -48,7 +54,18 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 _ITEMS_SCHEMA = "order_id long, product_id long"
 _COUNTS_SCHEMA = "product_a long, product_b long, n_orders long"
+# On-disk segment schema, shared by both parts so one micro-batch commits
+# ONE write job (partitioned by part+bucket): items use (c1=order_id,
+# c2=product_id, n=null); counts use (c1=product_a, c2=product_b,
+# n=n_orders).
+_SEG_SCHEMA = "c1 long, c2 long, n long"
+_LOGICAL = {
+    "items": (("c1", "order_id"), ("c2", "product_id")),
+    "counts": (("c1", "product_a"), ("c2", "product_b"), ("n", "n_orders")),
+}
+_PART_SCHEMA = {"items": _ITEMS_SCHEMA, "counts": _COUNTS_SCHEMA}
 N_BUCKETS = 16
+COMPACT_SEGMENTS = 4  # max segments per bucket before a level-merge
 
 
 def _fs(spark: SparkSession, path: str):
@@ -223,21 +240,45 @@ def _read_buckets(
     spark: SparkSession,
     state_dir: str,
     manifest_part: dict,
-    schema: str,
+    part: str,
     buckets: list[int] | None = None,
 ) -> DataFrame:
-    """Union-read the parquet dirs of the selected buckets (all buckets
-    when ``buckets`` is None). The bucket id is directory-encoded, not a
-    data column, so reads pin the data schema explicitly."""
+    """Union-read the segment dirs of the selected buckets (all buckets
+    when ``buckets`` is None), renamed to the part's logical schema. The
+    part and bucket ids are directory-encoded, not data columns, so reads
+    pin the shared segment schema explicitly."""
     keys = (
         sorted(manifest_part)
         if buckets is None
         else [str(b) for b in sorted(buckets) if str(b) in manifest_part]
     )
-    paths = [f"{state_dir}/{manifest_part[k]}" for k in keys]
+    paths = [
+        f"{state_dir}/{rel}" for k in keys for rel in _segs(manifest_part[k])
+    ]
     if not paths:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*paths)
+        return spark.createDataFrame([], _PART_SCHEMA[part])
+    df = spark.read.schema(_SEG_SCHEMA).parquet(*paths)
+    return df.select([F.col(src).alias(dst) for src, dst in _LOGICAL[part]])
+
+
+def _segs(v) -> list:
+    """A manifest bucket entry as a segment list (legacy manifests stored
+    a single relpath string)."""
+    return [v] if isinstance(v, str) else list(v)
+
+
+def _written_buckets(spark: SparkSession, path: str) -> list[int]:
+    """Bucket ids of the ``bucket=k`` dirs a write actually produced —
+    directory metadata, replacing a pre-write collect over the delta."""
+    fs, p, jvm = _fs(spark, path)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("bucket="):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
 
 
 def _touched(df: DataFrame) -> list[int]:
@@ -289,10 +330,10 @@ def _mem_ensure(
     from pyspark import StorageLevel
 
     items = _read_buckets(
-        spark, state_dir, manifest["items"], _ITEMS_SCHEMA
+        spark, state_dir, manifest["items"], "items"
     ).withColumn("bucket", F.pmod(F.hash("order_id"), F.lit(n_buckets)))
     counts = _read_buckets(
-        spark, state_dir, manifest["counts"], _COUNTS_SCHEMA
+        spark, state_dir, manifest["counts"], "counts"
     ).withColumn(
         "bucket", F.pmod(F.hash("product_a", "product_b"), F.lit(n_buckets))
     )
@@ -311,7 +352,6 @@ def _mem_state_part(
     version: int,
     manifest: dict,
     part: str,
-    schema: str,
     buckets: list[int] | None,
     n_buckets: int,
 ) -> DataFrame:
@@ -322,6 +362,58 @@ def _mem_state_part(
     if buckets is not None:
         df = df.filter(F.col("bucket").isin(buckets))
     return df.drop("bucket")
+
+
+_MEM_MAX_DEPTH = 16
+
+
+def _mem_advance(
+    spark: SparkSession,
+    state_dir: str,
+    prev_version: int,
+    new_version: int,
+    seg_dir: str,
+    appended: dict[str, list[int]],
+    n_buckets: int,
+) -> None:
+    """Move the cache to the just-committed version by UNIONING in the
+    just-written segment dirs (flat parquet lineage — safe past this
+    foreachBatch call, and the old cached partitions are reused rather
+    than re-read). Sound even when the commit also compacted: the cache
+    holds the same logical row multiset as the manifest's segments —
+    items are append-only and count segments are additive, and both the
+    join consumers and ``maintained_counts`` are insensitive to how the
+    rows are split into segments. The union chain is capped at
+    _MEM_MAX_DEPTH; past it (or on a version mismatch) the cache drops
+    and rebuilds from the manifest."""
+    cache = _MEM_STATE.get(state_dir)
+    if cache is None:
+        return
+    if not appended:  # segment-less commit: state identical, renumber
+        if cache["version"] == prev_version:
+            cache["version"] = new_version
+        return
+    if cache["version"] != prev_version or cache.get("depth", 0) >= _MEM_MAX_DEPTH:
+        _mem_drop(state_dir)
+        return
+    from pyspark import StorageLevel
+
+    bucket_cols = {"items": ["order_id"], "counts": ["product_a", "product_b"]}
+    for part, ks in appended.items():
+        paths = [f"{seg_dir}/part={part}/bucket={k}" for k in ks]
+        fresh = (
+            spark.read.schema(_SEG_SCHEMA)
+            .parquet(*paths)
+            .select([F.col(src).alias(dst) for src, dst in _LOGICAL[part]])
+            .withColumn(
+                "bucket", F.pmod(F.hash(*bucket_cols[part]), F.lit(n_buckets))
+            )
+        )
+        old = cache[part]
+        cache[part] = old.unionByName(fresh).persist(StorageLevel.MEMORY_AND_DISK)
+        old.unpersist(False)
+    cache["version"] = new_version
+    cache["depth"] = cache.get("depth", 0) + 1
 
 
 def apply_cooccurrence_delta(
@@ -359,134 +451,140 @@ def apply_cooccurrence_delta(
         )
 
     item_bucket = F.pmod(F.hash("order_id"), F.lit(n_buckets)).alias("bucket")
-    batch_items = (
-        batch.select("order_id", "product_id")
-        .distinct()
-        .withColumn("bucket", item_bucket)
-        .persist()
-    )
-    touched_item_buckets = _touched(batch_items)
-    if not touched_item_buckets:
-        # empty batch: commit a version inheriting the old manifest so the
-        # batch id is durably marked done (replay skip stays correct)
-        batch_items.unpersist()
-        inherited = dict(manifest)
-        # Legacy manifests (pre-n_buckets) carry None here; stamping the
-        # current run's n_buckets onto them is a documented backward-compat
-        # tradeoff — a legacy state built with a DIFFERENT bucket count
-        # cannot be detected after the fact (ADVICE r4, accepted).
-        inherited["n_buckets"] = n_buckets
-        payload = json.dumps(inherited).encode()
-        _publish_version(spark, state_dir, batch_id, payload)
-        cache = _MEM_STATE.get(state_dir)
-        if cache is not None and cache["version"] == latest:
-            cache["version"] = batch_id  # state unchanged, only renumbered
-        return
-
-    # state rows sharing an order with the batch all live in the batch's
-    # order buckets — both the dedup anti-join and the cross join prune to
-    # these buckets (served from the in-memory cache when it matches the
-    # committed version)
-    state_items = _mem_state_part(
-        spark,
-        state_dir,
-        latest,
-        manifest,
-        "items",
-        _ITEMS_SCHEMA,
-        touched_item_buckets,
-        n_buckets,
-    )
-    new_items = batch_items.drop("bucket").join(
+    batch_dedup = batch.select("order_id", "product_id").distinct()
+    cache = _MEM_STATE.get(state_dir)
+    warm = cache is not None and cache["version"] == latest
+    if warm:
+        # the state scan is an in-memory scan — bucket restriction saves
+        # nothing, so skip the pre-read collect over the batch entirely
+        # (an empty batch just falls through to a segment-less commit)
+        batch_items = batch_dedup
+        state_items = cache["items"].drop("bucket")
+    else:
+        batch_persisted = batch_dedup.withColumn("bucket", item_bucket).persist()
+        touched_item_buckets = _touched(batch_persisted)
+        if not touched_item_buckets:
+            # empty batch: commit a version inheriting the old manifest so
+            # the batch id is durably marked done (replay skip stays
+            # correct)
+            batch_persisted.unpersist()
+            inherited = dict(manifest)
+            # Legacy manifests (pre-n_buckets) carry None here; stamping
+            # the current run's n_buckets onto them is a documented
+            # backward-compat tradeoff — a legacy state built with a
+            # DIFFERENT bucket count cannot be detected after the fact
+            # (ADVICE r4, accepted).
+            inherited["n_buckets"] = n_buckets
+            payload = json.dumps(inherited).encode()
+            _publish_version(spark, state_dir, batch_id, payload)
+            return
+        # state rows sharing an order with the batch all live in the
+        # batch's order buckets — both the dedup anti-join and the cross
+        # join prune to these parquet buckets on the cold path
+        state_items = _mem_state_part(
+            spark,
+            state_dir,
+            latest,
+            manifest,
+            "items",
+            touched_item_buckets,
+            n_buckets,
+        )
+        batch_items = batch_persisted.drop("bucket")
+    new_items = batch_items.join(
         state_items, ["order_id", "product_id"], "left_anti"
     ).persist()
 
-    def as_pair(a, b):
-        return [
-            F.least(a, b).alias("product_a"),
-            F.greatest(a, b).alias("product_b"),
-        ]
-
-    cross = (
-        new_items.alias("n")
-        .join(state_items.alias("s"), F.col("n.order_id") == F.col("s.order_id"))
-        .filter(F.col("n.product_id") != F.col("s.product_id"))
-        .select(*as_pair(F.col("n.product_id"), F.col("s.product_id")))
+    # one fused pair join: Δ⋈I ∪ Δ⋈Δ — the right side is state ∪ Δ with
+    # an is_new flag; a new-new pair is kept only in its (min, max)
+    # orientation so it counts once, while new-old pairs appear exactly
+    # once by construction (the left side is Δ only)
+    combined = state_items.withColumn("is_new", F.lit(False)).unionByName(
+        new_items.withColumn("is_new", F.lit(True))
     )
-    within = (
-        new_items.alias("x")
-        .join(
-            new_items.alias("y"),
-            (F.col("x.order_id") == F.col("y.order_id"))
-            & (F.col("x.product_id") < F.col("y.product_id")),
+    pairs = (
+        new_items.alias("n")
+        .join(combined.alias("s"), F.col("n.order_id") == F.col("s.order_id"))
+        .filter(
+            (F.col("n.product_id") != F.col("s.product_id"))
+            & (
+                ~F.col("s.is_new")
+                | (F.col("n.product_id") < F.col("s.product_id"))
+            )
         )
-        .select(*as_pair(F.col("x.product_id"), F.col("y.product_id")))
+        .select(
+            F.least(F.col("n.product_id"), F.col("s.product_id")).alias(
+                "product_a"
+            ),
+            F.greatest(F.col("n.product_id"), F.col("s.product_id")).alias(
+                "product_b"
+            ),
+        )
     )
     pair_bucket = F.pmod(F.hash("product_a", "product_b"), F.lit(n_buckets)).alias(
         "bucket"
     )
     delta = (
-        cross.unionByName(within)
-        .groupBy("product_a", "product_b")
-        .agg(F.count(F.lit(1)).alias("dn"))
+        pairs.groupBy("product_a", "product_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
         .withColumn("bucket", pair_bucket)
-        .persist()
     )
-    touched_count_buckets = _touched(delta)
 
     new_manifest = {
-        "items": dict(manifest["items"]),
-        "counts": dict(manifest["counts"]),
+        "items": {k: _segs(v) for k, v in manifest["items"].items()},
+        "counts": {k: _segs(v) for k, v in manifest["counts"].items()},
         "n_buckets": n_buckets,
     }
-    if touched_count_buckets:
-        counts = _mem_state_part(
-            spark,
-            state_dir,
-            latest,
-            manifest,
-            "counts",
-            _COUNTS_SCHEMA,
-            touched_count_buckets,
-            n_buckets,
+    # append O(Δ)-sized segments with ONE write job — both parts share the
+    # segment schema and land under part=/bucket= dirs; state is never
+    # rewritten in the hot path, and the touched-bucket sets fall out of
+    # the written dirs, so no pre-write collect over the delta is needed
+    seg = (
+        new_items.select(
+            F.col("order_id").alias("c1"),
+            F.col("product_id").alias("c2"),
+            F.lit(None).cast("long").alias("n"),
+            F.lit("items").alias("part"),
+        ).withColumn("bucket", F.pmod(F.hash("c1"), F.lit(n_buckets)))
+    ).unionByName(
+        delta.select(
+            F.col("product_a").alias("c1"),
+            F.col("product_b").alias("c2"),
+            F.col("n_orders").alias("n"),
+            F.lit("counts").alias("part"),
+            "bucket",
         )
-        merged = (
-            counts.join(delta.drop("bucket"), ["product_a", "product_b"], "full_outer")
-            .select(
-                "product_a",
-                "product_b",
-                (
-                    F.coalesce(F.col("n_orders"), F.lit(0))
-                    + F.coalesce(F.col("dn"), F.lit(0))
-                ).cast("long").alias("n_orders"),
-            )
-            .withColumn("bucket", pair_bucket)
-        )
-        # new version dirs only for touched buckets, never touching live data
-        merged.repartition(n_buckets, "bucket").write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(f"{state_dir}/v{batch_id}/counts")
-        for k in touched_count_buckets:
-            new_manifest["counts"][str(k)] = f"v{batch_id}/counts/bucket={k}"
-
-    updated_items = state_items.unionByName(new_items).withColumn(
-        "bucket", item_bucket
     )
-    updated_items.repartition(n_buckets, "bucket").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(f"{state_dir}/v{batch_id}/items")
-    for k in touched_item_buckets:
-        new_manifest["items"][str(k)] = f"v{batch_id}/items/bucket={k}"
+    seg_dir = f"{state_dir}/v{batch_id}/seg"
+    seg.repartition(n_buckets, "part", "bucket").write.mode(
+        "overwrite"
+    ).partitionBy("part", "bucket").parquet(seg_dir)
+    appended: dict[str, list[int]] = {}
+    for part in ("items", "counts"):
+        ks = _written_buckets(spark, f"{seg_dir}/part={part}")
+        if ks:
+            appended[part] = ks
+        for k in ks:
+            new_manifest[part].setdefault(str(k), []).append(
+                f"v{batch_id}/seg/part={part}/bucket={k}"
+            )
+
+    compacted = _compact(spark, state_dir, batch_id, new_manifest, n_buckets)
 
     payload = json.dumps(new_manifest).encode()
     _publish_version(spark, state_dir, batch_id, payload)
-    # post-commit: the committed state changed — drop the cache; the next
-    # batch (or the view read) rebuilds it from the new manifest with one
-    # materializing scan.
-    _mem_drop(state_dir)
-    batch_items.unpersist()
+    if compacted:
+        # a level-merge retired segment paths the cache's lineage may
+        # still reference (GC will delete them once the last manifest
+        # holding them ages out) — rebuild from the compacted manifest
+        _mem_drop(state_dir)
+    else:
+        _mem_advance(
+            spark, state_dir, latest, batch_id, seg_dir, appended, n_buckets
+        )
+    if not warm:
+        batch_persisted.unpersist()
     new_items.unpersist()
-    delta.unpersist()
     _gc(
         spark,
         state_dir,
@@ -494,6 +592,59 @@ def apply_cooccurrence_delta(
         upto=latest,
         keep_versions={batch_id, latest},
     )
+
+
+def _compact(
+    spark: SparkSession,
+    state_dir: str,
+    batch_id: int,
+    new_manifest: dict,
+    n_buckets: int,
+) -> None:
+    """Level-merge: any bucket whose segment list exceeds COMPACT_SEGMENTS
+    is rewritten as ONE segment inside this version (items: plain union —
+    segments are disjoint; counts: per-pair sum). Runs before the manifest
+    publishes, so the commit point covers the compaction atomically; the
+    superseded segments stay on disk until GC drops them with their last
+    referencing manifest. Amortized write cost O(state / COMPACT_SEGMENTS)
+    per batch, the standard LSM trade. Returns True when any bucket was
+    merged (the caller must then invalidate lineage-based caches)."""
+    compacted = False
+    bucket_cols = {"items": ["c1"], "counts": ["c1", "c2"]}
+    for part in ("items", "counts"):
+        over = sorted(
+            k for k, v in new_manifest[part].items() if len(v) > COMPACT_SEGMENTS
+        )
+        if not over:
+            continue
+        paths = [
+            f"{state_dir}/{rel}" for k in over for rel in new_manifest[part][k]
+        ]
+        df = spark.read.schema(_SEG_SCHEMA).parquet(*paths).withColumn(
+            "bucket", F.pmod(F.hash(*bucket_cols[part]), F.lit(n_buckets))
+        )
+        if part == "counts":
+            df = df.groupBy("c1", "c2", "bucket").agg(
+                F.sum("n").cast("long").alias("n")
+            )
+        out_dir = f"{state_dir}/v{batch_id}/{part}_compact"
+        df.select("c1", "c2", "n", "bucket").repartition(
+            len(over), "bucket"
+        ).write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
+        written = set(_written_buckets(spark, out_dir))
+        for k in over:
+            if int(k) in written:
+                new_manifest[part][k] = [f"v{batch_id}/{part}_compact/bucket={k}"]
+            else:
+                # all segments of this bucket summed to nothing on disk
+                # (cannot happen for append-only data, but never leave a
+                # dangling reference)
+                new_manifest[part][k] = []
+        new_manifest[part] = {
+            k: v for k, v in new_manifest[part].items() if v
+        }
+        compacted = True
+    return compacted
 
 
 def _gc(
@@ -523,7 +674,8 @@ def _gc(
         f"{state_dir}/{rel}"
         for m in keep_manifests
         for part in ("items", "counts")
-        for rel in m[part].values()
+        for entry in m[part].values()
+        for rel in _segs(entry)
     }
     fs, root, jvm = _fs(spark, state_dir)
     mkpath = jvm.org.apache.hadoop.fs.Path
@@ -544,18 +696,28 @@ def _gc(
             surviving.append(v)
             continue
         kept_any = False
-        for part in ("items", "counts"):
-            pdir = mkpath(f"{vdir}/{part}")
-            if not fs.exists(pdir):
-                continue
-            for st in fs.listStatus(pdir):
-                name = st.getPath().getName()
-                if not name.startswith("bucket="):
+        # enumerate every bucket=K segment dir the version holds, across
+        # layouts: seg/part=P/bucket=K (the unified write),
+        # {part}_compact/bucket=K (level-merges), and the legacy flat
+        # {part}/bucket=K
+        def _walk_bucket_dirs(path, depth):
+            p = mkpath(path)
+            if not fs.exists(p):
+                return
+            for st in fs.listStatus(p):
+                if not st.isDirectory():
                     continue
-                if f"{vdir}/{part}/{name}" in referenced:
-                    kept_any = True
-                else:
-                    fs.delete(st.getPath(), True)
+                name = st.getPath().getName()
+                if name.startswith("bucket="):
+                    yield f"{path}/{name}", st.getPath()
+                elif depth > 0:
+                    yield from _walk_bucket_dirs(f"{path}/{name}", depth - 1)
+
+        for rel_path, hpath in list(_walk_bucket_dirs(vdir, 2)):
+            if rel_path in referenced:
+                kept_any = True
+            else:
+                fs.delete(hpath, True)
         if kept_any:
             surviving.append(v)
         else:
@@ -612,12 +774,17 @@ def _run_incremental_cooccurrence(
 
 
 def maintained_counts(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained view: per-pair SUM over the additive count segments
+    (compaction keeps the per-bucket segment count ≤ COMPACT_SEGMENTS+1,
+    so read amplification is bounded)."""
     version = _latest_version(spark, state_dir)
     manifest = _read_manifest(spark, state_dir, version)
     n_buckets = manifest.get("n_buckets") or N_BUCKETS
-    return _mem_state_part(
-        spark, state_dir, version, manifest, "counts", _COUNTS_SCHEMA, None,
-        n_buckets,
+    segs = _mem_state_part(
+        spark, state_dir, version, manifest, "counts", None, n_buckets,
+    )
+    return segs.groupBy("product_a", "product_b").agg(
+        F.sum("n_orders").cast("long").alias("n_orders")
     )
 
 

@@ -129,19 +129,30 @@ def test_untouched_buckets_not_rewritten(spark, tmp_path):
     apply_cooccurrence_delta(spark, b1, 1, state)
     m1 = _read_manifest(spark, state, 1)
 
-    v1_item_buckets = {k for k, rel in m1["items"].items() if rel.startswith("v1/")}
-    inherited = {k for k, rel in m1["items"].items() if rel.startswith("v0/")}
-    assert len(v1_item_buckets) == 1  # only the touched bucket was rewritten
-    assert inherited == set(m0["items"]) - v1_item_buckets
-    v1_count_buckets = {k for k, rel in m1["counts"].items() if rel.startswith("v1/")}
+    v1_item_buckets = {
+        k
+        for k, segs in m1["items"].items()
+        if any(rel.startswith("v1/") for rel in segs)
+    }
+    inherited = set(m1["items"]) - v1_item_buckets
+    assert len(v1_item_buckets) == 1  # only the touched bucket gained a segment
+    # untouched buckets inherit their segment lists verbatim
+    for k in inherited:
+        assert m1["items"][k] == m0["items"][k]
+    v1_count_buckets = {
+        k
+        for k, segs in m1["counts"].items()
+        if any(rel.startswith("v1/") for rel in segs)
+    }
     assert len(v1_count_buckets) == 1
 
-    # inherited bucket files physically survive (GC kept everything the
+    # inherited segment files physically survive (GC kept everything the
     # current manifest references)
     fs, _, jvm = _fs(spark, state)
     for k in inherited:
-        p = jvm.org.apache.hadoop.fs.Path(f"{state}/{m1['items'][k]}")
-        assert fs.exists(p)
+        for rel in m1["items"][k]:
+            p = jvm.org.apache.hadoop.fs.Path(f"{state}/{rel}")
+            assert fs.exists(p)
 
     # and the maintained view is still the full batch answer
     got = dict(
@@ -192,8 +203,9 @@ def test_empty_batch_recovery_point_survives_gc(spark, tmp_path):
     # the recovery point's manifest still resolves to readable data
     m1 = _read_manifest(spark, state, 1)
     for part in ("items", "counts"):
-        for rel in m1[part].values():
-            assert fs.exists(jvm.org.apache.hadoop.fs.Path(f"{state}/{rel}"))
+        for segs in m1[part].values():
+            for rel in segs:
+                assert fs.exists(jvm.org.apache.hadoop.fs.Path(f"{state}/{rel}"))
     got = dict(
         ((r["product_a"], r["product_b"]), r["n_orders"])
         for r in maintained_counts(spark, state).collect()
@@ -335,3 +347,40 @@ def test_lost_pointer_raises_instead_of_empty_replay(spark, tmp_path):
     # a brand-new state dir still reads as genuinely empty
     fresh = str(tmp_path / "fresh")
     assert maintained_counts(spark, fresh).count() == 0
+
+
+def test_segment_lists_stay_bounded_by_compaction(spark, tmp_path):
+    """Appending many micro-batches into the same bucket must trigger the
+    level-merge: committed manifests never carry more than
+    COMPACT_SEGMENTS segments per bucket, and the maintained counts stay
+    exact across compactions."""
+    from graphdb_td2_spark.streaming.ivm import (
+        COMPACT_SEGMENTS,
+        _read_manifest,
+        apply_cooccurrence_delta,
+        maintained_counts,
+    )
+
+    state = str(tmp_path / "st")
+    # one order per batch pair-wise: order 1 gains two new products each
+    # batch -> its item bucket gains one segment per batch
+    n_batches = 2 * COMPACT_SEGMENTS + 1
+    for bid in range(n_batches):
+        b = spark.createDataFrame(
+            [(1, 100 + 2 * bid), (1, 101 + 2 * bid)],
+            "order_id long, product_id long",
+        )
+        apply_cooccurrence_delta(spark, b, bid, state)
+        m = _read_manifest(spark, state, bid)
+        for part in ("items", "counts"):
+            for k, segs in m[part].items():
+                assert len(segs) <= COMPACT_SEGMENTS, (part, k, segs)
+    # 2 products per batch, all on order 1 -> all pairs of the 2*n products
+    n_products = 2 * n_batches
+    got = {
+        (r["product_a"], r["product_b"]): r["n_orders"]
+        for r in maintained_counts(spark, state).collect()
+        if r["n_orders"] > 0
+    }
+    assert len(got) == n_products * (n_products - 1) // 2
+    assert set(got.values()) == {1}
