@@ -68,6 +68,22 @@ def main() -> None:
     spark.range(1).count()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Lake build = the ETL phase (the reference builds its Neo4j adjacency
+    # in ETL against an 1800 s budget, then serves queries against a 60 s
+    # budget — BASELINE.md). The bucketed adjacency/signature tables are
+    # materialized here once and the query timings below measure the
+    # serving path against them; the build cost is reported separately.
+    t0 = time.time()
+    try:
+        from graphdb_td2_spark.lake import build_lake
+
+        build_lake(spark, sf_dir)
+        lake_build = round(time.time() - t0, 3)
+    except Exception as exc:  # never lose the bench to a lake failure
+        lake_build = None
+        print(f"# lake build FAILED: {exc}", file=sys.stderr)
+    print(f"# lake build: {lake_build}s", file=sys.stderr)
+
     # Per-query isolation: one broken query must not erase the other
     # timings (r5 lost the whole round's bench artifact to a single
     # AnalysisException). Failures are recorded under "errors" and the
@@ -93,6 +109,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "lake_build_sec": lake_build,
     }
     if errors:
         out["errors"] = errors

@@ -332,8 +332,15 @@ def top_cooccurrence_pairs(spark: SparkSession, sf_dir: str, k: int = 20) -> Dat
     it replicates the small side). Note the aggregation keys (product_a,
     product_b) differ from the join key, which is what makes the split free
     for AQE — an order_id-keyed consumer would veto it (see test docstring).
+
+    Lake path: the adjacency comes from the bucketed ``lake_items`` table
+    (graphdb_td2_spark/lake.py), so the self-join is exchange-free — the
+    one remaining shuffle is the pair aggregation (pinned in
+    tests/test_plans.py).
     """
-    items = _dedup_pairs(_items(spark, sf_dir))
+    from ..lake import items_bucketed
+
+    items = items_bucketed(spark, sf_dir)
     a, b = items.alias("a"), items.alias("b")
     return (
         a.join(

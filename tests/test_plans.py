@@ -331,3 +331,26 @@ def test_top_lift_pairs_no_forced_product_broadcast(spark):
     assert optimized.count("ResolvedHint") == 0
     physical = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in physical
+
+
+# -- lake layout (graphdb_td2_spark/lake.py) ----------------------------
+# The hot self-joins must read the bucketed lake tables exchange-free:
+# with broadcast disabled (the 100 TB regime), the only shuffle left is
+# the pair aggregation.
+
+
+@pytest.mark.parametrize(
+    "name", ["top_cooccurrence_pairs", "minhash_lsh_pairs"]
+)
+def test_lake_self_join_is_exchange_free(spark, name):
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, name)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Bucketed: true" in plan
+    assert "SortMergeJoin" in plan
+    # exactly one shuffle: the (product_a, product_b) / (doc_a, doc_b)
+    # aggregation — the join itself rides the bucketing
+    assert plan.count("Exchange hashpartitioning") == 1
