@@ -354,3 +354,31 @@ def test_lake_self_join_is_exchange_free(spark, name):
     # exactly one shuffle: the (product_a, product_b) / (doc_a, doc_b)
     # aggregation — the join itself rides the bucketing
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# -- head-50 plan pinning (tests/plan_pins.json) ------------------------
+# Every driver-gated query carries a frozen plan profile: zero Cartesian
+# products, no new BroadcastNestedLoopJoins beyond the audited benign
+# ones (1-row scalars / axis-sized broadcasts), top-k stays compiled to
+# TakeOrderedAndProject, and the shuffle count never grows. Regenerate
+# deliberately with tools/gen_plan_pins.py after an intentional change.
+
+import json as _json
+
+_PINS = _json.loads(
+    (Path(__file__).resolve().parent / "plan_pins.json").read_text()
+)
+
+
+@pytest.mark.parametrize("name", sorted(_PINS))
+def test_head50_plan_pinned(spark, name):
+    pin = _PINS[name]
+    plan = _plan(spark, name)
+    assert plan.count("CartesianProduct") == 0
+    assert plan.count("BroadcastNestedLoopJoin") <= pin["bnlj"]
+    if pin["topk"]:
+        assert "TakeOrderedAndProject" in plan
+    if pin["exchanges"] is not None:  # None = cache-state-dependent plan
+        import re as _re
+
+        assert len(_re.findall(r"\bExchange\b", plan)) <= pin["exchanges"]
