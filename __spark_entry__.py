@@ -1515,6 +1515,53 @@ FROM scored GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang
 """
 
 
+def _pctl_num_sql(m: int, den: int, v: str = "v") -> str:
+    """Exact percentile NUMERATOR for p = m/den over the histogram CTE
+    skeleton of ``_pctl_skel`` (columns v, cum, n): den·lo + (hi−lo)·rem,
+    an exact BIGINT — divide by den·unit_scale for the float percentile.
+    Mirrors graphdb_td2_spark/operators/percentiles.py bit-for-bit."""
+    lo = f"MIN(CASE WHEN cum >= ({m} * (n - 1)) // {den} + 1 THEN {v} END)"
+    hi = (
+        f"MIN(CASE WHEN cum >= ({m} * (n - 1)) // {den} + "
+        f"(CASE WHEN ({m} * (n - 1)) % {den} > 0 THEN 1 ELSE 0 END) + 1 "
+        f"THEN {v} END)"
+    )
+    return (
+        f"CAST({den} * {lo} + ({hi} - {lo}) * "
+        f"MAX(({m} * (n - 1)) % {den}) AS BIGINT)"
+    )
+
+
+def _pctl_skel(src: str, groups: list[str], final_select: str) -> str:
+    """Histogram-percentile CTE skeleton: ``src`` must yield
+    (groups…, v BIGINT); exposes per-row (v, cum, n) to the aggregated
+    ``final_select`` (grouped by ``groups``)."""
+    g = ", ".join(groups)
+    gsel = f"{g}, " if groups else ""
+    group_v = f"{gsel}v"
+    part = f"PARTITION BY {g} " if groups else ""
+    join = f"JOIN stats USING ({g})" if groups else "CROSS JOIN stats"
+    tail = f"GROUP BY {g} ORDER BY {g}" if groups else ""
+    return f"""
+WITH q AS ({src}),
+per_v AS (
+  SELECT {group_v}, CAST(COUNT(*) AS BIGINT) AS c FROM q GROUP BY {group_v}
+),
+cum AS (
+  SELECT *, CAST(SUM(c) OVER ({part}ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM per_v
+),
+stats AS (
+  SELECT {gsel}CAST(SUM(c) AS BIGINT) AS n FROM per_v
+  {f"GROUP BY {g}" if groups else ""}
+),
+j AS (SELECT cum.*, stats.n FROM cum {join})
+SELECT {gsel}{final_select}
+FROM j {tail}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
 
@@ -2143,15 +2190,17 @@ LEFT JOIN roll USING (bucket_start, event_type)
 ORDER BY bucket_start, event_type
 """
 
-    sqls["value_percentiles"] = """
-SELECT event_type,
-  quantile_cont(value, 0.25) AS p25,
-  quantile_cont(value, 0.5) AS p50,
-  quantile_cont(value, 0.75) AS p75,
-  quantile_cont(value, 0.95) AS p95,
-  COUNT(*) AS n_events
-FROM events GROUP BY event_type ORDER BY event_type
-"""
+    # engine-exact histogram percentiles (operators/percentiles.py twin)
+    sqls["value_percentiles"] = _pctl_skel(
+        "SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v "
+        "FROM events",
+        ["event_type"],
+        f"""CAST({_pctl_num_sql(1, 4)} AS DOUBLE) / 400.0 AS p25,
+  CAST({_pctl_num_sql(1, 2)} AS DOUBLE) / 200.0 AS p50,
+  CAST({_pctl_num_sql(3, 4)} AS DOUBLE) / 400.0 AS p75,
+  CAST({_pctl_num_sql(19, 20)} AS DOUBLE) / 2000.0 AS p95,
+  MAX(n) AS n_events""",
+    )
 
     sqls["props_key_histogram"] = """
 SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10) * 10 AS BIGINT) AS k_bucket,
@@ -2629,16 +2678,15 @@ FROM flagged GROUP BY source ORDER BY source
 """
 
     # operators/relational.py:shipping_latency_quantiles
-    sqls["shipping_latency_quantiles"] = """
-WITH lat AS (
-  SELECT o.o_orderpriority,
-    CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS d
-  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-)
-SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
-  quantile_cont(d, 0.5) AS p50_days, quantile_cont(d, 0.9) AS p90_days
-FROM lat GROUP BY o_orderpriority ORDER BY o_orderpriority
-"""
+    sqls["shipping_latency_quantiles"] = _pctl_skel(
+        "SELECT o.o_orderpriority, "
+        "CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS v "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey",
+        ["o_orderpriority"],
+        f"""MAX(n) AS n_items,
+  CAST({_pctl_num_sql(1, 2)} AS DOUBLE) / 2.0 AS p50_days,
+  CAST({_pctl_num_sql(9, 10)} AS DOUBLE) / 10.0 AS p90_days""",
+    )
 
     # operators/relational.py:supplier_concentration_topk — exact
     # centiquantity HHI with a single final division.
@@ -2685,15 +2733,21 @@ ORDER BY revenue_cents DESC, cust_nation, supp_nation LIMIT 25
 
     # operators/anomaly.py:winsorized_value_stats — decomposed winsorized
     # mean: exact in-range DECIMAL mass + count·bound tails.
-    sqls["winsorized_value_stats"] = """
-WITH bounds AS (
-  SELECT event_type, quantile_cont(value, 0.01) AS p01,
-         quantile_cont(value, 0.99) AS p99
-  FROM events GROUP BY event_type
-),
+    _wins_bounds = _pctl_skel(
+        "SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v "
+        "FROM events",
+        ["event_type"],
+        f"""{_pctl_num_sql(1, 100)} AS p01n,
+  {_pctl_num_sql(99, 100)} AS p99n""",
+    )
+    sqls["winsorized_value_stats"] = f"""
+WITH bounds AS ({_wins_bounds}),
 tagged AS (
-  SELECT e.event_type, e.value, b.p01, b.p99,
-    (e.value < b.p01) AS lo, (e.value > b.p99) AS hi
+  SELECT e.event_type, e.value,
+    CAST(b.p01n AS DOUBLE) / 10000.0 AS p01,
+    CAST(b.p99n AS DOUBLE) / 10000.0 AS p99,
+    (CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT) * 100 < b.p01n) AS lo,
+    (CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT) * 100 > b.p99n) AS hi
   FROM events e JOIN bounds b USING (event_type)
 ),
 agg AS (
@@ -3251,22 +3305,31 @@ FROM b GROUP BY depth_bucket ORDER BY depth_bucket
 
     # operators/anomaly.py:event_value_anomalies — median/MAD via the
     # same exact-interpolation percentile as value_percentiles
-    sqls["event_value_anomalies"] = """
-WITH med AS (
-  SELECT event_type, quantile_cont(value, 0.5) AS med
-  FROM events GROUP BY event_type
-),
+    _eva_med = _pctl_skel(
+        "SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v "
+        "FROM events",
+        ["event_type"],
+        f"{_pctl_num_sql(1, 2)} AS mednum",
+    )
+    _eva_mad_src = """SELECT e.event_type,
+    ABS(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT) * 2 - med.mednum) AS v
+  FROM events e JOIN med USING (event_type)"""
+    _eva_mad = _pctl_skel(_eva_mad_src, ["event_type"], f"{_pctl_num_sql(1, 2)} AS madnum")
+    sqls["event_value_anomalies"] = f"""
+WITH med AS ({_eva_med}),
 dev AS (
-  SELECT e.event_type, e.value, med.med, abs(e.value - med.med) AS dev
+  SELECT e.event_type,
+    ABS(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT) * 2 - med.mednum) AS devx,
+    med.mednum
   FROM events e JOIN med USING (event_type)
 ),
-mad AS (
-  SELECT event_type, quantile_cont(dev, 0.5) AS mad
-  FROM dev GROUP BY event_type
-)
-SELECT d.event_type, MIN(d.med) AS med, MIN(m.mad) AS mad,
+mad AS ({_eva_mad})
+SELECT d.event_type,
+  CAST(MIN(d.mednum) AS DOUBLE) / 200.0 AS med,
+  CAST(MIN(m.madnum) AS DOUBLE) / 400.0 AS mad,
   CAST(COUNT(*) AS BIGINT) AS n_events,
-  CAST(SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+  CAST(SUM(CASE WHEN d.devx * 2 > 3 * m.madnum THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_outliers
 FROM dev d JOIN mad m USING (event_type)
 GROUP BY d.event_type ORDER BY d.event_type
 """
@@ -4381,7 +4444,14 @@ GROUP BY 1 ORDER BY support DESC
 
     # operators/attribution.py:conversion_latency_quantiles — first touch
     # by (ts, event_id) min, integer-second latency, exact percentiles.
-    sqls["conversion_latency_quantiles"] = """
+    _clq_pctl = _pctl_skel(
+        "SELECT first_touch_type, latency_s AS v FROM lat",
+        ["first_touch_type"],
+        f"""MAX(n) AS n_purchases,
+  CAST({_pctl_num_sql(1, 2)} AS DOUBLE) / 2.0 AS p50_latency_s,
+  CAST({_pctl_num_sql(9, 10)} AS DOUBLE) / 10.0 AS p90_latency_s""",
+    )
+    sqls["conversion_latency_quantiles"] = f"""
 WITH purchases AS (
   SELECT user_id AS u, ts AS pts, event_id AS pid
   FROM events WHERE event_type = 'purchase'
@@ -4404,16 +4474,24 @@ lat AS (
   SELECT ft_type AS first_touch_type,
     (epoch_us(pts) - epoch_us(ft_ts)) // 1000000 AS latency_s
   FROM first
-)
-SELECT first_touch_type, CAST(COUNT(*) AS BIGINT) AS n_purchases,
-  quantile_cont(latency_s, 0.5) AS p50_latency_s,
-  quantile_cont(latency_s, 0.9) AS p90_latency_s
-FROM lat GROUP BY first_touch_type ORDER BY first_touch_type
+),
+pctl AS ({_clq_pctl})
+SELECT * FROM pctl
 """
 
     # operators/anomaly.py:dow_daily_anomalies — median/MAD per day-of-week
     # over exact-cents daily totals (DuckDB dow is 0=Sunday, Spark 1=Sunday).
-    sqls["dow_daily_anomalies"] = """
+    _dda_med = _pctl_skel(
+        "SELECT dow, cents AS v FROM dowed",
+        ["dow"],
+        f"{_pctl_num_sql(1, 2)} AS mednum",
+    )
+    _dda_mad = _pctl_skel(
+        "SELECT dow, devx AS v FROM dev",
+        ["dow"],
+        f"{_pctl_num_sql(1, 2)} AS madnum",
+    )
+    sqls["dow_daily_anomalies"] = f"""
 WITH daily AS (
   SELECT date_trunc('day', ts) AS day,
     CAST(SUM(CAST(value AS DECIMAL(14,2))) * 100 AS BIGINT) AS cents
@@ -4422,15 +4500,16 @@ WITH daily AS (
 dowed AS (
   SELECT CAST(dayofweek(day) + 1 AS INTEGER) AS dow, cents FROM daily
 ),
-med AS (SELECT dow, quantile_cont(cents, 0.5) AS med_cents FROM dowed GROUP BY dow),
+med AS ({_dda_med}),
 dev AS (
-  SELECT d.dow, d.cents, m.med_cents, abs(d.cents - m.med_cents) AS dev
+  SELECT d.dow, ABS(d.cents * 2 - m.mednum) AS devx, m.mednum
   FROM dowed d JOIN med m USING (dow)
 ),
-mad AS (SELECT dow, quantile_cont(dev, 0.5) AS mad_cents FROM dev GROUP BY dow)
+mad AS ({_dda_mad})
 SELECT d.dow, CAST(COUNT(*) AS BIGINT) AS n_days,
-  MIN(d.med_cents) AS med_cents, MIN(m.mad_cents) AS mad_cents,
-  CAST(SUM(CASE WHEN d.dev > 3 * m.mad_cents THEN 1 ELSE 0 END) AS BIGINT)
+  CAST(MIN(d.mednum) AS DOUBLE) / 2.0 AS med_cents,
+  CAST(MIN(m.madnum) AS DOUBLE) / 4.0 AS mad_cents,
+  CAST(SUM(CASE WHEN d.devx * 2 > 3 * m.madnum THEN 1 ELSE 0 END) AS BIGINT)
     AS n_outliers
 FROM dev d JOIN mad m USING (dow)
 GROUP BY d.dow ORDER BY d.dow
@@ -4751,6 +4830,11 @@ FROM agg ORDER BY o_year
 
     # similarity/gram.py:embedding_quality_report — quantized exact norms
     # through the parity-pinned percentile; null-safe accounting.
+    _eqr_pctl = _pctl_skel(
+        "SELECT sqn AS v FROM q WHERE sqn IS NOT NULL",
+        [],
+        f"CAST({_pctl_num_sql(1, 2)} AS DOUBLE) / 2.0 AS p50_sqnorm_fp",
+    )
     sqls["embedding_quality_report"] = f"""
 WITH dim0 AS (
   SELECT MIN(len(embedding)) AS d0 FROM embeddings WHERE embedding IS NOT NULL
@@ -4763,13 +4847,14 @@ q AS (
       list_sum(list_transform({_QE}, x -> x * x))
     END AS sqn
   FROM embeddings CROSS JOIN dim0 d
-)
+),
+pctl AS ({_eqr_pctl})
 SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
   CAST((SELECT d0 FROM dim0) AS BIGINT) AS n_dims,
   CAST(SUM(dim_mismatch) AS BIGINT) AS n_dim_mismatch,
   CAST(SUM(is_null) AS BIGINT) AS n_null_vec,
   CAST(SUM(CASE WHEN sqn = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
-  quantile_cont(sqn, 0.5) AS p50_sqnorm_fp,
+  (SELECT p50_sqnorm_fp FROM pctl) AS p50_sqnorm_fp,
   CAST(MAX(sqn) AS BIGINT) AS max_sqnorm_fp
 FROM q
 """
@@ -4887,7 +4972,13 @@ FROM sizes GROUP BY n_items ORDER BY n_items
 
     # recs/itemsets.py:repurchase_cycle_topk — per-(customer, product)
     # date-gap lags, median per product, shortest-cycle top-k.
-    sqls["repurchase_cycle_topk"] = """
+    _rct_pctl = _pctl_skel(
+        "SELECT p, gap AS v FROM gaps WHERE gap IS NOT NULL",
+        ["p"],
+        f"""MAX(n) AS n_gaps,
+  CAST({_pctl_num_sql(1, 2)} AS DOUBLE) / 2.0 AS p50_gap_days""",
+    )
+    sqls["repurchase_cycle_topk"] = f"""
 WITH dated AS (
   SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p,
     date_trunc('day', o.o_orderdate) AS d
@@ -4897,11 +4988,10 @@ gaps AS (
   SELECT p, CAST(date_diff('day', lag(d) OVER w, d) AS BIGINT) AS gap
   FROM dated
   WINDOW w AS (PARTITION BY c, p ORDER BY d)
-)
-SELECT p AS l_partkey, CAST(COUNT(*) AS BIGINT) AS n_gaps,
-  quantile_cont(gap, 0.5) AS p50_gap_days
-FROM gaps WHERE gap IS NOT NULL
-GROUP BY p HAVING COUNT(*) >= 2
+),
+pctl AS ({_rct_pctl})
+SELECT p AS l_partkey, n_gaps, p50_gap_days
+FROM pctl WHERE n_gaps >= 2
 ORDER BY p50_gap_days ASC, l_partkey ASC LIMIT 20
 """
 
@@ -5022,14 +5112,50 @@ FROM per_doc GROUP BY source ORDER BY source
 """
 
 
-    # operators/timeseries.py:daily_value_bands
+    # operators/timeseries.py:daily_value_bands — engine-independent
+    # exact-interpolation percentiles: cents histogram + integer ranks +
+    # ONE shared float tree (Spark percentile vs DuckDB quantile_cont
+    # interpolate differently in the last ulp; diverged at sf0.1).
     sqls["daily_value_bands"] = """
-SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-  CAST(COUNT(*) AS BIGINT) AS n_events,
-  quantile_cont(value, 0.1) AS p10,
-  quantile_cont(value, 0.5) AS p50,
-  quantile_cont(value, 0.9) AS p90
-FROM events GROUP BY 1 ORDER BY day
+WITH per_vc AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+    CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT day, cents, c,
+    CAST(SUM(c) OVER (PARTITION BY day ORDER BY cents
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM per_vc
+), stats AS (
+  SELECT day, CAST(SUM(c) AS BIGINT) AS n FROM per_vc GROUP BY day
+), j AS (
+  SELECT cum.day, cum.cents, cum.cum, stats.n
+  FROM cum JOIN stats ON cum.day = stats.day
+)
+SELECT day, MAX(n) AS n_events,
+  (CAST(MIN(CASE WHEN cum >= (1 * (n - 1)) // 10 + 1 THEN cents END) AS DOUBLE)
+   + CAST(MIN(CASE WHEN cum >= (1 * (n - 1)) // 10
+                  + (CASE WHEN (1 * (n - 1)) % 10 > 0 THEN 1 ELSE 0 END) + 1
+              THEN cents END)
+        - MIN(CASE WHEN cum >= (1 * (n - 1)) // 10 + 1 THEN cents END)
+       AS DOUBLE)
+     * MAX(CAST((1 * (n - 1)) % 10 AS DOUBLE) / 10.0)) / 100.0 AS p10,
+  (CAST(MIN(CASE WHEN cum >= (1 * (n - 1)) // 2 + 1 THEN cents END) AS DOUBLE)
+   + CAST(MIN(CASE WHEN cum >= (1 * (n - 1)) // 2
+                  + (CASE WHEN (1 * (n - 1)) % 2 > 0 THEN 1 ELSE 0 END) + 1
+              THEN cents END)
+        - MIN(CASE WHEN cum >= (1 * (n - 1)) // 2 + 1 THEN cents END)
+       AS DOUBLE)
+     * MAX(CAST((1 * (n - 1)) % 2 AS DOUBLE) / 2.0)) / 100.0 AS p50,
+  (CAST(MIN(CASE WHEN cum >= (9 * (n - 1)) // 10 + 1 THEN cents END) AS DOUBLE)
+   + CAST(MIN(CASE WHEN cum >= (9 * (n - 1)) // 10
+                  + (CASE WHEN (9 * (n - 1)) % 10 > 0 THEN 1 ELSE 0 END) + 1
+              THEN cents END)
+        - MIN(CASE WHEN cum >= (9 * (n - 1)) // 10 + 1 THEN cents END)
+       AS DOUBLE)
+     * MAX(CAST((9 * (n - 1)) % 10 AS DOUBLE) / 10.0)) / 100.0 AS p90
+FROM j GROUP BY day ORDER BY day
 """
 
     # functions/text.py:lang_script_crosstab — fixed CASE argmax priority

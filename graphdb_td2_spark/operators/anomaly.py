@@ -29,25 +29,44 @@ def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: ``(event_type, med, mad, n_events, n_outliers)``
     — per-type robust center/spread and the count of values beyond
     ``med ± 3·MAD``, ordered by event_type."""
+    from .percentiles import percentile_numerators
+
     events = read_table(spark, sf_dir, "events", ["event_type", "value"])
-    med = events.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
+    # exact half-cent algebra: med = mednum/200 (2-dp values through exact
+    # cents; the den-2 interpolation numerator is an exact INTEGER in
+    # half-cents), dev = |2c − mednum|/200, mad = madnum/400, and the
+    # outlier test dev > K·mad is the integer test 2·devx > K·madnum —
+    # no float enters until the two output divisions
+    q = events.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
     )
-    with_dev = events.join(F.broadcast(med), "event_type").select(
-        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    med = percentile_numerators(
+        q.select("event_type", F.col("c").alias("cents")),
+        ["event_type"],
+        "cents",
+        [(1, 2, "mednum")],
+    ).select("event_type", "mednum")
+    with_dev = q.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "mednum",
+        F.abs(F.col("c") * 2 - F.col("mednum")).alias("devx"),
     )
-    mad = with_dev.groupBy("event_type").agg(
-        F.expr("percentile(dev, 0.5)").alias("mad")
-    )
+    mad = percentile_numerators(
+        with_dev.select("event_type", F.col("devx").alias("d")),
+        ["event_type"],
+        "d",
+        [(1, 2, "madnum")],
+    ).select("event_type", "madnum")
     return (
         with_dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(
-            F.first("med").alias("med"),
-            F.first("mad").alias("mad"),
+            (F.first("mednum").cast("double") / F.lit(200.0)).alias("med"),
+            (F.first("madnum").cast("double") / F.lit(400.0)).alias("mad"),
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.sum(
-                (F.col("dev") > F.lit(float(MAD_K)) * F.col("mad")).cast("long")
+                (F.col("devx") * 2 > F.lit(MAD_K) * F.col("madnum")).cast("long")
             )
             .cast("long")
             .alias("n_outliers"),
@@ -79,21 +98,32 @@ def dow_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum("v") * 100).cast("long").alias("cents"))
         .select(F.dayofweek("day").alias("dow"), "cents")
     )
-    med = daily.groupBy("dow").agg(F.expr("percentile(cents, 0.5)").alias("med_cents"))
+    from .percentiles import percentile_numerators
+
+    # exact half-cent algebra (see event_value_anomalies): med_cents =
+    # mednum/2, dev = devx/2 (half-cents), mad_cents = madnum/4, and the
+    # outlier test is the integer comparison 2·devx > K·madnum
+    med = percentile_numerators(
+        daily, ["dow"], "cents", [(1, 2, "mednum")]
+    ).select("dow", "mednum")
     dev = daily.join(F.broadcast(med), "dow").select(
-        "dow", "cents", "med_cents",
-        F.abs(F.col("cents") - F.col("med_cents")).alias("dev"),
+        "dow",
+        "mednum",
+        F.abs(F.col("cents") * 2 - F.col("mednum")).alias("devx"),
     )
-    mad = dev.groupBy("dow").agg(F.expr("percentile(dev, 0.5)").alias("mad_cents"))
+    mad = percentile_numerators(
+        dev.select("dow", F.col("devx").alias("d")), ["dow"], "d",
+        [(1, 2, "madnum")],
+    ).select("dow", "madnum")
     return (
         dev.join(F.broadcast(mad), "dow")
         .groupBy("dow")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_days"),
-            F.first("med_cents").alias("med_cents"),
-            F.first("mad_cents").alias("mad_cents"),
+            (F.first("mednum").cast("double") / F.lit(2.0)).alias("med_cents"),
+            (F.first("madnum").cast("double") / F.lit(4.0)).alias("mad_cents"),
             F.sum(
-                (F.col("dev") > F.lit(float(MAD_K)) * F.col("mad_cents")).cast("long")
+                (F.col("devx") * 2 > F.lit(MAD_K) * F.col("madnum")).cast("long")
             )
             .cast("long")
             .alias("n_outliers"),
@@ -115,22 +145,34 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines). Scale: two grouped passes (percentiles, then clip+agg
     against the broadcast bounds).
     """
+    from .percentiles import percentile_numerators
+
     events = read_table(spark, sf_dir, "events", ["event_type", "value"])
-    bounds = events.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.01)").alias("p01"),
-        F.expr("percentile(value, 0.99)").alias("p99"),
+    q = events.select(
+        "event_type",
+        "value",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
     )
+    # engine-exact bounds: integer percentile numerators over the cents
+    # histogram (operators/percentiles.py); p01 = p01n/10000 exactly, and
+    # the clip test value < p01 becomes the INTEGER test 100·c < p01n
+    bounds = percentile_numerators(
+        q.select("event_type", F.col("c").alias("cents")),
+        ["event_type"],
+        "cents",
+        [(1, 100, "p01n"), (99, 100, "p99n")],
+    ).select("event_type", "p01n", "p99n")
     # A direct Σ(clipped doubles) would be summation-order-dependent; the
     # winsorized mean decomposes exactly instead: the in-range mass is an
     # exact DECIMAL sum (≤2-dp values), the clipped tails contribute
     # count·bound — a fixed expression over deterministic scalars.
-    tagged = events.join(F.broadcast(bounds), "event_type").select(
+    tagged = q.join(F.broadcast(bounds), "event_type").select(
         "event_type",
         "value",
-        "p01",
-        "p99",
-        (F.col("value") < F.col("p01")).alias("lo"),
-        (F.col("value") > F.col("p99")).alias("hi"),
+        (F.col("p01n").cast("double") / F.lit(10000.0)).alias("p01"),
+        (F.col("p99n").cast("double") / F.lit(10000.0)).alias("p99"),
+        (F.col("c") * 100 < F.col("p01n")).alias("lo"),
+        (F.col("c") * 100 > F.col("p99n")).alias("hi"),
     )
     n = F.count(F.lit(1))
     agg = tagged.groupBy("event_type").agg(

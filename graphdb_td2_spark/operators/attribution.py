@@ -175,12 +175,15 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "latency_s"
         ),
     )
-    return (
-        lat.groupBy("first_touch_type")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_purchases"),
-            F.expr("percentile(latency_s, 0.5)").alias("p50_latency_s"),
-            F.expr("percentile(latency_s, 0.9)").alias("p90_latency_s"),
-        )
-        .orderBy("first_touch_type")
+    from .percentiles import as_value, percentile_numerators
+
+    pf = percentile_numerators(
+        lat, ["first_touch_type"], "latency_s",
+        [(1, 2, "p50n"), (9, 10, "p90n")],
     )
+    return pf.select(
+        "first_touch_type",
+        F.col("n").alias("n_purchases"),
+        as_value(F.col("p50n"), 2).alias("p50_latency_s"),
+        as_value(F.col("p90n"), 10).alias("p90_latency_s"),
+    ).orderBy("first_touch_type")

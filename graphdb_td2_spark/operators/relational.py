@@ -260,21 +260,34 @@ def returnflag_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact linear-interpolation percentiles of event value per type —
-    Spark ``percentile`` and DuckDB ``quantile_cont`` share the formula
-    (a + (b-a)·f), so results are IEEE-identical on identical inputs."""
+    """Exact linear-interpolation percentiles of event value per type.
+
+    Engine-exact via ``operators/percentiles.py``: 2-decimal values go
+    through exact cents, ranks are integer arithmetic over a
+    per-(type, cents) histogram, and the single float step is one shared
+    division (Spark ``percentile`` vs DuckDB ``quantile_cont`` differ in
+    the last ulp for the wrong group size — the r7 sf0.1 lesson)."""
+    from .percentiles import as_value, percentile_numerators
+
     events = read_table(spark, sf_dir, "events", ["event_type", "value"])
-    return (
-        events.groupBy("event_type")
-        .agg(
-            F.expr("percentile(value, 0.25)").alias("p25"),
-            F.expr("percentile(value, 0.5)").alias("p50"),
-            F.expr("percentile(value, 0.75)").alias("p75"),
-            F.expr("percentile(value, 0.95)").alias("p95"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-        .orderBy("event_type")
+    q = events.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     )
+    pf = percentile_numerators(
+        q,
+        ["event_type"],
+        "cents",
+        [(1, 4, "p25n"), (1, 2, "p50n"), (3, 4, "p75n"), (19, 20, "p95n")],
+    )
+    return pf.select(
+        "event_type",
+        as_value(F.col("p25n"), 4, 100.0).alias("p25"),
+        as_value(F.col("p50n"), 2, 100.0).alias("p50"),
+        as_value(F.col("p75n"), 4, 100.0).alias("p75"),
+        as_value(F.col("p95n"), 20, 100.0).alias("p95"),
+        F.col("n").alias("n_events"),
+    ).orderBy("event_type")
 
 
 def top_price_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -490,15 +503,17 @@ def shipping_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast("long").alias("d"),
     )
-    return (
-        lat.groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_items"),
-            F.expr("percentile(d, 0.5)").alias("p50_days"),
-            F.expr("percentile(d, 0.9)").alias("p90_days"),
-        )
-        .orderBy("o_orderpriority")
+    from .percentiles import as_value, percentile_numerators
+
+    pf = percentile_numerators(
+        lat, ["o_orderpriority"], "d", [(1, 2, "p50n"), (9, 10, "p90n")]
     )
+    return pf.select(
+        "o_orderpriority",
+        F.col("n").alias("n_items"),
+        as_value(F.col("p50n"), 2).alias("p50_days"),
+        as_value(F.col("p90n"), 10).alias("p90_days"),
+    ).orderBy("o_orderpriority")
 
 
 def supplier_concentration_topk(

@@ -307,17 +307,68 @@ def smoothed_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def daily_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: ``(day, n_events, p10, p50, p90)`` — per-day
     percentile envelope of event values (the anomaly-band chart the
-    daily dashboards draw around the median). Exact-interpolation
-    percentiles per day group; output bounded by the day axis. Ordered
-    by day."""
+    daily dashboards draw around the median). Ordered by day.
+
+    Exact-interpolation percentiles, computed WITHOUT the engine's
+    percentile aggregate: Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` interpolate through different IEEE expression
+    trees, which diverges in the last ulp once a day group's size hits
+    the wrong fraction (a volume-dependent hash mismatch first seen at
+    sf0.1). Instead the 2-decimal values go through exact cents into a
+    per-(day, cents) histogram; the bounding ranks are integer
+    arithmetic (pos = p·(n−1) as floor + exact rational fraction), the
+    straddling cent values come from a day-partitioned cumulative count
+    (no single-partition window), and the one float expression
+    ``(lo + (hi−lo)·f)/100`` is evaluated identically on both engines.
+    The histogram also removes any per-day memory blowup: state is
+    |distinct cents| per day, not |events|."""
+    from pyspark.sql import Window
+
     events = read_table(spark, sf_dir, "events", ["ts", "value"])
+    per_vc = (
+        events.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("day", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per_vc.select(
+        "day", "cents", F.sum("c").over(w).cast("long").alias("cum")
+    )
+    stats = per_vc.groupBy("day").agg(F.sum("c").cast("long").alias("n"))
+    j = cum.join(stats, "day")
+
+    def band(num_mult: int, den: int, name: str):
+        # pos = num/den with num = num_mult·(n−1); lo rank = num div den,
+        # hi rank = lo + (1 if num % den else 0); f = (num % den)/den
+        num = F.lit(num_mult) * (F.col("n") - 1)
+        lo_rk = F.floor(num / den).cast("long")
+        rem = num % den
+        hi_rk = lo_rk + (rem > 0).cast("long")
+        lo_c = F.min(F.when(F.col("cum") >= lo_rk + 1, F.col("cents")))
+        hi_c = F.min(F.when(F.col("cum") >= hi_rk + 1, F.col("cents")))
+        frac = rem.cast("double") / F.lit(float(den))
+        return (
+            (
+                lo_c.cast("double")
+                + (hi_c - lo_c).cast("double") * F.max(frac)
+            )
+            / F.lit(100.0)
+        ).alias(name)
+
     return (
-        events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        j.groupBy("day")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.expr("percentile(value, 0.1)").alias("p10"),
-            F.expr("percentile(value, 0.5)").alias("p50"),
-            F.expr("percentile(value, 0.9)").alias("p90"),
+            F.max("n").alias("n_events"),
+            band(1, 10, "p10"),
+            band(1, 2, "p50"),
+            band(9, 10, "p90"),
         )
         .orderBy("day")
     )

@@ -161,14 +161,16 @@ def repurchase_cycle_topk(
     gaps = dated.select(
         "p", F.datediff(F.col("d"), F.lag("d").over(w)).cast("long").alias("gap")
     ).filter(F.col("gap").isNotNull())
+    from ..operators.percentiles import as_value, percentile_numerators
+
+    pf = percentile_numerators(gaps, ["p"], "gap", [(1, 2, "p50n")])
     return (
-        gaps.groupBy("p")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_gaps"),
-            F.expr("percentile(gap, 0.5)").alias("p50_gap_days"),
+        pf.filter(F.col("n") >= min_gaps)
+        .select(
+            F.col("p").alias("l_partkey"),
+            F.col("n").alias("n_gaps"),
+            as_value(F.col("p50n"), 2).alias("p50_gap_days"),
         )
-        .filter(F.col("n_gaps") >= min_gaps)
-        .select(F.col("p").alias("l_partkey"), "n_gaps", "p50_gap_days")
         .orderBy(F.asc("p50_gap_days"), F.asc("l_partkey"))
         .limit(k)
     )

@@ -181,7 +181,19 @@ def embedding_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             sqnorm_q(quantize_embedding(F.col("embedding"))),
         ).alias("sqn"),
     )
-    return q.crossJoin(F.broadcast(dim0)).agg(
+    from ..operators.percentiles import percentile_numerators
+
+    # engine-exact global median of the int64 norms: histogram percentile
+    # with a monotone 2^20-wide bucket (two-phase prefix sum, no
+    # single-partition window); p50 = numerator/2 exactly
+    med = percentile_numerators(
+        q.filter(F.col("sqn").isNotNull()).select(F.col("sqn").alias("v")),
+        [],
+        "v",
+        [(1, 2, "p50n")],
+        global_bucket=F.floor(F.col("v") / F.lit(1048576)),
+    ).select((F.col("p50n").cast("double") / F.lit(2.0)).alias("p50_sqnorm_fp"))
+    stats = q.crossJoin(F.broadcast(dim0)).agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
         F.first("d0").cast("long").alias("n_dims"),
         F.sum("dim_mismatch").cast("long").alias("n_dim_mismatch"),
@@ -189,6 +201,14 @@ def embedding_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce((F.col("sqn") == 0).cast("long"), F.lit(0)))
         .cast("long")
         .alias("n_zero_norm"),
-        F.expr("percentile(sqn, 0.5)").alias("p50_sqnorm_fp"),
         F.max("sqn").cast("long").alias("max_sqnorm_fp"),
+    )
+    return stats.crossJoin(F.broadcast(med)).select(
+        "n_vecs",
+        "n_dims",
+        "n_dim_mismatch",
+        "n_null_vec",
+        "n_zero_norm",
+        "p50_sqnorm_fp",
+        "max_sqnorm_fp",
     )
