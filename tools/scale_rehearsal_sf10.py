@@ -10,8 +10,8 @@ shifted by copy·OFF, so join selectivities and per-key fan-outs match
 sf0.1 exactly while totals grow 100×. documents.text is word-rotated per
 copy so cross-copy shingle similarity stays at background level (no
 artificial 100-cliques in the dedup operators). region/nation stay
-fixed, as a real scale-up keeps its dimensions. embeddings are skipped —
-none of the rehearsed shapes read them.
+fixed, as a real scale-up keeps its dimensions. embeddings are
+component-rotated per copy (the graph build loads every table).
 
 The lake build (bucketed adjacency/signature tables) is timed separately
 at each scale, mirroring bench.py's ETL-vs-serving split.
@@ -59,6 +59,7 @@ KEY_SHIFTS: dict[str, list[str]] = {
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
 }
 COPY_AS_IS = ["region", "nation"]
 
@@ -87,6 +88,22 @@ def _generate(spark) -> None:
             df = df.withColumn(
                 "props",
                 F.concat(F.lit('{"k": '), k.cast("string"), F.lit("}")),
+            )
+        if table == "embeddings":
+            # component-rotate per copy: within-copy cosine geometry
+            # identical, cross-copy cosine ~ background
+            df = (
+                df.withColumn("__r", F.col("__copy") % F.size("embedding"))
+                .withColumn(
+                    "embedding",
+                    F.concat(
+                        F.expr(
+                            "slice(embedding, __r + 1, size(embedding) - __r)"
+                        ),
+                        F.expr("slice(embedding, 1, __r)"),
+                    ),
+                )
+                .drop("__r")
             )
         if table == "documents":
             # word-rotate by a per-copy stride: within-copy shingle
