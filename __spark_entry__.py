@@ -136,6 +136,8 @@ from graphdb_td2_spark.graph.triangles import (
     edge_support_histogram,
     ktruss_edge_counts,
 )
+from graphdb_td2_spark.dedup.overlap import source_overlap_matrix
+from graphdb_td2_spark.functions.scoring import perceptron_lang_curve
 from graphdb_td2_spark.operators.cdc import scd2_customer_history
 from graphdb_td2_spark.operators.timeseries import (
     daily_value_bands,
@@ -500,6 +502,10 @@ DEMOTED_TAIL = (
                            # (join+ratio family)
     "rich_club_coefficients",  # hub-interconnection density — graph-
                                # diagnostic family
+    "source_overlap_matrix",  # cross-source shingle Jaccard — the
+                              # source-level member of the dedup family
+    "perceptron_lang_curve",  # batch-perceptron training curve — the
+                              # learned counterpart of gini_stump_train
 )
 
 
@@ -706,6 +712,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_median_price": rel.weighted_median_price,
         "brand_return_rates": rel.brand_return_rates,
         "rich_club_coefficients": rich_club_coefficients,
+        "source_overlap_matrix": source_overlap_matrix,
+        "perceptron_lang_curve": perceptron_lang_curve,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -1513,6 +1521,70 @@ WITH scored AS (
 SELECT lang, {case} AS predicted_lang, COUNT(*) AS n_docs
 FROM scored GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang
 """
+
+
+def _perceptron_sql(epochs: int = 4, n_features: int = 8) -> str:
+    """Unrolled-CTE batch perceptron (functions/scoring.py:
+    perceptron_lang_curve): integer weights/bias per epoch, same md5
+    feature buckets, same batch update — bit-exact curve."""
+    parts = [
+        f"""
+WITH feats AS MATERIALIZED (
+  SELECT doc_id,
+    CAST((CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % {n_features})
+      AS BIGINT) AS bucket,
+    CAST(COUNT(*) AS BIGINT) AS x
+  FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+  GROUP BY doc_id, bucket
+),
+labels AS (
+  SELECT doc_id,
+    CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y
+  FROM documents
+),
+w0 AS (
+  SELECT CAST(j AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS w
+  FROM range({n_features}) t(j)
+),
+b0 AS (SELECT CAST(0 AS BIGINT) AS b)"""
+    ]
+    for e in range(1, epochs + 1):
+        parts.append(
+            f""",
+score{e} AS (
+  SELECT l.doc_id, l.y,
+    CAST(COALESCE(SUM(f.x * w.w), 0) + (SELECT b FROM b{e - 1}) AS BIGINT)
+      AS score
+  FROM labels l
+  LEFT JOIN feats f ON l.doc_id = f.doc_id
+  LEFT JOIN w{e - 1} w ON f.bucket = w.bucket
+  GROUP BY l.doc_id, l.y
+),
+mist{e} AS (SELECT * FROM score{e} WHERE y * score <= 0),
+dw{e} AS (
+  SELECT f.bucket, CAST(SUM(m.y * f.x) AS BIGINT) AS dw
+  FROM mist{e} m JOIN feats f ON m.doc_id = f.doc_id GROUP BY f.bucket
+),
+w{e} AS (
+  SELECT w.bucket, CAST(w.w + COALESCE(d.dw, 0) AS BIGINT) AS w
+  FROM w{e - 1} w LEFT JOIN dw{e} d ON w.bucket = d.bucket
+),
+b{e} AS (
+  SELECT CAST((SELECT b FROM b{e - 1})
+       + COALESCE((SELECT SUM(y) FROM mist{e}), 0) AS BIGINT) AS b
+),
+stat{e} AS (
+  SELECT CAST({e} AS BIGINT) AS epoch,
+    CAST((SELECT COUNT(*) FROM mist{e}) AS BIGINT) AS n_mistakes,
+    (SELECT b FROM b{e}) AS bias,
+    CAST((SELECT SUM(ABS(w)) FROM w{e}) AS BIGINT) AS w_l1
+)"""
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT * FROM stat{e}" for e in range(1, epochs + 1)
+    )
+    parts.append("\n" + sel + " ORDER BY epoch")
+    return "".join(parts)
 
 
 def _pctl_num_sql(m: int, den: int, v: str = "v") -> str:
@@ -5337,5 +5409,38 @@ SELECT k, n_nodes, n_edges_within,
   END AS phi
 FROM rows_ ORDER BY k
 """
+
+    # dedup/overlap.py:source_overlap_matrix — per-source distinct shingle
+    # sets, pairwise intersections via the shingle-keyed self-join, one
+    # integer division for Jaccard.
+    sqls["source_overlap_matrix"] = f"""
+WITH doc_shingles AS (
+  SELECT doc_id, unnest(sh) AS shingle
+  FROM (SELECT doc_id, {_SHINGLES} AS sh FROM documents)
+),
+per_ss AS (
+  SELECT DISTINCT d.source, s.shingle
+  FROM doc_shingles s JOIN documents d USING (doc_id)
+),
+sizes AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM per_ss GROUP BY source
+),
+common AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+    CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM per_ss a JOIN per_ss b
+    ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, n_common,
+  CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE)
+    AS jaccard
+FROM common
+JOIN sizes sa ON source_a = sa.source
+JOIN sizes sb ON source_b = sb.source
+ORDER BY source_a, source_b
+"""
+
+    sqls["perceptron_lang_curve"] = _perceptron_sql()
 
     return sqls

@@ -168,3 +168,105 @@ def gini_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("posr").alias("pos_right"),
         "weighted_gini",
     )
+
+
+PERCEPTRON_EPOCHS = 4
+PERCEPTRON_FEATURES = 8
+
+
+def perceptron_lang_curve(
+    spark: SparkSession,
+    sf_dir: str,
+    epochs: int = PERCEPTRON_EPOCHS,
+    n_features: int = PERCEPTRON_FEATURES,
+) -> DataFrame:
+    """Registry entry: ``(epoch, n_mistakes, bias, w_l1)`` — the
+    per-epoch training curve of a BATCH PERCEPTRON classifying documents
+    as English (``lang = 'en'`` → +1) from hashed token-count features —
+    the quality-classifier training loop of a data pipeline, run
+    entirely in exact integers so the DuckDB unrolled-CTE oracle
+    reproduces every weight bit-for-bit.
+
+    Per epoch: score_d = b + Σ_j w_j·x_dj; a document is a mistake when
+    y·score ≤ 0; w += Σ_mistakes y·x and b += Σ_mistakes y (the batch
+    update). Weights, bias, scores, and the curve stats are all BIGINT —
+    no learning-rate float, which is the perceptron's gift (scale
+    invariance) and what makes iterative training hash-checkable
+    (the same trick as the fixed-point ALS / PageRank tiers).
+
+    Scale notes: the epoch body is (feature table ⋈ broadcast 8-row
+    weight vector) → per-doc partial-agged score → mistake filter →
+    per-feature delta agg — the textbook distributed linear-model step
+    (model broadcast, data never moves; gradient shuffle is
+    |features|-sized). Epochs are unrolled DataFrame ops, no driver
+    loop over data.
+    """
+    from .hashing_tf import feature_bucket
+
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "lang", "text"])
+    feats = (
+        docs.select(
+            "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+        )
+        .select(
+            "doc_id", feature_bucket(F.col("token"), n_features).alias("bucket")
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .persist()
+    )
+    labels = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+    )
+    w = spark.createDataFrame(
+        [(j, 0) for j in range(n_features)], "bucket long, w long"
+    )
+    b = spark.createDataFrame([(0,)], "b long")
+    curves = []
+    for epoch in range(1, epochs + 1):
+        scored = (
+            labels.join(feats, "doc_id", "left")
+            .join(F.broadcast(w), "bucket", "left")
+            .groupBy("doc_id", "y")
+            .agg(
+                F.coalesce(F.sum(F.col("x") * F.col("w")), F.lit(0))
+                .cast("long")
+                .alias("s")
+            )
+            .crossJoin(F.broadcast(b))
+            .select("doc_id", "y", (F.col("s") + F.col("b")).alias("score"))
+        )
+        mist = scored.filter(F.col("y") * F.col("score") <= 0)
+        dw = (
+            mist.join(feats, "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("y") * F.col("x")).cast("long").alias("dw"))
+        )
+        w = w.join(dw, "bucket", "left").select(
+            "bucket",
+            (F.col("w") + F.coalesce(F.col("dw"), F.lit(0)))
+            .cast("long")
+            .alias("w"),
+        )
+        db = mist.agg(
+            F.count(F.lit(1)).cast("long").alias("n_mistakes"),
+            F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("db"),
+        )
+        b = b.crossJoin(F.broadcast(db)).select(
+            (F.col("b") + F.col("db")).cast("long").alias("b")
+        )
+        w_l1 = w.agg(F.sum(F.abs(F.col("w"))).cast("long").alias("w_l1"))
+        curves.append(
+            db.select(F.lit(epoch).cast("long").alias("epoch"), "n_mistakes")
+            .crossJoin(F.broadcast(b))
+            .crossJoin(F.broadcast(w_l1))
+            .select("epoch", "n_mistakes", F.col("b").alias("bias"), "w_l1")
+        )
+    out = curves[0]
+    for c in curves[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("epoch")
