@@ -138,6 +138,8 @@ from graphdb_td2_spark.graph.triangles import (
 )
 from graphdb_td2_spark.dedup.overlap import source_overlap_matrix
 from graphdb_td2_spark.functions.scoring import perceptron_lang_curve
+from graphdb_td2_spark.operators.conversion import conversion_funnel_steps
+from graphdb_td2_spark.operators.transitions import top_session_paths
 from graphdb_td2_spark.operators.cdc import scd2_customer_history
 from graphdb_td2_spark.operators.timeseries import (
     daily_value_bands,
@@ -506,6 +508,11 @@ DEMOTED_TAIL = (
                               # source-level member of the dedup family
     "perceptron_lang_curve",  # batch-perceptron training curve — the
                               # learned counterpart of gini_stump_train
+    "conversion_funnel_steps",  # windowed view→click→purchase funnel —
+                                # ordered companion of the bounce/affinity
+                                # conversion family
+    "top_session_paths",  # most common session journeys — full-sequence
+                          # companion of the Markov transition matrix
 )
 
 
@@ -714,6 +721,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club_coefficients": rich_club_coefficients,
         "source_overlap_matrix": source_overlap_matrix,
         "perceptron_lang_curve": perceptron_lang_curve,
+        "conversion_funnel_steps": conversion_funnel_steps,
+        "top_session_paths": top_session_paths,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -5442,5 +5451,79 @@ ORDER BY source_a, source_b
 """
 
     sqls["perceptron_lang_curve"] = _perceptron_sql()
+
+    # operators/conversion.py:conversion_funnel_steps — greedy-from-first-
+    # touch windowed funnel; all step times are exact microsecond minima.
+    _funnel_win = 24 * 3600 * 1_000_000
+    sqls["conversion_funnel_steps"] = f"""
+WITH s1 AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click'
+    AND epoch_us(e.ts) >= s1.t AND epoch_us(e.ts) <= s1.t + {_funnel_win}
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+  FROM events e
+  JOIN s2 ON e.user_id = s2.user_id
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(e.ts) >= s2.t AND epoch_us(e.ts) <= s1.t + {_funnel_win}
+  GROUP BY e.user_id
+),
+wide AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n0,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n1,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n2
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_type, n0 AS n_users,
+    CAST(n0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS share_of_start FROM wide
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), 'click', n1,
+    CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM wide
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), 'purchase', n2,
+    CAST(n2 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM wide
+) ORDER BY step
+"""
+
+    # operators/transitions.py:top_session_paths — sessionize's gap rule,
+    # first-5 type prefix per session via ordered string_agg.
+    sqls["top_session_paths"] = """
+WITH x AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, event_id, event_type,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM x
+), ranked AS (
+  SELECT user_id, session_id, event_type,
+    row_number() OVER (PARTITION BY user_id, session_id
+                       ORDER BY ts, event_id) AS rn
+  FROM s
+), per_session AS (
+  SELECT user_id, session_id,
+    string_agg(CASE WHEN rn <= 5 THEN event_type END, '>' ORDER BY rn)
+      AS path,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM ranked GROUP BY user_id, session_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+  CAST(SUM(converted) AS BIGINT) AS n_converting
+FROM per_session GROUP BY path
+ORDER BY n_sessions DESC, path ASC LIMIT 20
+"""
 
     return sqls

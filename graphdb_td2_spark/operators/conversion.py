@@ -117,3 +117,77 @@ def channel_bounce_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_HOURS = 24
+
+
+def conversion_funnel_steps(
+    spark: SparkSession,
+    sf_dir: str,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    window_hours: int = FUNNEL_WINDOW_HOURS,
+) -> DataFrame:
+    """Registry entry: ``(step, step_type, n_users, share_of_start)`` —
+    the windowed conversion funnel: per user, step k is reached when the
+    EARLIEST qualifying step-k event occurs at-or-after the user's
+    step-(k−1) time and within ``window_hours`` of the user's funnel
+    start (the earliest step-1 event). Ordered by step.
+
+    Semantics note (documented, deterministic): the funnel anchors at
+    each user's EARLIEST step-1 event — the greedy-from-first-touch
+    definition. A user whose first view never converts but whose later
+    view does is counted by the start that actually anchors analytics
+    dashboards ("of users who first saw X, how many bought within a
+    day"). All step times are exact microsecond minima, so the whole
+    funnel is integer comparisons until the one share division.
+
+    Scale notes: k sequential (filter → user-keyed min) aggregates, each
+    partial-agged and joined user-keyed to the previous step's 2-column
+    frame — no window function, no per-event chain search, state is
+    |users reaching step| rows per step.
+    """
+    ev = read_table(spark, sf_dir, "events", ["user_id", "ts", "event_type"])
+    us = ev.select("user_id", F.unix_micros("ts").alias("us"), "event_type")
+    win = window_hours * 3600 * 1_000_000
+    reached = []  # per step: DataFrame (user_id, t_k)
+    for i, step in enumerate(steps):
+        cand = us.filter(F.col("event_type") == step)
+        if i == 0:
+            cur = cand.groupBy("user_id").agg(F.min("us").alias("t"))
+            start = cur.select("user_id", F.col("t").alias("t0"))
+        else:
+            cur = (
+                cand.join(reached[-1].select("user_id", "t"), "user_id")
+                .join(start, "user_id")
+                .filter(
+                    (F.col("us") >= F.col("t"))
+                    & (F.col("us") <= F.col("t0") + F.lit(win))
+                )
+                .groupBy("user_id")
+                .agg(F.min("us").alias("t"))
+            )
+        reached.append(cur)
+    counts = [
+        r.agg(F.count(F.lit(1)).cast("long").alias(f"n{i}"))
+        for i, r in enumerate(reached)
+    ]
+    wide = counts[0]
+    for c in counts[1:]:
+        wide = wide.crossJoin(F.broadcast(c))
+    rows = [
+        wide.select(
+            F.lit(i + 1).cast("long").alias("step"),
+            F.lit(step).alias("step_type"),
+            F.col(f"n{i}").alias("n_users"),
+            (
+                F.col(f"n{i}").cast("double") / F.col("n0").cast("double")
+            ).alias("share_of_start"),
+        )
+        for i, step in enumerate(steps)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("step")

@@ -101,3 +101,82 @@ def event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+PATH_MAX_EVENTS = 5
+PATH_TOPK = 20
+
+
+def top_session_paths(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = PATH_TOPK,
+    max_events: int = PATH_MAX_EVENTS,
+) -> DataFrame:
+    """Registry entry: ``(path, n_sessions, n_converting)`` — the ``k``
+    most common session JOURNEYS: each session's first ``max_events``
+    event types under the canonical (ts, event_id) order joined with
+    '>' (e.g. ``view>click>purchase``), counted across sessions, with
+    how many of those sessions contain a purchase anywhere. The full-
+    sequence companion of the pairwise Markov matrix
+    (``event_transition_matrix``). Ties break on path; ordered by
+    (n_sessions DESC, path ASC).
+
+    Determinism: session assignment is sessionize's integer gap rule;
+    the per-session prefix is taken from a SORTED struct array (ts,
+    event_id, type) — no collect_list order dependence; counts are
+    exact longs.
+
+    Scale notes: one user-keyed window pass (shared shape with the
+    window family), one (user, session) aggregate whose state is the
+    ≤max_events prefix (sort_array over the session's events — bounded
+    by session length), one path rollup, TakeOrderedAndProject.
+    """
+    from .windows import SESSION_GAP_MINUTES
+
+    events = read_table(
+        spark, sf_dir, "events", ["user_id", "ts", "event_id", "event_type"]
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    gap = micros - F.lag(micros).over(w)
+    sess = events.withColumn(
+        "new_session",
+        F.when(
+            gap.isNull() | (gap > SESSION_GAP_MINUTES * 60 * 1_000_000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("session_id", F.sum("new_session").over(w))
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.unix_micros("ts").alias("us"),
+                                F.col("event_id").alias("eid"),
+                                F.col("event_type").alias("t"),
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                1,
+                max_events,
+            ),
+            ">",
+        ).alias("path"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("long")
+        ).alias("converted"),
+    )
+    return (
+        per_session.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("converted").cast("long").alias("n_converting"),
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(k)
+    )

@@ -36,3 +36,33 @@ def test_perceptron_curve_semantics(spark, sf_dir):
     assert rows[1]["w_l1"] > 0
     # training actually reduces mistakes below the all-wrong start
     assert min(r["n_mistakes"] for r in rows.values()) < n_docs
+
+
+def test_funnel_monotone_and_anchored(spark, sf_dir):
+    from graphdb_td2_spark.operators.conversion import conversion_funnel_steps
+
+    rows = {r["step"]: r for r in conversion_funnel_steps(spark, sf_dir).collect()}
+    assert sorted(rows) == [1, 2, 3]
+    assert rows[1]["step_type"] == "view"
+    assert rows[1]["share_of_start"] == 1.0
+    # funnels only narrow
+    assert rows[1]["n_users"] >= rows[2]["n_users"] >= rows[3]["n_users"]
+    for s in (2, 3):
+        assert rows[s]["share_of_start"] == rows[s]["n_users"] / rows[1]["n_users"]
+
+
+def test_top_session_paths_shape(spark, sf_dir):
+    from graphdb_td2_spark.operators.transitions import top_session_paths
+
+    rows = top_session_paths(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    counts = [r["n_sessions"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert 0 <= r["n_converting"] <= r["n_sessions"]
+        parts = r["path"].split(">")
+        assert 1 <= len(parts) <= 5
+        assert all(p in {"view", "click", "purchase", "signup", "error"} for p in parts)
+        # a path containing 'purchase' in its prefix must convert fully
+        if "purchase" in parts:
+            assert r["n_converting"] == r["n_sessions"]
