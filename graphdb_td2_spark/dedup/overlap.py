@@ -38,7 +38,17 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = per_ss.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_shingles")
     )
-    a, b = per_ss.alias("a"), per_ss.alias("b")
+    # shingles unique to ONE source cannot intersect anything — prune them
+    # before the self-join (they still count in the per-source sizes);
+    # on a real corpus this drops the bulk of the join input
+    multi = (
+        per_ss.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("ns"))
+        .filter(F.col("ns") >= 2)
+        .select("shingle")
+    )
+    shared = per_ss.join(multi, "shingle", "left_semi")
+    a, b = shared.alias("a"), shared.alias("b")
     common = (
         a.join(
             b,

@@ -226,6 +226,9 @@ def perceptron_lang_curve(
         [(j, 0) for j in range(n_features)], "bucket long, w long"
     )
     b = spark.createDataFrame([(0,)], "b long")
+    # the tiny persisted epoch states (8-row w, 1-row b, mistake sets)
+    # stay cached for the caller's collect; they are negligible and die
+    # with the session
     curves = []
     for epoch in range(1, epochs + 1):
         scored = (
@@ -240,24 +243,33 @@ def perceptron_lang_curve(
             .crossJoin(F.broadcast(b))
             .select("doc_id", "y", (F.col("s") + F.col("b")).alias("score"))
         )
-        mist = scored.filter(F.col("y") * F.col("score") <= 0)
+        mist = scored.filter(F.col("y") * F.col("score") <= 0).persist()
         dw = (
             mist.join(feats, "doc_id")
             .groupBy("bucket")
             .agg(F.sum(F.col("y") * F.col("x")).cast("long").alias("dw"))
         )
-        w = w.join(dw, "bucket", "left").select(
-            "bucket",
-            (F.col("w") + F.coalesce(F.col("dw"), F.lit(0)))
-            .cast("long")
-            .alias("w"),
+        # persist the tiny per-epoch model state: without it the unrolled
+        # lineage recomputes every earlier epoch per curve row (O(epochs²)
+        # chains)
+        w = (
+            w.join(dw, "bucket", "left")
+            .select(
+                "bucket",
+                (F.col("w") + F.coalesce(F.col("dw"), F.lit(0)))
+                .cast("long")
+                .alias("w"),
+            )
+            .persist()
         )
         db = mist.agg(
             F.count(F.lit(1)).cast("long").alias("n_mistakes"),
             F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("db"),
         )
-        b = b.crossJoin(F.broadcast(db)).select(
-            (F.col("b") + F.col("db")).cast("long").alias("b")
+        b = (
+            b.crossJoin(F.broadcast(db))
+            .select((F.col("b") + F.col("db")).cast("long").alias("b"))
+            .persist()
         )
         w_l1 = w.agg(F.sum(F.abs(F.col("w"))).cast("long").alias("w_l1"))
         curves.append(
