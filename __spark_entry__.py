@@ -166,7 +166,10 @@ from graphdb_td2_spark.recs.itemsets import (
     order_size_histogram,
     repurchase_cycle_topk,
 )
-from graphdb_td2_spark.functions.hashing_tf import hashing_tf_stats
+from graphdb_td2_spark.functions.hashing_tf import (
+    hashing_tf_stats,
+    source_token_chisq,
+)
 from graphdb_td2_spark.multimodal import (
     media_inventory,
     media_pool_resize,
@@ -513,6 +516,8 @@ DEMOTED_TAIL = (
                                 # conversion family
     "top_session_paths",  # most common session journeys — full-sequence
                           # companion of the Markov transition matrix
+    "source_token_chisq",  # per-source hashed-bucket χ² divergence — the
+                           # data-mixing drift screen of the HashingTF family
 )
 
 
@@ -723,6 +728,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perceptron_lang_curve": perceptron_lang_curve,
         "conversion_funnel_steps": conversion_funnel_steps,
         "top_session_paths": top_session_paths,
+        "source_token_chisq": source_token_chisq,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -5524,6 +5530,57 @@ SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
   CAST(SUM(converted) AS BIGINT) AS n_converting
 FROM per_session GROUP BY path
 ORDER BY n_sessions DESC, path ASC LIMIT 20
+"""
+
+    # functions/hashing_tf.py:source_token_chisq — fixed 8-term χ² tree
+    # over the pivoted hashed buckets (no aggregate-order dependence).
+    sqls["source_token_chisq"] = f"""
+WITH toks AS (SELECT source, unnest({_TOKS}) AS token FROM documents),
+sb AS (
+  SELECT source,
+    CAST((CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 8) AS BIGINT)
+      AS b
+  FROM toks
+),
+per_sb AS (
+  SELECT source,
+    CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+    CAST(SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+    CAST(SUM(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+    CAST(SUM(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+    CAST(SUM(CASE WHEN b = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+    CAST(SUM(CASE WHEN b = 5 THEN 1 ELSE 0 END) AS BIGINT) AS c5,
+    CAST(SUM(CASE WHEN b = 6 THEN 1 ELSE 0 END) AS BIGINT) AS c6,
+    CAST(SUM(CASE WHEN b = 7 THEN 1 ELSE 0 END) AS BIGINT) AS c7
+  FROM sb GROUP BY source
+),
+corpus AS (
+  SELECT
+    CAST(SUM(c0) AS BIGINT) AS g0,
+    CAST(SUM(c1) AS BIGINT) AS g1,
+    CAST(SUM(c2) AS BIGINT) AS g2,
+    CAST(SUM(c3) AS BIGINT) AS g3,
+    CAST(SUM(c4) AS BIGINT) AS g4,
+    CAST(SUM(c5) AS BIGINT) AS g5,
+    CAST(SUM(c6) AS BIGINT) AS g6,
+    CAST(SUM(c7) AS BIGINT) AS g7
+  FROM per_sb
+),
+j AS (
+  SELECT per_sb.*, corpus.*,
+    CAST(c0 + c1 + c2 + c3 + c4 + c5 + c6 + c7 AS BIGINT) AS ts, CAST(g0 + g1 + g2 + g3 + g4 + g5 + g6 + g7 AS BIGINT) AS t
+  FROM per_sb CROSS JOIN corpus
+)
+SELECT source, ts AS n_tokens,
+  ((CAST(c0 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g0 AS DOUBLE) / CAST(t AS DOUBLE))) * (CAST(c0 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g0 AS DOUBLE) / CAST(t AS DOUBLE))) / (CAST(ts AS DOUBLE) * CAST(g0 AS DOUBLE) / CAST(t AS DOUBLE)))
+  + ((CAST(c1 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g1 AS DOUBLE) / CAST(t AS DOUBLE))) * (CAST(c1 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g1 AS DOUBLE) / CAST(t AS DOUBLE))) / (CAST(ts AS DOUBLE) * CAST(g1 AS DOUBLE) / CAST(t AS DOUBLE)))
+  + ((CAST(c2 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g2 AS DOUBLE) / CAST(t AS DOUBLE))) * (CAST(c2 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g2 AS DOUBLE) / CAST(t AS DOUBLE))) / (CAST(ts AS DOUBLE) * CAST(g2 AS DOUBLE) / CAST(t AS DOUBLE)))
+  + ((CAST(c3 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g3 AS DOUBLE) / CAST(t AS DOUBLE))) * (CAST(c3 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g3 AS DOUBLE) / CAST(t AS DOUBLE))) / (CAST(ts AS DOUBLE) * CAST(g3 AS DOUBLE) / CAST(t AS DOUBLE)))
+  + ((CAST(c4 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g4 AS DOUBLE) / CAST(t AS DOUBLE))) * (CAST(c4 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g4 AS DOUBLE) / CAST(t AS DOUBLE))) / (CAST(ts AS DOUBLE) * CAST(g4 AS DOUBLE) / CAST(t AS DOUBLE)))
+  + ((CAST(c5 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g5 AS DOUBLE) / CAST(t AS DOUBLE))) * (CAST(c5 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g5 AS DOUBLE) / CAST(t AS DOUBLE))) / (CAST(ts AS DOUBLE) * CAST(g5 AS DOUBLE) / CAST(t AS DOUBLE)))
+  + ((CAST(c6 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g6 AS DOUBLE) / CAST(t AS DOUBLE))) * (CAST(c6 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g6 AS DOUBLE) / CAST(t AS DOUBLE))) / (CAST(ts AS DOUBLE) * CAST(g6 AS DOUBLE) / CAST(t AS DOUBLE)))
+  + ((CAST(c7 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g7 AS DOUBLE) / CAST(t AS DOUBLE))) * (CAST(c7 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g7 AS DOUBLE) / CAST(t AS DOUBLE))) / (CAST(ts AS DOUBLE) * CAST(g7 AS DOUBLE) / CAST(t AS DOUBLE))) AS chi2
+FROM j ORDER BY source
 """
 
     return sqls

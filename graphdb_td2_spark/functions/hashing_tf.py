@@ -51,3 +51,74 @@ def hashing_tf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bucket")
     )
+
+
+def source_token_chisq(
+    spark: SparkSession, sf_dir: str, n_features: int = N_FEATURES
+) -> DataFrame:
+    """Registry entry: ``(source, n_tokens, chi2)`` — per-source χ²
+    divergence of the hashed token-bucket distribution against the
+    corpus-wide distribution: the data-mixing diagnostic that flags a
+    source whose token statistics drift from the blend it feeds
+    (a cheap, vocabulary-free stand-in for per-source KL monitoring —
+    KL needs log(), whose libm rounding differs across engines; χ² is
+    division/multiplication only). Ordered by source.
+
+    Determinism: bucket counts are exact longs; the expected counts and
+    the χ² sum are ONE FIXED expression tree over the ``n_features``
+    pivoted columns (each per-bucket term written literally, summed in
+    bucket order — no aggregate-order dependence), so DuckDB reproduces
+    every double bit-for-bit.
+
+    Scale notes: one tokenize pass → (source, bucket) hash aggregate
+    (map-side partials), a broadcast |buckets|-row corpus profile, and a
+    |sources|-row output. The pivot is conditional aggregation, not a
+    wide shuffle.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["source", "text"])
+    toks = docs.select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    per_sb = (
+        toks.select("source", feature_bucket(F.col("token"), n_features).alias("b"))
+        .groupBy("source")
+        .agg(
+            *[
+                F.sum((F.col("b") == j).cast("long"))
+                .cast("long")
+                .alias(f"c{j}")
+                for j in range(n_features)
+            ]
+        )
+    )
+    # corpus totals get a distinct prefix: Spark resolves column names
+    # case-insensitively, so C0 would collide with c0
+    corpus = per_sb.agg(
+        *[F.sum(f"c{j}").cast("long").alias(f"g{j}") for j in range(n_features)]
+    )
+    t_s = sum((F.col(f"c{j}") for j in range(1, n_features)), F.col("c0"))
+    t_all = sum((F.col(f"g{j}") for j in range(1, n_features)), F.col("g0"))
+
+    def term(j: int):
+        e = (
+            F.col("__ts").cast("double")
+            * F.col(f"g{j}").cast("double")
+            / F.col("__t").cast("double")
+        )
+        d = F.col(f"c{j}").cast("double") - e
+        return d * d / e
+
+    chi2 = term(0)
+    for j in range(1, n_features):
+        chi2 = chi2 + term(j)
+    return (
+        per_sb.crossJoin(F.broadcast(corpus))
+        .withColumn("__ts", t_s.cast("long"))
+        .withColumn("__t", t_all.cast("long"))
+        .select(
+            "source",
+            F.col("__ts").alias("n_tokens"),
+            chi2.alias("chi2"),
+        )
+        .orderBy("source")
+    )

@@ -66,3 +66,17 @@ def test_top_session_paths_shape(spark, sf_dir):
         # a path containing 'purchase' in its prefix must convert fully
         if "purchase" in parts:
             assert r["n_converting"] == r["n_sessions"]
+
+
+def test_source_token_chisq_invariants(spark, sf_dir):
+    from graphdb_td2_spark.functions.hashing_tf import source_token_chisq
+
+    rows = source_token_chisq(spark, sf_dir).collect()
+    assert rows
+    srcs = [r["source"] for r in rows]
+    assert srcs == sorted(srcs)
+    total = sum(r["n_tokens"] for r in rows)
+    assert total > 0
+    for r in rows:
+        assert r["chi2"] >= 0.0
+        assert r["n_tokens"] > 0
