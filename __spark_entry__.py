@@ -124,6 +124,7 @@ from graphdb_td2_spark.operators.attribution import (
 from graphdb_td2_spark.operators.anomaly import dow_daily_anomalies, winsorized_value_stats
 from graphdb_td2_spark.operators.drift import (
     daily_count_autocorr,
+    event_burstiness,
     ks_value_drift,
     revenue_changepoint,
     rolling_type_correlation,
@@ -518,6 +519,8 @@ DEMOTED_TAIL = (
                           # companion of the Markov transition matrix
     "source_token_chisq",  # per-source hashed-bucket χ² divergence — the
                            # data-mixing drift screen of the HashingTF family
+    "event_burstiness",  # Fano factor of daily counts — load-shape member
+                         # of the drift/diurnal family
 )
 
 
@@ -729,6 +732,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_funnel_steps": conversion_funnel_steps,
         "top_session_paths": top_session_paths,
         "source_token_chisq": source_token_chisq,
+        "event_burstiness": event_burstiness,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -5581,6 +5585,25 @@ SELECT source, ts AS n_tokens,
   + ((CAST(c6 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g6 AS DOUBLE) / CAST(t AS DOUBLE))) * (CAST(c6 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g6 AS DOUBLE) / CAST(t AS DOUBLE))) / (CAST(ts AS DOUBLE) * CAST(g6 AS DOUBLE) / CAST(t AS DOUBLE)))
   + ((CAST(c7 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g7 AS DOUBLE) / CAST(t AS DOUBLE))) * (CAST(c7 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g7 AS DOUBLE) / CAST(t AS DOUBLE))) / (CAST(ts AS DOUBLE) * CAST(g7 AS DOUBLE) / CAST(t AS DOUBLE))) AS chi2
 FROM j ORDER BY source
+"""
+
+    # operators/drift.py:event_burstiness — Fano factor as one exact
+    # integer ratio: (n·Σc² − (Σc)²) / (n·Σc).
+    sqls["event_burstiness"] = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+    CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+    CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n_days, s1 AS n_events,
+  CAST(n_days * s2 - s1 * s1 AS DOUBLE) / CAST(n_days * s1 AS DOUBLE)
+    AS dispersion
+FROM m ORDER BY event_type
 """
 
     return sqls

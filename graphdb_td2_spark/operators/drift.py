@@ -287,3 +287,44 @@ def revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_right",
         "score",
     )
+
+
+def event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(event_type, n_days, n_events, dispersion)`` —
+    the index of dispersion (variance-to-mean ratio, Fano factor) of
+    each type's DAILY event counts over the days the type occurred:
+    ≈1 is Poisson-like traffic, ≫1 is bursty — the load-shape signal a
+    capacity planner reads next to the diurnal profile. Ordered by
+    event_type.
+
+    Determinism: with n day-counts c_i, population variance/mean reduces
+    to ``(n·Σc² − (Σc)²) / (n·Σc)`` — exact BIGINTs divided ONCE.
+    Days without events for a type are (documentedly) not part of that
+    type's axis. Scale: one (type, day) rollup then a |types|-row
+    moment aggregate — two partial-agged shuffles, no windows.
+    """
+    ev = read_table(spark, sf_dir, "events", ["event_type", "ts"])
+    daily = (
+        ev.select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("c").cast("long").alias("s1"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.col("s1").alias("n_events"),
+            (
+                (F.col("n_days") * F.col("s2") - F.col("s1") * F.col("s1"))
+                .cast("double")
+                / (F.col("n_days") * F.col("s1")).cast("double")
+            ).alias("dispersion"),
+        )
+        .orderBy("event_type")
+    )

@@ -80,3 +80,24 @@ def test_source_token_chisq_invariants(spark, sf_dir):
     for r in rows:
         assert r["chi2"] >= 0.0
         assert r["n_tokens"] > 0
+
+
+def test_event_burstiness_matches_reference(spark, sf_dir):
+    from collections import Counter
+
+    from graphdb_td2_spark.operators.drift import event_burstiness
+    from graphdb_td2_spark.io import read_table
+
+    ev = read_table(spark, sf_dir, "events", ["event_type", "ts"]).collect()
+    daily = Counter((r["event_type"], r["ts"].date()) for r in ev)
+    per_type: dict[str, list[int]] = {}
+    for (t, _), c in daily.items():
+        per_type.setdefault(t, []).append(c)
+    rows = {r["event_type"]: r for r in event_burstiness(spark, sf_dir).collect()}
+    assert set(rows) == set(per_type)
+    for t, cs in per_type.items():
+        n, s1, s2 = len(cs), sum(cs), sum(c * c for c in cs)
+        assert rows[t]["n_days"] == n
+        assert rows[t]["n_events"] == s1
+        assert rows[t]["dispersion"] == (n * s2 - s1 * s1) / (n * s1)
+        assert rows[t]["dispersion"] >= 0.0
