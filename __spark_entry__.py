@@ -176,7 +176,10 @@ from graphdb_td2_spark.multimodal import (
     media_pool_resize,
     multimodal_feature_stats,
 )
-from graphdb_td2_spark.streaming.ivm import ivm_cooccurrence_top20
+from graphdb_td2_spark.streaming.ivm import (
+    ivm_cooccurrence_top20,
+    ivm_served_recs_product,
+)
 from graphdb_td2_spark.streaming.dedup_stream import streaming_minhash_pairs
 from graphdb_td2_spark.streaming import (
     streaming_burst_pairs,
@@ -521,6 +524,9 @@ DEMOTED_TAIL = (
                            # data-mixing drift screen of the HashingTF family
     "event_burstiness",  # Fano factor of daily counts — load-shape member
                          # of the drift/diurnal family
+    "ivm_served_recs_product",  # /recs product query SERVED from the IVM-
+                                # maintained view (same oracle as the batch
+                                # recs_product_cooccurrence — r7 task 2)
 )
 
 
@@ -733,6 +739,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_session_paths": top_session_paths,
         "source_token_chisq": source_token_chisq,
         "event_burstiness": event_burstiness,
+        "ivm_served_recs_product": ivm_served_recs_product,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -1705,6 +1712,9 @@ LIMIT 20
     # the IVM-maintained view must be indistinguishable from the batch
     # recompute — so it shares top_cooccurrence_pairs' oracle verbatim
     sqls["ivm_cooccurrence_top20"] = sqls["top_cooccurrence_pairs"]
+    # ... and IVM-SERVED recs must be indistinguishable from the batch
+    # /recs answer — the serving path shares C1's oracle verbatim (r7 #2)
+    sqls["ivm_served_recs_product"] = sqls["recs_product_cooccurrence"]
 
     sqls["recs_product_same_brand"] = """
 SELECT p2.p_partkey AS product_id, CAST(1.0 AS DOUBLE) AS score,
@@ -5493,13 +5503,17 @@ wide AS (
 )
 SELECT * FROM (
   SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_type, n0 AS n_users,
-    CAST(n0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS share_of_start FROM wide
+    CASE WHEN n0 = 0 THEN 0.0
+         ELSE CAST(n0 AS DOUBLE) / CAST(n0 AS DOUBLE) END AS share_of_start
+  FROM wide
   UNION ALL
   SELECT CAST(2 AS BIGINT), 'click', n1,
-    CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM wide
+    CASE WHEN n0 = 0 THEN 0.0
+         ELSE CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) END FROM wide
   UNION ALL
   SELECT CAST(3 AS BIGINT), 'purchase', n2,
-    CAST(n2 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM wide
+    CASE WHEN n0 = 0 THEN 0.0
+         ELSE CAST(n2 AS DOUBLE) / CAST(n0 AS DOUBLE) END FROM wide
 ) ORDER BY step
 """
 
@@ -5538,6 +5552,18 @@ ORDER BY n_sessions DESC, path ASC LIMIT 20
 
     # functions/hashing_tf.py:source_token_chisq — fixed 8-term χ² tree
     # over the pivoted hashed buckets (no aggregate-order dependence).
+    # Each term carries the engine-exact g_j = 0 guard (empty corpus-wide
+    # bucket → term is 0 by convention, not 0/0 — ADVICE r7), mirroring
+    # the F.when in hashing_tf.py.
+    def _chisq_term(j: int) -> str:
+        e = (
+            f"(CAST(ts AS DOUBLE) * CAST(g{j} AS DOUBLE) "
+            f"/ CAST(t AS DOUBLE))"
+        )
+        d = f"(CAST(c{j} AS DOUBLE) - {e})"
+        return f"CASE WHEN g{j} = 0 THEN 0.0 ELSE ({d} * {d} / {e}) END"
+
+    _chisq_sum = "\n  + ".join(_chisq_term(j) for j in range(8))
     sqls["source_token_chisq"] = f"""
 WITH toks AS (SELECT source, unnest({_TOKS}) AS token FROM documents),
 sb AS (
@@ -5576,14 +5602,7 @@ j AS (
   FROM per_sb CROSS JOIN corpus
 )
 SELECT source, ts AS n_tokens,
-  ((CAST(c0 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g0 AS DOUBLE) / CAST(t AS DOUBLE))) * (CAST(c0 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g0 AS DOUBLE) / CAST(t AS DOUBLE))) / (CAST(ts AS DOUBLE) * CAST(g0 AS DOUBLE) / CAST(t AS DOUBLE)))
-  + ((CAST(c1 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g1 AS DOUBLE) / CAST(t AS DOUBLE))) * (CAST(c1 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g1 AS DOUBLE) / CAST(t AS DOUBLE))) / (CAST(ts AS DOUBLE) * CAST(g1 AS DOUBLE) / CAST(t AS DOUBLE)))
-  + ((CAST(c2 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g2 AS DOUBLE) / CAST(t AS DOUBLE))) * (CAST(c2 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g2 AS DOUBLE) / CAST(t AS DOUBLE))) / (CAST(ts AS DOUBLE) * CAST(g2 AS DOUBLE) / CAST(t AS DOUBLE)))
-  + ((CAST(c3 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g3 AS DOUBLE) / CAST(t AS DOUBLE))) * (CAST(c3 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g3 AS DOUBLE) / CAST(t AS DOUBLE))) / (CAST(ts AS DOUBLE) * CAST(g3 AS DOUBLE) / CAST(t AS DOUBLE)))
-  + ((CAST(c4 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g4 AS DOUBLE) / CAST(t AS DOUBLE))) * (CAST(c4 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g4 AS DOUBLE) / CAST(t AS DOUBLE))) / (CAST(ts AS DOUBLE) * CAST(g4 AS DOUBLE) / CAST(t AS DOUBLE)))
-  + ((CAST(c5 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g5 AS DOUBLE) / CAST(t AS DOUBLE))) * (CAST(c5 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g5 AS DOUBLE) / CAST(t AS DOUBLE))) / (CAST(ts AS DOUBLE) * CAST(g5 AS DOUBLE) / CAST(t AS DOUBLE)))
-  + ((CAST(c6 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g6 AS DOUBLE) / CAST(t AS DOUBLE))) * (CAST(c6 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g6 AS DOUBLE) / CAST(t AS DOUBLE))) / (CAST(ts AS DOUBLE) * CAST(g6 AS DOUBLE) / CAST(t AS DOUBLE)))
-  + ((CAST(c7 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g7 AS DOUBLE) / CAST(t AS DOUBLE))) * (CAST(c7 AS DOUBLE) - (CAST(ts AS DOUBLE) * CAST(g7 AS DOUBLE) / CAST(t AS DOUBLE))) / (CAST(ts AS DOUBLE) * CAST(g7 AS DOUBLE) / CAST(t AS DOUBLE))) AS chi2
+  {_chisq_sum} AS chi2
 FROM j ORDER BY source
 """
 

@@ -106,7 +106,10 @@ def source_token_chisq(
             / F.col("__t").cast("double")
         )
         d = F.col(f"c{j}").cast("double") - e
-        return d * d / e
+        # empty corpus-wide bucket → e = 0 and c_j = 0: the term is 0 by
+        # convention, not 0/0 (NaN vs engine-dependent — ADVICE r7); the
+        # integer g_j guard is mirrored verbatim in the oracle SQL
+        return F.when(F.col(f"g{j}") == 0, F.lit(0.0)).otherwise(d * d / e)
 
     chi2 = term(0)
     for j in range(1, n_features):

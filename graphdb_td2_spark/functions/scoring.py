@@ -194,91 +194,76 @@ def perceptron_lang_curve(
     invariance) and what makes iterative training hash-checkable
     (the same trick as the fixed-point ALS / PageRank tiers).
 
-    Scale notes: the epoch body is (feature table ⋈ broadcast 8-row
-    weight vector) → per-doc partial-agged score → mistake filter →
-    per-feature delta agg — the textbook distributed linear-model step
-    (model broadcast, data never moves; gradient shuffle is
-    |features|-sized). Epochs are unrolled DataFrame ops, no driver
-    loop over data.
+    Scale notes: the model state is 9 longs (8 weights + bias) — DRIVER
+    state, inlined into each epoch's expressions as literals (the r7
+    verdict's fix: broadcasting a 9-long model as DataFrames bought 4
+    epochs × ~6 jobs of pure trigger overhead). One build job pivots the
+    corpus to a cached per-doc wide table ``(y, x0..x7)``; each epoch is
+    then ONE aggregation job over it — score/mistake filter/per-feature
+    deltas fused into a single scan with map-side partials, nothing but
+    10 longs ever reaching the driver. This is exactly how a production
+    Spark training loop handles a tiny linear model: data never moves,
+    the model rides the closure.
     """
     from .hashing_tf import feature_bucket
 
     docs = read_table(spark, sf_dir, "documents", ["doc_id", "lang", "text"])
-    feats = (
-        docs.select(
-            "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
-        )
-        .select(
-            "doc_id", feature_bucket(F.col("token"), n_features).alias("bucket")
-        )
-        .groupBy("doc_id", "bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("x"))
-        .persist()
-    )
-    labels = docs.select(
+    feats = docs.select(
         "doc_id",
         F.when(F.col("lang") == "en", F.lit(1))
         .otherwise(F.lit(-1))
         .cast("long")
         .alias("y"),
+        F.explode_outer(tokens_col(F.col("text"))).alias("token"),
+    ).select(
+        "doc_id", "y", feature_bucket(F.col("token"), n_features).alias("bucket")
     )
-    w = spark.createDataFrame(
-        [(j, 0) for j in range(n_features)], "bucket long, w long"
+    wide = (
+        feats.groupBy("doc_id", "y")
+        .agg(
+            *[
+                # coalesce: a token-less doc survives explode_outer as one
+                # null-bucket row whose conditional sum is NULL — its
+                # feature vector is all-zeros, and it still scores b
+                F.coalesce(
+                    F.sum((F.col("bucket") == j).cast("long")), F.lit(0)
+                )
+                .cast("long")
+                .alias(f"x{j}")
+                for j in range(n_features)
+            ]
+        )
+        .persist()
     )
-    b = spark.createDataFrame([(0,)], "b long")
-    # the tiny persisted epoch states (8-row w, 1-row b, mistake sets)
-    # stay cached for the caller's collect; they are negligible and die
-    # with the session
-    curves = []
+    w = [0] * n_features
+    b = 0
+    rows: list[tuple[int, int, int, int]] = []
     for epoch in range(1, epochs + 1):
-        scored = (
-            labels.join(feats, "doc_id", "left")
-            .join(F.broadcast(w), "bucket", "left")
-            .groupBy("doc_id", "y")
-            .agg(
-                F.coalesce(F.sum(F.col("x") * F.col("w")), F.lit(0))
+        score = F.lit(b)
+        for j in range(n_features):
+            if w[j] != 0:  # w=0 terms contribute nothing — epoch 1 is b-only
+                score = score + F.lit(w[j]) * F.col(f"x{j}")
+        mistake = (F.col("y") * score) <= 0
+        stats = wide.agg(
+            F.sum(mistake.cast("long")).cast("long").alias("n_mistakes"),
+            F.sum(F.when(mistake, F.col("y")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("db"),
+            *[
+                F.sum(
+                    F.when(mistake, F.col("y") * F.col(f"x{j}")).otherwise(
+                        F.lit(0)
+                    )
+                )
                 .cast("long")
-                .alias("s")
-            )
-            .crossJoin(F.broadcast(b))
-            .select("doc_id", "y", (F.col("s") + F.col("b")).alias("score"))
-        )
-        mist = scored.filter(F.col("y") * F.col("score") <= 0).persist()
-        dw = (
-            mist.join(feats, "doc_id")
-            .groupBy("bucket")
-            .agg(F.sum(F.col("y") * F.col("x")).cast("long").alias("dw"))
-        )
-        # persist the tiny per-epoch model state: without it the unrolled
-        # lineage recomputes every earlier epoch per curve row (O(epochs²)
-        # chains)
-        w = (
-            w.join(dw, "bucket", "left")
-            .select(
-                "bucket",
-                (F.col("w") + F.coalesce(F.col("dw"), F.lit(0)))
-                .cast("long")
-                .alias("w"),
-            )
-            .persist()
-        )
-        db = mist.agg(
-            F.count(F.lit(1)).cast("long").alias("n_mistakes"),
-            F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("db"),
-        )
-        b = (
-            b.crossJoin(F.broadcast(db))
-            .select((F.col("b") + F.col("db")).cast("long").alias("b"))
-            .persist()
-        )
-        w_l1 = w.agg(F.sum(F.abs(F.col("w"))).cast("long").alias("w_l1"))
-        curves.append(
-            db.select(F.lit(epoch).cast("long").alias("epoch"), "n_mistakes")
-            .crossJoin(F.broadcast(b))
-            .crossJoin(F.broadcast(w_l1))
-            .select("epoch", "n_mistakes", F.col("b").alias("bias"), "w_l1")
-        )
-    out = curves[0]
-    for c in curves[1:]:
-        out = out.unionByName(c)
-    return out.orderBy("epoch")
+                .alias(f"dw{j}")
+                for j in range(n_features)
+            ],
+        ).collect()[0]
+        for j in range(n_features):
+            w[j] += stats[f"dw{j}"]
+        b += stats["db"]
+        rows.append((epoch, stats["n_mistakes"], b, sum(abs(x) for x in w)))
+    return spark.createDataFrame(
+        rows, "epoch long, n_mistakes long, bias long, w_l1 long"
+    ).orderBy("epoch")

@@ -1,5 +1,6 @@
-"""Lake layout — bucketed tables materialized once per session/corpus and
-used as the DEFAULT execution path for the hot self-join families.
+"""Lake layout — bucketed tables materialized ONCE per corpus and reused
+across sessions AND processes, the default execution path for the hot
+self-join families.
 
 The heavy registry queries all pivot on a self-join whose key is stable
 (basket adjacency on ``order_id``, LSH candidates on ``(band, bucket)``).
@@ -11,35 +12,147 @@ the shuffle when both sides report the same hash bucketing; writing with
 ``repartition(n, keys)`` first gives one file per bucket so the sorted
 order is also usable).
 
-Freshness: table names carry a corpus digest, but on-disk tables from an
-earlier process are NEVER trusted — the first use inside a session
-rebuilds (mode=overwrite). Amortization is within-session (the API
-server, a 188-query verification run, a bench loop), which is where the
-repeated joins actually happen; the rebuild itself is the same single
-shuffle the un-materialized query would have paid once anyway.
+Freshness across processes (build-once / read-forever): every published
+table carries a ``_lake_manifest.json`` (underscore-prefixed → invisible
+to parquet scans) recording a CONTENT FINGERPRINT of the corpus inputs it
+was derived from — per source file (path, length, modification time) plus
+the build parameters (bucket/sort spec, bucket count, artifact version).
+A new process recomputes the fingerprint (one filesystem listing, no data
+read) and, on match, re-registers the existing files as an EXTERNAL
+bucketed table — zero build jobs. Any mismatch (corpus regenerated,
+different build params, missing manifest, half-built dir) rebuilds. This
+is the reference's own architecture: ``app/etl.py`` builds the Neo4j
+adjacency once and every ``/recs`` request in ``app/main.py`` reads it
+forever — the manifest is what makes "forever" safe without a catalog
+service.
 
-Reference parity note: the reference keeps its adjacency inside Neo4j
-(the graph IS the materialized adjacency, ``app/etl.py`` builds it once);
-this module is that same build-once discipline expressed as Spark
-bucketed tables.
+Concurrent writers (two Spark applications sharing a warehouse): the
+build lands in a per-application temp directory and PUBLISHES with one
+filesystem rename — the loser of a publish race finds the destination
+already present, discards its temp build, and reuses the winner's table
+after validating its manifest against the same fingerprint (divergent
+fingerprints raise rather than silently serving a stale table). No
+writer ever deletes a published directory it did not fingerprint-match,
+so a reader in another process can't have its table dropped mid-query by
+a same-corpus peer; only a CHANGED corpus triggers an unpublish+rebuild,
+where the single-writer-per-corpus assumption is documented.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 N_LAKE_BUCKETS = 32
 
+# bump when the build logic changes semantically — invalidates every
+# manifest written under the old version
+_LAKE_FORMAT_VERSION = 2
+
 # (applicationId, sf_dir, what) -> table name, recorded only after this
-# session built the table
+# session built OR fingerprint-validated the table
 _LAKE_CACHE: dict[tuple[str, str, str], str] = {}
+
+MANIFEST_NAME = "_lake_manifest.json"
 
 
 def _table_name(sf_dir: str, what: str) -> str:
     digest = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
     return f"lake_{what}_{digest}"
+
+
+def _hadoop(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf), p, jvm
+
+
+def _source_stats(spark: SparkSession, sf_dir: str, tables: list[str]) -> list:
+    """(path, length, mtime) for every data file of the source tables —
+    a metadata-only listing, the cheap stand-in for hashing 100 TB of
+    input. Length+mtime is the same freshness contract every lake format
+    and build system uses for cache keys."""
+    out = []
+    for t in sorted(tables):
+        fs, p, jvm = _hadoop(spark, f"{sf_dir.rstrip('/')}/{t}.parquet")
+        if not fs.exists(p):
+            out.append((str(p), -1, -1))
+            continue
+        stack = [p]
+        while stack:
+            cur = stack.pop()
+            for st in sorted(
+                fs.listStatus(cur), key=lambda s: str(s.getPath())
+            ) if fs.getFileStatus(cur).isDirectory() else [fs.getFileStatus(cur)]:
+                if st.isDirectory():
+                    stack.append(st.getPath())
+                else:
+                    out.append(
+                        (
+                            str(st.getPath()),
+                            int(st.getLen()),
+                            int(st.getModificationTime()),
+                        )
+                    )
+    return sorted(out)
+
+
+def _fingerprint(
+    spark: SparkSession,
+    sf_dir: str,
+    what: str,
+    src_tables: list[str],
+    bucket_by: list[str],
+    sort_by: list[str],
+    n_buckets: int,
+) -> str:
+    payload = json.dumps(
+        {
+            "version": _LAKE_FORMAT_VERSION,
+            "what": what,
+            "bucket_by": bucket_by,
+            "sort_by": sort_by,
+            "n_buckets": n_buckets,
+            "sources": _source_stats(spark, sf_dir, src_tables),
+        },
+        sort_keys=True,
+    )
+    return hashlib.md5(payload.encode()).hexdigest()
+
+
+def _read_manifest(spark: SparkSession, loc: str) -> dict | None:
+    fs, p, jvm = _hadoop(spark, f"{loc}/{MANIFEST_NAME}")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        return json.loads(bytes(stream.readAllBytes()).decode())
+    finally:
+        stream.close()
+
+
+def _register_external(
+    spark: SparkSession,
+    name: str,
+    loc: str,
+    manifest: dict,
+) -> None:
+    """(Re)register the published files as an external bucketed table in
+    this process's catalog. The bucket spec and schema come from the
+    manifest, so the scan reports the same hash bucketing the writer used
+    and joins on the bucket keys stay exchange-free."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    cols = ", ".join(f"{c} {t}" for c, t in manifest["schema"])
+    bucket_by = ", ".join(manifest["bucket_by"])
+    sort_by = ", ".join(manifest["sort_by"])
+    spark.sql(
+        f"CREATE TABLE {name} ({cols}) USING PARQUET "
+        f"CLUSTERED BY ({bucket_by}) SORTED BY ({sort_by}) "
+        f"INTO {manifest['n_buckets']} BUCKETS LOCATION '{loc}'"
+    )
 
 
 def _ensure(
@@ -49,35 +162,89 @@ def _ensure(
     build,
     bucket_by: list[str],
     sort_by: list[str],
+    src_tables: list[str],
     n_buckets: int = N_LAKE_BUCKETS,
 ) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), what)
     name = _LAKE_CACHE.get(key)
-    if name is None:
-        name = _table_name(sf_dir, what)
-        # a previous process may have left the table (or just its
-        # warehouse dir, if the catalog was in-memory) behind — clear
-        # both, stale lake data is never trusted across processes
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
-        warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        loc = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{name}")
-        fs = loc.getFileSystem(conf)
-        if fs.exists(loc):
-            fs.delete(loc, True)
-        df = build()
-        # one task per bucket -> one file per bucket: the scan can then
-        # satisfy both the join's distribution AND its sort requirement
-        (
-            df.repartition(n_buckets, *[F.col(c) for c in bucket_by])
-            .write.mode("overwrite")
-            .bucketBy(n_buckets, *bucket_by)
-            .sortBy(*sort_by)
-            .format("parquet")
-            .saveAsTable(name)
-        )
+    if name is not None:
+        return spark.table(name)
+    name = _table_name(sf_dir, what)
+    fp = _fingerprint(spark, sf_dir, what, src_tables, bucket_by, sort_by, n_buckets)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    loc = f"{warehouse}/{name}"
+    fs, loc_path, jvm = _hadoop(spark, loc)
+
+    manifest = _read_manifest(spark, loc)
+    if manifest is not None and manifest.get("fingerprint") == fp:
+        # published table from an earlier process (or a concurrent app)
+        # matches this corpus byte-for-byte provenance → reuse with ZERO
+        # build jobs; only the catalog registration is per-process
+        _register_external(spark, name, loc, manifest)
         _LAKE_CACHE[key] = name
+        return spark.table(name)
+
+    # stale (corpus changed / params changed / half-built) or absent →
+    # build into a per-application temp dir and publish by rename.
+    # Single-writer assumption for the UNPUBLISH of a stale table: two
+    # apps racing on a corpus that JUST changed could both unpublish; the
+    # rename race below still yields one winner and one validated reuse.
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    if manifest is not None or fs.exists(loc_path):
+        fs.delete(loc_path, True)
+    tmp_name = f"{name}_tmp_{spark.sparkContext.applicationId.replace('-', '_')}"
+    tmp_loc = f"{warehouse}/{tmp_name}"
+    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp_loc)
+    if fs.exists(tmp_path):
+        fs.delete(tmp_path, True)
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+    df = build()
+    # one task per bucket -> one file per bucket: the scan can then
+    # satisfy both the join's distribution AND its sort requirement
+    (
+        df.repartition(n_buckets, *[F.col(c) for c in bucket_by])
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, *bucket_by)
+        .sortBy(*sort_by)
+        .option("path", tmp_loc)
+        .format("parquet")
+        .saveAsTable(tmp_name)
+    )
+    manifest = {
+        "fingerprint": fp,
+        "what": what,
+        "bucket_by": list(bucket_by),
+        "sort_by": list(sort_by),
+        "n_buckets": n_buckets,
+        "schema": [
+            [f.name, f.dataType.simpleString()]
+            for f in spark.table(tmp_name).schema.fields
+        ],
+        "version": _LAKE_FORMAT_VERSION,
+    }
+    payload = json.dumps(manifest, sort_keys=True).encode()
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(f"{tmp_loc}/{MANIFEST_NAME}"), True)
+    try:
+        out.write(payload)
+    finally:
+        out.close()
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")  # catalog entry only; files stay
+    if not fs.rename(tmp_path, loc_path):
+        # publish race lost — a concurrent app landed the table first.
+        # Validate the winner derived from the SAME corpus, then reuse.
+        fs.delete(tmp_path, True)
+        winner = _read_manifest(spark, loc)
+        if winner is None or winner.get("fingerprint") != fp:
+            raise RuntimeError(
+                f"lake table {name} was published concurrently with a "
+                "DIFFERENT fingerprint — two applications building from "
+                "divergent corpus states share this warehouse. Refusing "
+                "to serve either silently; clear the warehouse dir or "
+                "separate the warehouses."
+            )
+        manifest = winner
+    _register_external(spark, name, loc, manifest)
+    _LAKE_CACHE[key] = name
     return spark.table(name)
 
 
@@ -104,6 +271,7 @@ def items_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         build,
         bucket_by=["order_id"],
         sort_by=["order_id", "product_id"],
+        src_tables=["lineitem"],
     )
 
 
@@ -136,6 +304,7 @@ def lsh_buckets_bucketed(
         build,
         bucket_by=["band", "bucket"],
         sort_by=["band", "bucket", "doc_id"],
+        src_tables=["documents"],
     )
 
 

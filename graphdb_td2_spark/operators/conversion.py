@@ -181,9 +181,13 @@ def conversion_funnel_steps(
             F.lit(i + 1).cast("long").alias("step"),
             F.lit(step).alias("step_type"),
             F.col(f"n{i}").alias("n_users"),
-            (
+            # no step-1 events at all → share is 0 by convention, not 0/0
+            # (NaN vs engine-dependent — ADVICE r7); mirrored in the oracle
+            F.when(F.col("n0") == 0, F.lit(0.0))
+            .otherwise(
                 F.col(f"n{i}").cast("double") / F.col("n0").cast("double")
-            ).alias("share_of_start"),
+            )
+            .alias("share_of_start"),
         )
         for i, step in enumerate(steps)
     ]

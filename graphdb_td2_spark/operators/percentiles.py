@@ -84,11 +84,15 @@ def percentile_numerators(
     aggs = [F.max("n").cast("long").alias("n")]
     for num_mult, den, name in bands:
         num = F.lit(num_mult) * (F.col("n") - 1)
-        lo_rk = F.floor(num / den).cast("long")
         rem = num % den
-        hi_rk = lo_rk + (rem > 0).cast("long")
-        lo = F.min(F.when(F.col("__cum") >= lo_rk + 1, v))
-        hi = F.min(F.when(F.col("__cum") >= hi_rk + 1, v))
+        # rank thresholds scaled through by den so the whole rank path
+        # stays in BIGINT: __cum ≥ lo_rk+1  ⇔  den·__cum ≥ num−rem+den
+        # (num−rem = den·lo_rk). floor(num/den) went through a double
+        # quotient that can mis-round near 2^53 (ADVICE r7).
+        lo_thresh = num - rem + F.lit(den)
+        hi_thresh = lo_thresh + (rem > 0).cast("long") * F.lit(den)
+        lo = F.min(F.when(F.col("__cum") * den >= lo_thresh, v))
+        hi = F.min(F.when(F.col("__cum") * den >= hi_thresh, v))
         aggs.append(
             (F.lit(den) * lo + (hi - lo) * F.max(rem)).cast("long").alias(name)
         )

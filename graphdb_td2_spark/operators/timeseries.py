@@ -348,11 +348,13 @@ def daily_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pos = num/den with num = num_mult·(n−1); lo rank = num div den,
         # hi rank = lo + (1 if num % den else 0); f = (num % den)/den
         num = F.lit(num_mult) * (F.col("n") - 1)
-        lo_rk = F.floor(num / den).cast("long")
         rem = num % den
-        hi_rk = lo_rk + (rem > 0).cast("long")
-        lo_c = F.min(F.when(F.col("cum") >= lo_rk + 1, F.col("cents")))
-        hi_c = F.min(F.when(F.col("cum") >= hi_rk + 1, F.col("cents")))
+        # integer rank thresholds (den·__cum vs num−rem+den) — no double
+        # quotient in the rank path (ADVICE r7; see operators/percentiles.py)
+        lo_thresh = num - rem + F.lit(den)
+        hi_thresh = lo_thresh + (rem > 0).cast("long") * F.lit(den)
+        lo_c = F.min(F.when(F.col("cum") * den >= lo_thresh, F.col("cents")))
+        hi_c = F.min(F.when(F.col("cum") * den >= hi_thresh, F.col("cents")))
         frac = rem.cast("double") / F.lit(float(den))
         return (
             (

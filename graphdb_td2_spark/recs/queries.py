@@ -283,6 +283,7 @@ def recommend(
     sf_dir: str,
     product_id: int | None = None,
     customer_id: int | None = None,
+    source: str = "batch",
 ) -> dict[str, Any]:
     """``GET /recs`` semantics end-to-end (SURVEY §3.1-3.2).
 
@@ -291,12 +292,26 @@ def recommend(
     are passed (``if/elif``, app/main.py:49,86), neither → empty items,
     catch-all → empty items (app/main.py:125-127), ``took_ms`` wall-clock
     (app/main.py:35,134).
+
+    ``source="ivm"`` answers the product co-occurrence step from the
+    INCREMENTALLY MAINTAINED view (streaming/ivm.py) instead of the lake
+    recompute — the serving-reads-maintained-state architecture the
+    reference's roadmap implies ("make the ETL run automatically",
+    README:5). Fallback steps are source-independent (they read dimension
+    tables, not the pair view).
     """
+    if source not in ("batch", "ivm"):
+        raise ValueError(f"recommend source must be 'batch' or 'ivm', got {source!r}")
     started = time.time()
     items: list[dict[str, Any]] = []
     try:
         if product_id is not None:
-            rows = product_cooccurrence(spark, sf_dir, product_id).collect()
+            if source == "ivm":
+                from ..streaming.ivm import ivm_served_recs_product
+
+                rows = ivm_served_recs_product(spark, sf_dir, product_id).collect()
+            else:
+                rows = product_cooccurrence(spark, sf_dir, product_id).collect()
             if not rows:
                 rows = product_same_brand(spark, sf_dir, product_id).collect()
         elif customer_id is not None:

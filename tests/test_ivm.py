@@ -384,3 +384,156 @@ def test_segment_lists_stay_bounded_by_compaction(spark, tmp_path):
     }
     assert len(got) == n_products * (n_products - 1) // 2
     assert set(got.values()) == {1}
+
+
+def test_cold_restricted_state_read_prunes_without_cache_build(spark, tmp_path):
+    """ADVICE r7: a cold (cache-dropped) batch must read ONLY its touched
+    state buckets from parquet — never force a full-state cache build.
+    _mem_state_part with a bucket restriction on a cold cache goes straight
+    to the manifest paths and leaves _MEM_STATE empty; the next commit
+    re-establishes the cache lazily."""
+    from graphdb_td2_spark.streaming.ivm import (
+        _MEM_STATE,
+        _mem_drop,
+        _mem_state_part,
+        _read_manifest,
+        apply_cooccurrence_delta,
+        N_BUCKETS,
+    )
+
+    state = str(tmp_path / "st")
+    b0 = spark.createDataFrame(
+        [(o, p) for o in range(1, 41) for p in (o * 10, o * 10 + 1)],
+        "order_id long, product_id long",
+    )
+    apply_cooccurrence_delta(spark, b0, 0, state)
+    _mem_drop(state)  # simulate post-compaction / fresh-process cold cache
+
+    m0 = _read_manifest(spark, state, 0)
+    some_bucket = int(sorted(m0["items"])[0])
+    pruned = _mem_state_part(
+        spark, state, 0, m0, "items", [some_bucket], N_BUCKETS
+    )
+    # the read is served without building the full-state cache
+    assert state not in _MEM_STATE
+    # and its scan covers only the requested bucket's segment dirs
+    files = {
+        f.filePath
+        for f in pruned.select(
+            F.input_file_name().alias("filePath")
+        ).distinct().collect()
+    }
+    assert files  # the bucket is non-empty
+    for f in files:
+        assert f"bucket={some_bucket}/" in f or f.rstrip("/").endswith(
+            f"bucket={some_bucket}"
+        ) or f"bucket={some_bucket}" in f
+
+    # a cold batch then runs pruned end-to-end, and the post-commit hook
+    # re-establishes the (lazy) cache at the new version
+    b1 = spark.createDataFrame(
+        [(1000, 5), (1000, 6)], "order_id long, product_id long"
+    )
+    apply_cooccurrence_delta(spark, b1, 1, state)
+    assert state in _MEM_STATE
+    assert _MEM_STATE[state]["version"] == 1
+    got = dict(
+        ((r["product_a"], r["product_b"]), r["n_orders"])
+        for r in maintained_counts(spark, state).collect()
+    )
+    assert got[(5, 6)] == 1
+    assert len(got) == 41
+
+
+def test_ivm_served_recs_matches_batch_after_each_microbatch(spark, tmp_path):
+    """VERDICT r7 task 2: the serving path reads the MAINTAINED view, and
+    after EVERY micro-batch the IVM-served product top-k equals a batch
+    recompute over exactly the rows streamed so far."""
+    from graphdb_td2_spark.streaming.ivm import (
+        apply_cooccurrence_delta,
+        serve_product_cooccurrence,
+    )
+
+    state = str(tmp_path / "st")
+    # three batches; product 7 gains partners incrementally, order 30
+    # straddles batches 1 and 2 (the cross-batch pair path)
+    batches = [
+        [(10, 7), (10, 1), (20, 7), (20, 2)],
+        [(30, 7), (30, 1), (40, 2), (40, 3)],
+        [(30, 9), (50, 7), (50, 1), (50, 9)],
+    ]
+    seen: list[tuple[int, int]] = []
+    for bid, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "order_id long, product_id long")
+        apply_cooccurrence_delta(spark, df, bid, state)
+        seen.extend(rows)
+
+        got = [
+            (r["product_id"], r["score"], r["reason"])
+            for r in serve_product_cooccurrence(spark, state, 7).collect()
+        ]
+        items = spark.createDataFrame(
+            sorted(set(seen)), "order_id long, product_id long"
+        )
+        a, b = items.alias("a"), items.alias("b")
+        expected = [
+            (r["product_id"], r["score"], "co-occurrence")
+            for r in (
+                a.join(b, "order_id")
+                .filter(
+                    (F.col("a.product_id") == 7) & (F.col("b.product_id") != 7)
+                )
+                .groupBy(F.col("b.product_id").alias("product_id"))
+                .agg(F.count(F.lit(1)).cast("double").alias("score"))
+                .orderBy(F.desc("score"), F.asc("product_id"))
+                .limit(10)
+                .collect()
+            )
+        ]
+        assert got == expected, f"batch {bid}: {got} != {expected}"
+
+    # recommend(source="ivm") routes through ensure_ivm_state and is
+    # exercised end-to-end by the ivm_served_recs_product oracle entry;
+    # this test pins the serve function the route reads from.
+
+
+def test_steady_batch_jobs_per_batch_ceiling(spark, tmp_path):
+    """r8 perf pin: a warm, non-compacting micro-batch costs at most 3
+    Spark jobs under the run's pinned confs (two broadcast-exchange
+    materializations + the one unified segment write). A regression here
+    (extra actions, AQE re-enabled inside the run, a state rewrite
+    sneaking back in) shows up as job count, which is load-independent —
+    see tools/ivm_batch_profile.py for the full wall-clock table."""
+    from graphdb_td2_spark.streaming.ivm import (
+        N_BUCKETS,
+        apply_cooccurrence_delta,
+    )
+
+    state = str(tmp_path / "st")
+    prev = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled")
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", str(N_BUCKETS))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        b0 = spark.createDataFrame(
+            [(o, p) for o in range(1, 30) for p in (o, o + 1)],
+            "order_id long, product_id long",
+        )
+        apply_cooccurrence_delta(spark, b0, 0, state)  # warms the cache
+        b1 = spark.createDataFrame(
+            [(100 + o, p) for o in range(1, 30) for p in (o, o + 2)],
+            "order_id long, product_id long",
+        )
+        tracker = spark.sparkContext.statusTracker()
+        spark.sparkContext.setJobGroup("ivm-ceiling-probe", "steady batch")
+        try:
+            apply_cooccurrence_delta(spark, b1, 1, state)
+            jobs = tracker.getJobIdsForGroup("ivm-ceiling-probe")
+        finally:
+            spark.sparkContext.setJobGroup(None, None)
+        assert len(jobs) <= 3, f"steady IVM batch cost {len(jobs)} jobs"
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)

@@ -1,0 +1,139 @@
+"""Lake persistence across process boundaries (VERDICT r7 task 1).
+
+The reference builds its Neo4j adjacency once (``app/etl.py``) and every
+``/recs`` request reads it forever (``app/main.py``); the Spark twin is a
+bucketed table published with a content-fingerprint manifest. These tests
+pin the three contract points: a second PROCESS reuses the published
+files with zero build jobs and unchanged results; registration itself
+launches no Spark jobs; and a MUTATED corpus fingerprint-mismatches and
+rebuilds."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+import textwrap
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent.parent)
+
+
+def _run_subprocess(code: str) -> str:
+    """Run a snippet in a FRESH python/JVM process (the real cross-process
+    boundary — new applicationId, empty in-memory catalog)."""
+    out = subprocess.run(
+        [sys.executable, "-c", textwrap.dedent(code)],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    return out.stdout
+
+
+_SNIPPET = """
+import sys, json
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.sql.warehouse.dir", {wh!r})
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false").getOrCreate())
+import __spark_entry__ as m
+df = m.queries()["top_cooccurrence_pairs"](spark, {sf!r})
+rows = [[str(c) for c in r] for r in df.collect()]
+print("ROWS_JSON:" + json.dumps(rows))
+"""
+
+
+def test_second_process_reuses_published_lake(tmp_path):
+    """Process 2 must serve the lake-backed query from process 1's files:
+    no rewrite (every published file byte-identical by mtime+size), same
+    result rows."""
+    wh = str(tmp_path / "wh")
+    sf = "/root/testdata/sf0.001"
+    out1 = _run_subprocess(_SNIPPET.format(repo=REPO, wh=wh, sf=sf))
+    rows1 = json.loads(out1.split("ROWS_JSON:")[1].splitlines()[0])
+
+    published = sorted(glob.glob(f"{wh}/lake_*/**", recursive=True))
+    assert published, "process 1 published no lake table"
+    assert not any("_tmp_" in p for p in published)  # publish renamed cleanly
+    stats1 = {p: (os.path.getmtime(p), os.path.getsize(p)) for p in published
+              if os.path.isfile(p)}
+
+    out2 = _run_subprocess(_SNIPPET.format(repo=REPO, wh=wh, sf=sf))
+    rows2 = json.loads(out2.split("ROWS_JSON:")[1].splitlines()[0])
+
+    stats2 = {p: (os.path.getmtime(p), os.path.getsize(p)) for p in published
+              if os.path.isfile(p)}
+    assert stats1 == stats2  # zero build jobs — nothing rewritten
+    assert rows1 == rows2  # served answers identical across processes
+
+
+def test_reuse_registration_launches_no_jobs(spark, sf_dir, tmp_path):
+    """Fingerprint-match registration is catalog-only: DDL over the
+    published location, explicit schema from the manifest — no listing
+    job, no scan job."""
+    from graphdb_td2_spark import lake
+
+    # the session fixture's warehouse is fine — clear the session cache so
+    # the second _ensure takes the cold (cross-process-equivalent) path
+    lake.items_bucketed(spark, sf_dir)
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir.rstrip("/"), "items")
+    name = lake._LAKE_CACHE.pop(key)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")  # simulate a fresh catalog
+
+    tracker = spark.sparkContext.statusTracker()
+    spark.sparkContext.setJobGroup("lake-reuse-probe", "registration only")
+    try:
+        lake.items_bucketed(spark, sf_dir)  # no action on the returned df
+        jobs = tracker.getJobIdsForGroup("lake-reuse-probe")
+    finally:
+        spark.sparkContext.setJobGroup(None, None)
+    assert list(jobs) == []
+    assert lake._LAKE_CACHE[key] == name  # same published table, reused
+
+
+def test_mutated_corpus_triggers_rebuild(spark, tmp_path):
+    """Staleness: rewriting a corpus file changes the fingerprint; the
+    next cold ensure rebuilds and the served rows reflect the NEW corpus."""
+    from pyspark.sql import functions as F
+
+    from graphdb_td2_spark import lake
+    from graphdb_td2_spark.io import read_table
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    shutil.copy("/root/testdata/sf0.001/lineitem.parquet", corpus / "lineitem.parquet")
+    sf = str(corpus)
+
+    n0 = lake.items_bucketed(spark, sf).count()
+    key = (spark.sparkContext.applicationId, sf, "items")
+    name = lake._LAKE_CACHE[key]
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    manifest_before = json.load(open(f"{wh}/{name}/{lake.MANIFEST_NAME}"))
+
+    # mutate the corpus: drop half the orders and rewrite the file
+    li = read_table(spark, sf, "lineitem").filter(F.col("l_orderkey") % 2 == 0)
+    pdf = li.toPandas()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(pdf), str(corpus / "lineitem.parquet"))
+
+    lake._LAKE_CACHE.pop(key)  # cold path, as a fresh process would take
+    rebuilt = lake.items_bucketed(spark, sf)
+    n1 = rebuilt.count()
+    manifest_after = json.load(open(f"{wh}/{name}/{lake.MANIFEST_NAME}"))
+
+    assert manifest_after["fingerprint"] != manifest_before["fingerprint"]
+    assert 0 < n1 < n0  # the rebuilt table really reflects the new corpus
+    got = {r["order_id"] for r in rebuilt.select("order_id").distinct().collect()}
+    assert all(o % 2 == 0 for o in got)

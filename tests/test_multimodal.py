@@ -52,10 +52,11 @@ def test_decode_fake_is_deterministic_and_missing_codecs_raise(media):
     b = {r.media_id: r.samples for r in decode_media(media).collect()}
     assert a == b
     assert all(len(s) <= 16 and all(0.0 <= x <= 255.0 for x in s) for s in a.values())
-    if not codec_available("image"):
-        # requesting a kind whose codec is absent fails fast, driver-side
-        with pytest.raises(NotImplementedError, match="image"):
-            decode_media(media, fake=False, kinds=("image",))
+    # every known kind has a vendored baseline decoder; a kind with no
+    # decoder at all still fails fast, driver-side
+    assert all(codec_available(k) for k in ("image", "audio", "video"))
+    with pytest.raises(NotImplementedError, match="hologram"):
+        decode_media(media, fake=False, kinds=("hologram",))
 
 
 def _wav_bytes(samples: list[int], width: int = 2) -> bytes:
@@ -113,27 +114,64 @@ def test_audio_decode_widths_32bit_ok_24bit_rejected():
     assert _decode_real("audio", _wav_bytes([1, 2, 3], width=3)) is None
 
 
-@pytest.mark.skipif(not codec_available("image"), reason="Pillow not installed")
-def test_real_image_decode_via_pillow(spark):
-    from PIL import Image
-    import io
+def _pgm_bytes(pixels: list[int], width: int, height: int) -> bytes:
+    header = f"P5\n# test fixture\n{width} {height}\n255\n".encode()
+    return header + bytes(pixels)
 
-    buf = io.BytesIO()
-    Image.new("L", (8, 8), color=7).save(buf, format="PNG")
+
+def test_real_image_decode_via_builtin_pgm(spark):
+    """The vendored PGM/P5 decoder runs the real-codec image path on a
+    bare box (no Pillow): genuine binary-PGM payloads decode to the pixel
+    values that went in; 16-bit PGM is recognized-but-unsupported →
+    null."""
+    px = list(range(64))
     media = spark.createDataFrame(
-        [(1, "image", buf.getvalue(), (len(buf.getvalue()), "t", "en"))],
+        [
+            (1, "image", _pgm_bytes(px, 8, 8), (70, "t", "en")),
+            (2, "image", b"P5 2 2 65535 " + b"\x00" * 8, (21, "t", "en")),
+            (3, "audio", b"\x00" * 8, (8, "t", "en")),
+        ],
         MEDIA_SCHEMA,
     )
-    out = decode_media(media, fake=False, kinds=("image",)).collect()
-    assert out[0].samples == [7.0] * 16
+    out = {
+        r.media_id: r.samples
+        for r in decode_media(media, fake=False, kinds=("image",)).collect()
+    }
+    assert set(out) == {1, 2}  # non-image rows filtered, not mis-decoded
+    assert out[1] == [float(v) for v in px[:16]]
+    assert out[2] is None  # maxval > 255: filtered, never byte-mis-decoded
 
 
-@pytest.mark.skipif(not codec_available("video"), reason="PyAV not installed")
-def test_real_video_decode_via_pyav(spark):
-    import av  # noqa: F401 — presence gates the test; fixture needs an encoder
+def _avi_bytes(frame: bytes) -> bytes:
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + len(body).to_bytes(4, "little") + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
 
-    pytest.skip("video fixture generation needs an encoder; seam covered by "
-                "codec_available gating and the audio/image paths")
+    movi = chunk(b"LIST", b"movi" + chunk(b"00db", frame))
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", b"\x00" * 56))
+    body = b"AVI " + hdrl + movi
+    return chunk(b"RIFF", body)
+
+
+def test_real_video_decode_via_builtin_avi(spark):
+    """The vendored RIFF-AVI walker runs the real-codec video path on a
+    bare box (no PyAV): the first raw ``00db`` frame's bytes come back as
+    samples; a movi-less RIFF decodes to null."""
+    frame = bytes(range(20))
+    media = spark.createDataFrame(
+        [
+            (1, "video", _avi_bytes(frame), (len(frame), "t", "en")),
+            (2, "video", b"RIFF\x04\x00\x00\x00AVI ", (4, "t", "en")),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {
+        r.media_id: r.samples
+        for r in decode_media(media, fake=False, kinds=("video",)).collect()
+    }
+    assert out[1] == [float(v) for v in frame[:16]]
+    assert out[2] is None
 
 
 def test_frame_sample_jvm_only(media):
