@@ -49,7 +49,19 @@ def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     """Cut ``df``'s lineage via the session's configured checkpoint mode.
     Non-eager callers materialize via their own follow-up action (the
     iterative loops' one-action-per-round discipline holds in both
-    modes)."""
+    modes).
+
+    Local checkpoints store SERIALIZED (MEMORY_AND_DISK): superseded
+    rounds' blocks are freed asynchronously by the ContextCleaner, so
+    with deserialized default storage a long loop can hold several
+    vertex-sized frames in row format at once — the r8 sf10 rehearsal
+    OOMed an 8 GiB heap exactly that way. Serialized blocks are 3-5×
+    smaller and the per-round deserialize cost is noise against the
+    join+shuffle each round already pays."""
     if df.sparkSession.sparkContext.applicationId in _RELIABLE:
         return df.checkpoint(eager=eager)
-    return df.localCheckpoint(eager=eager)
+    from pyspark import StorageLevel
+
+    return df.localCheckpoint(
+        eager=eager, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )

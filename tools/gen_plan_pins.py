@@ -20,11 +20,37 @@ import __spark_entry__ as entry_mod  # noqa: E402
 SF_DIR = "/root/testdata/sf0.001"
 HEAD = 50
 
+# the 20 most expensive tail queries by sweep runtime (r8 verdict task 6):
+# graph tier, IVM/streaming, trainers — a plan regression here is invisible
+# to the head-50 pins and only shows up at the next bench otherwise
+TAIL_TOP = [
+    "perceptron_lang_curve",
+    "streaming_minhash_pairs",
+    "ivm_cooccurrence_top20",
+    "lpa_community_sizes",
+    "sssp_top20",
+    "harmonic_centrality_top20",
+    "streaming_burst_pairs",
+    "semantic_dedup_stats",
+    "bpe_merge_table",
+    "bfs_level_sizes",
+    "kcore_sizes",
+    "rich_club_coefficients",
+    "ann_topk_ivf_trained",
+    "product_random_walks",
+    "weighted_pagerank_top20",
+    "bpe_encoded_stats",
+    "walk_skipgram_pairs",
+    "streaming_daily_actives",
+    "als_rank1_convergence",
+    "bloom_urgent_order_events",
+]
+
 
 def main() -> int:
     spark = get_spark("gen-plan-pins", cpus=8, shuffle_partitions=8)
     pins: dict[str, dict] = {}
-    names = list(entry_mod.queries())[:HEAD]
+    names = list(entry_mod.queries())[:HEAD] + TAIL_TOP
     fns = entry_mod.queries()
     for name in names:
         # some queries compile differently cold vs warm (session-cached

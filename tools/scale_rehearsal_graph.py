@@ -42,13 +42,18 @@ QUERIES = [
 ]
 
 
-def _run(spark, sf_dir: str, queries: list[str]) -> dict[str, float]:
+def _run(spark, sf_dir: str, queries: list[str]) -> dict:
     spark.range(1).count()
-    out: dict[str, float] = {}
+    out: dict = {}
     fns = entry_mod.queries()
     for name in queries:
         t0 = time.time()
-        n = len(fns[name](spark, sf_dir).collect())
+        try:
+            n = len(fns[name](spark, sf_dir).collect())
+        except Exception as exc:  # record and keep going — a dead JVM
+            out[name] = f"error: {type(exc).__name__}"
+            print(f"# {sf_dir} {name}: ERROR {exc}"[:300], file=sys.stderr)
+            continue
         out[name] = round(time.time() - t0, 3)
         print(f"# {sf_dir} {name}: {out[name]}s ({n} rows)", file=sys.stderr)
     return out
@@ -65,9 +70,14 @@ def main() -> int:
         )
     base = _run(spark, SF01_DIR, QUERIES)
     big = _run(spark, SF1_DIR, QUERIES)
-    ratios = {
-        q: round(big[q] / base[q], 2) if base.get(q) else None for q in QUERIES
-    }
+    def _ratio(b, g):
+        return (
+            round(g / b, 2)
+            if isinstance(b, float) and isinstance(g, float) and b
+            else None
+        )
+
+    ratios = {q: _ratio(base.get(q), big.get(q)) for q in QUERIES}
     flagged = [q for q, r in ratios.items() if r is not None and r > FLAG_RATIO]
     artifact = {
         "metric": "graph_tier_scale_rehearsal",
@@ -85,8 +95,7 @@ def main() -> int:
         big10 = _run(spark, SF10_DIR, sf10_queries)
         artifact["sf10"] = big10
         artifact["ratios_vs_100x"] = {
-            q: round(big10[q] / base[q], 2) if base.get(q) else None
-            for q in sf10_queries
+            q: _ratio(base.get(q), big10.get(q)) for q in sf10_queries
         }
         artifact["flagged_super_linear_100x"] = [
             q
