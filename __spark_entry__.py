@@ -38,6 +38,7 @@ from graphdb_td2_spark.functions.scoring import gini_stump_train
 from graphdb_td2_spark.operators.range_join import event_burst_pairs
 from graphdb_td2_spark.operators.timeseries import hourly_event_rollup
 from graphdb_td2_spark.graph.bfs import bfs_level_sizes
+from graphdb_td2_spark.graph.hits import hits_top20
 from graphdb_td2_spark.graph.kcore import kcore_sizes
 from graphdb_td2_spark.graph.lpa import community_sizes as lpa_community_sizes
 from graphdb_td2_spark.graph.components import component_sizes
@@ -527,6 +528,8 @@ DEMOTED_TAIL = (
     "ivm_served_recs_product",  # /recs product query SERVED from the IVM-
                                 # maintained view (same oracle as the batch
                                 # recs_product_cooccurrence — r7 task 2)
+    "hits_top20",  # hubs/authorities variant of the iterative graph
+                   # family (fixed-point, same loop discipline as pagerank)
 )
 
 
@@ -740,6 +743,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_token_chisq": source_token_chisq,
         "event_burstiness": event_burstiness,
         "ivm_served_recs_product": ivm_served_recs_product,
+        "hits_top20": hits_top20,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -900,6 +904,52 @@ r{i} AS MATERIALIZED (
 SELECT id, rank AS rank_fp, CAST(rank AS DOUBLE) / {float(FP_SCALE)} AS rank
 FROM r{num_iter}
 ORDER BY rank_fp DESC, id ASC
+LIMIT 20
+""")
+    return "".join(parts)
+
+
+def _hits_fp_sql(num_iter: int = 4) -> str:
+    """Integer fixed-point HITS, iterations unrolled as chained CTEs.
+
+    Mirrors ``graph/hits.py:hits_fp`` exactly: all-FP_SCALE hub init, per
+    half-step an endorsement sum + a div-based renormalization with
+    ``norm = GREATEST(total div FP_SCALE, 1)``. Every intermediate is a
+    BIGINT, so the value hash matches Spark bit-for-bit. AS MATERIALIZED
+    on each score vector: every vector is referenced twice (total + state
+    join) and feeds the next half-step — inlined CTEs would re-evaluate
+    the chain exponentially."""
+    from graphdb_td2_spark.graph.pagerank import FP_SCALE
+
+    parts = [f"""
+WITH edges AS MATERIALIZED ({_graph_edges_sql()}),
+verts AS MATERIALIZED (SELECT DISTINCT id FROM
+          (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+h0 AS MATERIALIZED (SELECT id, CAST({FP_SCALE} AS BIGINT) AS hub FROM verts)"""]
+    for i in range(1, num_iter + 1):
+        p = i - 1
+        parts.append(f""",
+am{i} AS MATERIALIZED (
+  SELECT e.dst AS id, CAST(SUM(h.hub) AS BIGINT) AS raw
+  FROM edges e JOIN h{p} h ON e.src = h.id GROUP BY e.dst),
+an{i} AS (SELECT GREATEST(CAST(COALESCE(SUM(raw), 0) AS BIGINT) // {FP_SCALE},
+                          1) AS norm FROM am{i}),
+a{i} AS MATERIALIZED (
+  SELECT v.id, CAST(COALESCE(m.raw, 0) // t.norm AS BIGINT) AS auth
+  FROM verts v LEFT JOIN am{i} m ON v.id = m.id CROSS JOIN an{i} t),
+hm{i} AS MATERIALIZED (
+  SELECT e.src AS id, CAST(SUM(a.auth) AS BIGINT) AS raw
+  FROM edges e JOIN a{i} a ON e.dst = a.id GROUP BY e.src),
+hn{i} AS (SELECT GREATEST(CAST(COALESCE(SUM(raw), 0) AS BIGINT) // {FP_SCALE},
+                          1) AS norm FROM hm{i}),
+h{i} AS MATERIALIZED (
+  SELECT v.id, CAST(COALESCE(m.raw, 0) // t.norm AS BIGINT) AS hub
+  FROM verts v LEFT JOIN hm{i} m ON v.id = m.id CROSS JOIN hn{i} t)""")
+    parts.append(f"""
+SELECT a.id, a.auth AS auth_fp, h.hub AS hub_fp,
+       CAST(a.auth AS DOUBLE) / {float(FP_SCALE)} AS auth
+FROM a{num_iter} a JOIN h{num_iter} h ON a.id = h.id
+ORDER BY auth_fp DESC, a.id ASC
 LIMIT 20
 """)
     return "".join(parts)
@@ -1844,6 +1894,7 @@ SELECT rel_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
     sqls["sssp_top20"] = _sssp_sql()
     sqls["kcore_sizes"] = _kcore_sql()
     sqls["lpa_community_sizes"] = _lpa_sql()
+    sqls["hits_top20"] = _hits_fp_sql()
 
     # context_packing_stats: concatenate-and-chop packing plan
     # (functions/packing.py). C = 2048; same tokenization as token_stats.

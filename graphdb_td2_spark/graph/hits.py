@@ -1,0 +1,137 @@
+"""HITS (hubs & authorities) — Kleinberg '99 — over the property graph
+[extension].
+
+The reference's graph tier stops at pattern traversal plus its declared
+PageRank TODO (``/root/reference/app/main.py:31-33``); HITS is the natural
+companion ranking for a bipartite-ish commerce graph: orders/customers that
+*point at* many well-endorsed products are hubs, products *pointed at* by
+many strong hubs are authorities. Like PageRank (``graph/pagerank.py``),
+the loop is the genuinely iterative piece Catalyst cannot express
+(SURVEY.md §4 custom-work item 1), so it follows the same DataFrame
+power-iteration discipline: persist the edge relation once, broadcast the
+dimension-sized score vector into the message join, truncate lineage every
+iteration, and spend exactly two driver actions per iteration (the two
+1-row normalization totals).
+
+Exactness (the whole point of the fixed-point formulation): scores are
+scaled BIGINTs. A plain L1/L2 normalization divides by a data-dependent
+total — in floats that is engine-divergent; here each half-step computes
+
+    raw_auth(v) = SUM over in-edges of hub(u)          (exact BIGINT)
+    norm        = GREATEST(total_raw div FP_SCALE, 1)   (one 1-row agg)
+    auth(v)     = raw_auth(v) div norm                  (exact BIGINT)
+
+which keeps every intermediate an integer — summation order cannot perturb
+anything, so the unrolled-CTE DuckDB oracle in ``__spark_entry__.py``
+(``_hits_fp_sql``) reproduces the scores bit-for-bit and the iterative
+tier gets a full value-hash check, not a rows-only one. The div-based
+rescale keeps the vector's L1 mass at ~FP_SCALE so products never leave
+int64: raw ≤ in_degree·FP_SCALE ≤ |E|·FP_SCALE, and nothing is ever
+multiplied back up.
+
+Scale notes (100 TB posture): per half-step ONE shuffle (groupBy on the
+receiving endpoint) over the persisted edge relation; the score vector is
+vertex-dimension-sized and broadcasts below ``_BROADCAST_RANKS_MAX``
+(above it the join co-partitions edges and scores — same switch as
+PageRank). The normalization total is a 1-row aggregate. Lineage is
+truncated every iteration via the session checkpoint mode
+(``graph/checkpointing.py``) so the logical plan stays O(1) across
+iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .checkpointing import truncate_lineage
+from .pagerank import FP_SCALE, _BROADCAST_RANKS_MAX
+
+HITS_ITER = 4
+
+
+def hits_fp(edges: DataFrame, num_iter: int = HITS_ITER) -> DataFrame:
+    """Integer fixed-point HITS over ``edges(src, dst)``.
+
+    Returns ``(id, auth_fp, hub_fp)`` for every vertex appearing as an
+    endpoint. ``num_iter`` full (auth then hub) rounds from an all-ones
+    hub vector scaled to FP_SCALE.
+    """
+    edges = edges.select("src", "dst")
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n_vertices = verts.count()
+    small = n_vertices <= _BROADCAST_RANKS_MAX
+    if small:
+        # Same partition budget as pagerank._iterate: iteration state is
+        # vertex-sized — running dimension-sized frames at the session's
+        # full shuffle width burns task-scheduling overhead (measured on
+        # this operator: 66-wide half-steps cost ~12s/iteration at
+        # sf0.01; 1-wide cost well under 1s).
+        parts = max(1, int(n_vertices // 250_000) + 1)
+        edges = edges.repartition(parts, F.col("src"))
+        verts = verts.repartition(parts)
+    edges = edges.persist()
+    verts = verts.persist()
+    verts.count()  # materialize both persists
+
+    def _half_step(scores: DataFrame, score_col: str, join_on: str,
+                   group_on: str, out_col: str) -> DataFrame:
+        """One endorsement pass: ship ``score_col`` along edges joined on
+        ``join_on``, aggregate by ``group_on``, renormalize to ~FP_SCALE
+        mass with an exact integer div."""
+        side = scores.select(F.col("id").alias(join_on), score_col)
+        if small:
+            side = F.broadcast(side)
+        # The message aggregate is referenced twice (1-row total, then the
+        # state join), so persist it across the pair of uses; the new
+        # score vector is checkpointed EAGERLY so the persist can be
+        # released immediately — live state stays bounded at
+        # edges + vertices + one score vector regardless of num_iter.
+        raw = (
+            edges.join(side, join_on)
+            .groupBy(F.col(group_on).alias("id"))
+            .agg(F.sum(score_col).alias("raw"))
+            .persist()
+        )
+        total = int(raw.agg(F.coalesce(F.sum("raw"), F.lit(0))).first()[0])
+        norm = max(total // FP_SCALE, 1)
+        out = verts.join(raw, "id", "left").select(
+            "id",
+            F.expr(f"coalesce(raw, cast(0 as bigint)) div {norm}").alias(out_col),
+        )
+        out = out.transform(truncate_lineage, eager=True)
+        raw.unpersist()
+        return out
+
+    hubs = verts.select("id", F.lit(FP_SCALE).cast("long").alias("hub"))
+    auths = None
+    for _ in range(num_iter):
+        auths = _half_step(hubs, "hub", "src", "dst", "auth")
+        hubs = _half_step(auths, "auth", "dst", "src", "hub")
+    return auths.join(hubs, "id").select(
+        "id", F.col("auth").alias("auth_fp"), F.col("hub").alias("hub_fp")
+    )
+
+
+def hits_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: top 20 authorities of the full property graph with
+    their hub scores — ``(id, auth_fp, hub_fp, auth)``, ordered by
+    authority (deterministic id tiebreak, compiles to
+    TakeOrderedAndProject)."""
+    from .queries import cached_graph
+
+    g = cached_graph(spark, sf_dir)
+    r = hits_fp(g.edges.select("src", "dst"), num_iter=HITS_ITER)
+    return (
+        r.select(
+            "id",
+            "auth_fp",
+            "hub_fp",
+            (F.col("auth_fp").cast("double") / F.lit(float(FP_SCALE))).alias("auth"),
+        )
+        .orderBy(F.desc("auth_fp"), F.asc("id"))
+        .limit(20)
+    )
