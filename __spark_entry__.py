@@ -107,6 +107,7 @@ from graphdb_td2_spark.operators.conversion import (
 )
 from graphdb_td2_spark.operators.quality_checks import (
     benford_first_digit,
+    join_key_skew_report,
     orders_quality_report,
 )
 from graphdb_td2_spark.operators.activity import (
@@ -139,6 +140,11 @@ from graphdb_td2_spark.graph.triangles import (
     ktruss_edge_counts,
 )
 from graphdb_td2_spark.dedup.overlap import source_overlap_matrix
+from graphdb_td2_spark.dedup.minhash import minhash_accuracy_report
+from graphdb_td2_spark.dedup.spectrum import (
+    shingle_frequency_spectrum,
+    shingle_novelty_curve,
+)
 from graphdb_td2_spark.functions.scoring import perceptron_lang_curve
 from graphdb_td2_spark.operators.conversion import conversion_funnel_steps
 from graphdb_td2_spark.operators.transitions import top_session_paths
@@ -530,6 +536,15 @@ DEMOTED_TAIL = (
                                 # recs_product_cooccurrence — r7 task 2)
     "hits_top20",  # hubs/authorities variant of the iterative graph
                    # family (fixed-point, same loop discipline as pagerank)
+    "shingle_frequency_spectrum",  # Good-Turing df spectrum — the
+                                   # histogram behind the dedup tier's
+                                   # pruning constants (shingle family)
+    "shingle_novelty_curve",  # Heaps-law vocabulary growth in doc order —
+                              # capacity plan for incremental dedup state
+    "minhash_accuracy_report",  # estimator-vs-truth audit of the MinHash
+                                # index — dedup twin of ann_recall_report
+    "join_key_skew_report",  # hot-join-key cardinality/hot-spot profile —
+                             # the salting/AQE-skew decision input
 )
 
 
@@ -744,6 +759,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_burstiness": event_burstiness,
         "ivm_served_recs_product": ivm_served_recs_product,
         "hits_top20": hits_top20,
+        "shingle_frequency_spectrum": shingle_frequency_spectrum,
+        "shingle_novelty_curve": shingle_novelty_curve,
+        "minhash_accuracy_report": minhash_accuracy_report,
+        "join_key_skew_report": join_key_skew_report,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2529,6 +2548,55 @@ GROUP BY doc_id_a, doc_id_b
 ORDER BY doc_id_a, doc_id_b
 """
 
+    # minhash_accuracy_report: estimator-vs-truth audit over the SAME
+    # capped candidate pairs (dedup/minhash.py:minhash_accuracy_report);
+    # 1e6 fixed point, truncating integer division in both engines.
+    _sig_match = " + ".join(
+        f"(CASE WHEN a.sig_{j} = b.sig_{j} THEN 1 ELSE 0 END)"
+        for j in range(16)
+    )
+    sqls["minhash_accuracy_report"] = f"""
+WITH sigs AS ({_minhash_sig_sql()}),
+raw_buckets AS ({_band_buckets_sql()}),
+buckets AS ({_CAPPED_BUCKETS}),
+pairs AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY doc_id_a, doc_id_b
+),
+doc_sh AS (SELECT doc_id, unnest(sh) AS shingle
+           FROM (SELECT doc_id, {_SHINGLES} AS sh FROM documents)),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM doc_sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_id_a, p.doc_id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM pairs p
+  JOIN doc_sh x ON x.doc_id = p.doc_id_a
+  JOIN doc_sh y ON y.doc_id = p.doc_id_b AND y.shingle = x.shingle
+  GROUP BY p.doc_id_a, p.doc_id_b
+),
+per AS (
+  SELECT p.n_shared_bands,
+         CAST(({_sig_match}) * 62500 AS BIGINT) AS est_fp,
+         CAST((COALESCE(i.n_inter, 0) * 1000000)
+              // (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS BIGINT) AS true_fp
+  FROM pairs p
+  JOIN sigs a ON a.doc_id = p.doc_id_a
+  JOIN sigs b ON b.doc_id = p.doc_id_b
+  LEFT JOIN inter i ON i.doc_id_a = p.doc_id_a AND i.doc_id_b = p.doc_id_b
+  JOIN sizes sa ON sa.doc_id = p.doc_id_a
+  JOIN sizes sb ON sb.doc_id = p.doc_id_b
+)
+SELECT n_shared_bands, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(SUM(est_fp) // COUNT(*) AS BIGINT) AS mean_est_fp,
+  CAST(SUM(true_fp) // COUNT(*) AS BIGINT) AS mean_true_fp,
+  CAST(SUM(ABS(est_fp - true_fp)) // COUNT(*) AS BIGINT) AS mean_abs_err_fp,
+  CAST(MAX(ABS(est_fp - true_fp)) AS BIGINT) AS max_abs_err_fp
+FROM per GROUP BY n_shared_bands ORDER BY n_shared_bands
+"""
+
     # streaming_minhash_pairs: the incrementally-maintained pair set is
     # indistinguishable from the UNCAPPED batch recompute (the cap is a
     # batch-consumer pruning decision — see streaming/dedup_stream.py).
@@ -2555,6 +2623,107 @@ SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
 FROM documents"""
         for c in _prof_cols
     ) + " ORDER BY col_name"
+
+    # shingle_frequency_spectrum / shingle_novelty_curve: corpus
+    # shingle-vocabulary statistics (dedup/spectrum.py) over the same
+    # per-doc-distinct shingle relation as the dedup family; exact
+    # integer log2 (length(bin(.))-1) and ceil-div decile assignment.
+    sqls["shingle_frequency_spectrum"] = f"""
+WITH doc_shingles AS (
+  SELECT doc_id, unnest(sh) AS shingle
+  FROM (SELECT doc_id, {_SHINGLES} AS sh FROM documents)
+),
+dfreq AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+          FROM doc_shingles GROUP BY shingle)
+SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS df_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+  CAST(SUM(df) AS BIGINT) AS n_postings,
+  MIN(df) AS min_df, MAX(df) AS max_df
+FROM dfreq GROUP BY df_bucket ORDER BY df_bucket
+"""
+
+    sqls["shingle_novelty_curve"] = f"""
+WITH doc_shingles AS (
+  SELECT doc_id, unnest(sh) AS shingle
+  FROM (SELECT doc_id, {_SHINGLES} AS sh FROM documents)
+),
+docs AS (SELECT DISTINCT doc_id FROM doc_shingles),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM docs),
+ranked AS (SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rnk
+           FROM docs),
+dd AS (SELECT doc_id,
+              CAST((rnk * 10 + (SELECT n_docs FROM n) - 1)
+                   // (SELECT n_docs FROM n) AS BIGINT) AS decile
+       FROM ranked),
+tagged AS (SELECT s.doc_id, s.shingle, d.decile
+           FROM doc_shingles s JOIN dd d ON s.doc_id = d.doc_id),
+per_doc AS (SELECT decile, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_postings
+            FROM tagged GROUP BY decile),
+firsts AS (SELECT MIN(decile) AS decile FROM tagged GROUP BY shingle),
+news AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_new_shingles
+         FROM firsts GROUP BY decile)
+SELECT p.decile, p.n_docs, p.n_postings,
+  CAST(COALESCE(w.n_new_shingles, 0) AS BIGINT) AS n_new_shingles,
+  CAST(SUM(p.n_postings) OVER (ORDER BY p.decile
+       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_postings,
+  CAST(SUM(COALESCE(w.n_new_shingles, 0)) OVER (ORDER BY p.decile
+       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+FROM per_doc p LEFT JOIN news w ON p.decile = w.decile
+ORDER BY p.decile
+"""
+
+    # join_key_skew_report: hot-join-key skew diagnostic
+    # (operators/quality_checks.py:join_key_skew_report); min-key-among-
+    # max-count top key, integer milli-ratio.
+    sqls["join_key_skew_report"] = """
+SELECT 'events.user_id' AS join_key, s.n_rows, s.n_keys, s.max_key_rows,
+  (SELECT CAST(MIN(k) AS BIGINT)
+   FROM (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY user_id) g
+   WHERE g.c = s.max_key_rows) AS top_key,
+  CAST(s.max_key_rows * s.n_keys * 1000 // s.n_rows AS BIGINT) AS skew_ratio_fp
+FROM (SELECT CAST(SUM(c) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(c) AS BIGINT) AS max_key_rows
+      FROM (SELECT COUNT(*) AS c FROM events GROUP BY user_id)) s
+UNION ALL
+SELECT 'lineitem.l_orderkey' AS join_key, s.n_rows, s.n_keys, s.max_key_rows,
+  (SELECT CAST(MIN(k) AS BIGINT)
+   FROM (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY l_orderkey) g
+   WHERE g.c = s.max_key_rows) AS top_key,
+  CAST(s.max_key_rows * s.n_keys * 1000 // s.n_rows AS BIGINT) AS skew_ratio_fp
+FROM (SELECT CAST(SUM(c) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(c) AS BIGINT) AS max_key_rows
+      FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey)) s
+UNION ALL
+SELECT 'lineitem.l_partkey' AS join_key, s.n_rows, s.n_keys, s.max_key_rows,
+  (SELECT CAST(MIN(k) AS BIGINT)
+   FROM (SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem GROUP BY l_partkey) g
+   WHERE g.c = s.max_key_rows) AS top_key,
+  CAST(s.max_key_rows * s.n_keys * 1000 // s.n_rows AS BIGINT) AS skew_ratio_fp
+FROM (SELECT CAST(SUM(c) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(c) AS BIGINT) AS max_key_rows
+      FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_partkey)) s
+UNION ALL
+SELECT 'lineitem.l_suppkey' AS join_key, s.n_rows, s.n_keys, s.max_key_rows,
+  (SELECT CAST(MIN(k) AS BIGINT)
+   FROM (SELECT l_suppkey AS k, COUNT(*) AS c FROM lineitem GROUP BY l_suppkey) g
+   WHERE g.c = s.max_key_rows) AS top_key,
+  CAST(s.max_key_rows * s.n_keys * 1000 // s.n_rows AS BIGINT) AS skew_ratio_fp
+FROM (SELECT CAST(SUM(c) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(c) AS BIGINT) AS max_key_rows
+      FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_suppkey)) s
+UNION ALL
+SELECT 'orders.o_custkey' AS join_key, s.n_rows, s.n_keys, s.max_key_rows,
+  (SELECT CAST(MIN(k) AS BIGINT)
+   FROM (SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY o_custkey) g
+   WHERE g.c = s.max_key_rows) AS top_key,
+  CAST(s.max_key_rows * s.n_keys * 1000 // s.n_rows AS BIGINT) AS skew_ratio_fp
+FROM (SELECT CAST(SUM(c) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(c) AS BIGINT) AS max_key_rows
+      FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_custkey)) s
+ORDER BY join_key
+"""
 
     sqls["simhash_docs"] = _simhash_sql()
 

@@ -109,3 +109,70 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# The engine's hottest shuffle/join keys (recs C1 self-join, graph build
+# C7 FK joins, the window family's user axis) — the keys whose skew
+# decides whether the 100 TB plan needs salting/AQE skew splits.
+SKEW_KEYS: tuple[tuple[str, str], ...] = (
+    ("events", "user_id"),
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+)
+
+SKEW_FP = 1000  # skew_ratio fixed-point scale (max/mean, milli-units)
+
+
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(join_key, n_rows, n_keys, max_key_rows,
+    top_key, skew_ratio_fp)`` — per hot join key, the cardinality and
+    hot-spot profile that decides the shuffle strategy at scale:
+    ``skew_ratio_fp = max_key_rows·n_keys·1000 div n_rows`` is the
+    heaviest key's multiple of the mean (1000 = perfectly uniform).
+
+    This is the operational complement of the plan pins: a key whose
+    ratio drifts past AQE's skew threshold (~5x mean) is the signal to
+    pre-salt BEFORE the nightly build hits it. ``top_key`` is the
+    smallest key achieving the maximum (deterministic under ties).
+
+    Scale notes: one partial-aggregated groupBy per profiled key (the
+    same shuffle the production join itself pays), then 1-row aggregates;
+    the max-count key lookup joins the counts against a broadcast 1-row
+    maximum — no global window over the key axis. Output is
+    |SKEW_KEYS| rows. All integer arithmetic.
+    """
+    parts = []
+    for table, key in SKEW_KEYS:
+        g = (
+            read_table(spark, sf_dir, table, [key])
+            .groupBy(F.col(key).alias("k"))
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        stats = g.agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("c").alias("max_key_rows"),
+        )
+        top = (
+            g.join(
+                F.broadcast(stats.select(F.col("max_key_rows").alias("__mx"))),
+                F.col("c") == F.col("__mx"),
+            )
+            .agg(F.min("k").cast("long").alias("top_key"))
+        )
+        parts.append(
+            stats.crossJoin(top).select(
+                F.lit(f"{table}.{key}").alias("join_key"),
+                "n_rows",
+                "n_keys",
+                "max_key_rows",
+                "top_key",
+                F.expr(f"max_key_rows * n_keys * {SKEW_FP} div n_rows").alias(
+                    "skew_ratio_fp"
+                ),
+            )
+        )
+    out = functools.reduce(DataFrame.unionByName, parts)
+    return out.orderBy("join_key")
