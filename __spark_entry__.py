@@ -545,6 +545,11 @@ DEMOTED_TAIL = (
                                 # index — dedup twin of ann_recall_report
     "join_key_skew_report",  # hot-join-key cardinality/hot-spot profile —
                              # the salting/AQE-skew decision input
+    "source_diversity_index",  # Gini-Simpson lexical diversity per source —
+                               # log-free template/boilerplate screen
+    "pagerank_convergence_curve",  # per-iteration L1 movement of the
+                                   # pagerank loop — stopping-criterion
+                                   # evidence for the iterative tier
 )
 
 
@@ -763,6 +768,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_novelty_curve": shingle_novelty_curve,
         "minhash_accuracy_report": minhash_accuracy_report,
         "join_key_skew_report": join_key_skew_report,
+        "source_diversity_index": text.source_diversity_index,
+        "pagerank_convergence_curve": gq.pagerank_convergence_curve,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -874,7 +881,8 @@ def _graph_edges_weighted_sql() -> str:
 
 
 def _pagerank_fp_sql(
-    reset_expr: str, num_iter: int = 5, weighted: bool = False
+    reset_expr: str, num_iter: int = 5, weighted: bool = False,
+    curve: bool = False,
 ) -> str:
     """Integer fixed-point PageRank, iterations unrolled as chained CTEs.
 
@@ -919,6 +927,16 @@ r{i} AS MATERIALIZED (
          // {FP_DDEN}) AS BIGINT) AS rank
   FROM r{p} r LEFT JOIN m{i} m ON r.id = m.id CROSS JOIN d{i} d
 )""")
+    if curve:
+        # per-iteration L1 movement — mirrors pagerank.py track_deltas
+        deltas = "\nUNION ALL\n".join(
+            f"""SELECT CAST({i} AS BIGINT) AS iter,
+  (SELECT CAST(COALESCE(SUM(ABS(a.rank - b.rank)), 0) AS BIGINT)
+   FROM r{i} a JOIN r{i - 1} b ON a.id = b.id) AS l1_delta_fp"""
+            for i in range(1, num_iter + 1)
+        )
+        parts.append(f"""\n{deltas}\nORDER BY iter\n""")
+        return "".join(parts)
     parts.append(f"""
 SELECT id, rank AS rank_fp, CAST(rank AS DOUBLE) / {float(FP_SCALE)} AS rank
 FROM r{num_iter}
@@ -1914,6 +1932,9 @@ SELECT rel_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
     sqls["kcore_sizes"] = _kcore_sql()
     sqls["lpa_community_sizes"] = _lpa_sql()
     sqls["hits_top20"] = _hits_fp_sql()
+    sqls["pagerank_convergence_curve"] = _pagerank_fp_sql(
+        f"({FP_SCALE} // (SELECT n FROM nv))", curve=True
+    )
 
     # context_packing_stats: concatenate-and-chop packing plan
     # (functions/packing.py). C = 2048; same tokenization as token_stats.
@@ -2723,6 +2744,25 @@ FROM (SELECT CAST(SUM(c) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_key
              CAST(MAX(c) AS BIGINT) AS max_key_rows
       FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_custkey)) s
 ORDER BY join_key
+"""
+
+    # source_diversity_index: Gini-Simpson per source
+    # (functions/text.py:source_diversity_index); exact integer
+    # sufficient statistics, ONE final IEEE division, N<=1 guarded.
+    sqls["source_diversity_index"] = f"""
+WITH toks AS (SELECT source, unnest({_TOKS}) AS token FROM documents),
+pt AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n_t
+       FROM toks GROUP BY source, token),
+ps AS (SELECT source, CAST(SUM(n_t) AS BIGINT) AS n_tokens,
+              CAST(COUNT(*) AS BIGINT) AS n_types,
+              CAST(SUM(n_t * (n_t - 1)) AS BIGINT) AS collision_num
+       FROM pt GROUP BY source)
+SELECT source, n_tokens, n_types, collision_num,
+  CASE WHEN n_tokens > 1
+       THEN 1.0 - CAST(collision_num AS DOUBLE)
+                  / CAST(n_tokens * (n_tokens - 1) AS DOUBLE)
+  END AS simpson_diversity
+FROM ps ORDER BY source
 """
 
     sqls["simhash_docs"] = _simhash_sql()

@@ -555,3 +555,50 @@ def lang_script_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("lang", "dominant_class")
     )
+
+
+def source_diversity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(source, n_tokens, n_types, collision_num,
+    simpson_diversity)`` — Gini-Simpson lexical diversity per source
+    [extension]: the probability two tokens drawn without replacement
+    differ, ``1 − Σ n_t(n_t−1) / (N(N−1))``.
+
+    The diversity screen that catches template-heavy or machine-generated
+    sources BEFORE dedup: boilerplate collapses the token distribution,
+    so its collision mass Σn_t(n_t−1) spikes while a Shannon-entropy
+    screen would need a transcendental log. Gini-Simpson needs only
+    exact integer sufficient statistics and ONE final IEEE division
+    (the repo determinism rule — same shape as event_transition_matrix),
+    so the oracle hash-matches.
+
+    Scale notes: one (source, token) partial-aggregated count, one
+    source-grain rollup — output bounded by |sources|. int64 headroom:
+    collision_num ≤ N², safe to N ≈ 3·10⁹ tokens per source; past that
+    the same statistic lands in DECIMAL(38,0) unchanged.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["source", "text"])
+    toks = docs.select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    per_token = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_t")
+    )
+    per_source = per_token.groupBy("source").agg(
+        F.sum("n_t").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.expr("n_t * (n_t - 1)")).cast("long").alias("collision_num"),
+    )
+    return per_source.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "collision_num",
+        # degenerate-source guard mirrored in the oracle: N ≤ 1 has no
+        # token pair, and engines disagree on double x/0 (ADVICE r7)
+        F.when(
+            F.col("n_tokens") > 1,
+            F.lit(1.0)
+            - F.col("collision_num").cast("double")
+            / (F.col("n_tokens") * (F.col("n_tokens") - 1)).cast("double"),
+        ).alias("simpson_diversity"),
+    ).orderBy("source")

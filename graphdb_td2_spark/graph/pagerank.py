@@ -170,6 +170,7 @@ def _iterate_fp(
     dst: str,
     n_vertices: int | None = None,
     weight: str | None = None,
+    track_deltas: list | None = None,
 ) -> DataFrame:
     """Integer power iteration; same loop discipline as ``_iterate``
     (broadcast rank vector while dimension-sized, localCheckpoint every
@@ -250,6 +251,21 @@ def _iterate_fp(
             )
         )
         new_ranks = new_ranks.transform(truncate_lineage, eager=False)
+        if track_deltas is not None:
+            # convergence diagnostic: Σ|Δrank| this iteration — one extra
+            # join of two vertex-sized integer frames + a 1-row aggregate
+            track_deltas.append(
+                int(
+                    ranks.select("id", F.col("rank").alias("__old"))
+                    .join(new_ranks.select("id", "rank"), "id")
+                    .agg(
+                        F.coalesce(
+                            F.sum(F.abs(F.col("rank") - F.col("__old"))), F.lit(0)
+                        ).cast("long")
+                    )
+                    .first()[0]
+                )
+            )
         dangling = dangling_mass(new_ranks)
         ranks = new_ranks
     return ranks.select("id", F.col("rank").alias("rank_fp"))
@@ -261,15 +277,19 @@ def pagerank_fp(
     src: str = "src",
     dst: str = "dst",
     weight: str | None = None,
+    track_deltas: list | None = None,
 ) -> DataFrame:
     """Uniform-teleport integer PageRank → ``(id, rank_fp)`` with
     ``rank_fp ~ rank * FP_SCALE`` (exactly reproducible cross-engine).
-    With ``weight``, mass flows proportionally to edge weights."""
+    With ``weight``, mass flows proportionally to edge weights.
+    ``track_deltas``: optional list that receives the per-iteration L1
+    rank movement Σ|Δrank| (the convergence curve)."""
     vertices = _vertices_of(edges, src, dst).persist()
     n = vertices.count()
     reset = vertices.withColumn("reset", F.lit(FP_SCALE // n).cast("long"))
     return _iterate_fp(
-        edges, vertices, reset, num_iter, src, dst, n_vertices=n, weight=weight
+        edges, vertices, reset, num_iter, src, dst, n_vertices=n, weight=weight,
+        track_deltas=track_deltas,
     )
 
 

@@ -184,3 +184,25 @@ def ppr_top20(spark: SparkSession, sf_dir: str, seed: str = "C:1") -> DataFrame:
         .orderBy(F.desc("rank_fp"), F.asc("id"))
         .limit(20)
     )
+
+
+def pagerank_convergence_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(iter, l1_delta_fp)`` — per-iteration L1 rank
+    movement Σ|Δrank_fp| of the 5-iteration PageRank run [extension].
+
+    The stopping-criterion evidence for the iterative tier: a geometric
+    decay here is what justifies the fixed iteration count the production
+    queries run with (and, at 100 TB, what an adaptive early-exit loop
+    would threshold on). Exact integers throughout — each delta is one
+    vertex-frame join + a 1-row aggregate inside the existing loop, so
+    the unrolled-CTE oracle reproduces the curve bit-for-bit.
+    """
+    g = cached_graph(spark, sf_dir)
+    deltas: list[int] = []
+    # the final vector is discarded — the curve is the product here; the
+    # run itself is the same pagerank_top20 loop (5 iterations)
+    pagerank_fp(g.edges.select("src", "dst"), num_iter=5, track_deltas=deltas)
+    return spark.createDataFrame(
+        [(i + 1, d) for i, d in enumerate(deltas)],
+        "iter bigint, l1_delta_fp bigint",
+    ).orderBy("iter")

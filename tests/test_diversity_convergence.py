@@ -1,0 +1,59 @@
+"""source_diversity_index (functions/text.py) and
+pagerank_convergence_curve (graph/queries.py) invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphdb_td2_spark.functions.text import source_diversity_index, tokens_col
+from graphdb_td2_spark.graph.queries import pagerank_convergence_curve
+from graphdb_td2_spark.io import read_table
+
+
+def test_diversity_bounds_and_token_accounting(spark, sf_dir):
+    rows = source_diversity_index(spark, sf_dir).collect()
+    assert rows
+    docs = read_table(spark, sf_dir, "documents", ["source", "text"])
+    total_tokens = docs.select(
+        F.sum(F.size(tokens_col(F.col("text")))).cast("long")
+    ).first()[0]
+    assert sum(r["n_tokens"] for r in rows) == total_tokens
+    for r in rows:
+        assert 0 <= r["n_types"] <= r["n_tokens"]
+        # collision mass is tight: 0 (all distinct) .. N(N-1) (one type)
+        assert 0 <= r["collision_num"] <= r["n_tokens"] * (r["n_tokens"] - 1)
+        if r["n_tokens"] > 1:
+            assert 0.0 <= r["simpson_diversity"] <= 1.0
+
+
+def test_diversity_extremes_on_fixture(spark, sf_dir, tmp_path):
+    """All-same-token source → diversity 0; all-distinct source → 1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pa.table(
+        {
+            "doc_id": [0, 1],
+            "text": ["x x x x", "a b c d"],
+            "lang": ["en", "en"],
+            "source": ["mono", "poly"],
+            "n_chars": [7, 7],
+        }
+    )
+    d = tmp_path / "fixture"
+    d.mkdir()
+    pq.write_table(docs, d / "documents.parquet")
+    got = {r["source"]: r for r in source_diversity_index(spark, str(d)).collect()}
+    assert got["mono"]["simpson_diversity"] == 0.0
+    assert got["poly"]["simpson_diversity"] == 1.0
+
+
+def test_pagerank_convergence_curve_decays(spark, sf_dir):
+    rows = pagerank_convergence_curve(spark, sf_dir).collect()
+    assert [r["iter"] for r in rows] == [1, 2, 3, 4, 5]
+    deltas = [r["l1_delta_fp"] for r in rows]
+    assert all(d >= 0 for d in deltas)
+    # the power iteration contracts: movement must shrink monotonically
+    # on this graph (damping 0.85 → geometric envelope)
+    assert deltas[0] > deltas[-1]
+    assert all(a >= b for a, b in zip(deltas, deltas[1:]))
