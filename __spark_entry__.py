@@ -141,6 +141,7 @@ from graphdb_td2_spark.graph.triangles import (
 )
 from graphdb_td2_spark.dedup.overlap import source_overlap_matrix
 from graphdb_td2_spark.dedup.minhash import minhash_accuracy_report
+from graphdb_td2_spark.recs.backtest import recs_backtest_hitrate
 from graphdb_td2_spark.dedup.spectrum import (
     shingle_frequency_spectrum,
     shingle_novelty_curve,
@@ -550,6 +551,9 @@ DEMOTED_TAIL = (
     "pagerank_convergence_curve",  # per-iteration L1 movement of the
                                    # pagerank loop — stopping-criterion
                                    # evidence for the iterative tier
+    "recs_backtest_hitrate",  # leave-future-out hit-rate@10 of the
+                              # co-occurrence recommender — the offline
+                              # eval harness of the recs tier
 )
 
 
@@ -770,6 +774,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_key_skew_report": join_key_skew_report,
         "source_diversity_index": text.source_diversity_index,
         "pagerank_convergence_curve": gq.pagerank_convergence_curve,
+        "recs_backtest_hitrate": recs_backtest_hitrate,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2763,6 +2768,72 @@ SELECT source, n_tokens, n_types, collision_num,
                   / CAST(n_tokens * (n_tokens - 1) AS DOUBLE)
   END AS simpson_diversity
 FROM ps ORDER BY source
+"""
+
+    # recs_backtest_hitrate: leave-future-out evaluation of the
+    # co-occurrence recommender (recs/backtest.py). Cutoff is exact
+    # integer day arithmetic; hit rate is 1e6 fixed point.
+    sqls["recs_backtest_hitrate"] = """
+WITH bounds AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS mn,
+                       MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+cut AS (SELECT mn + CAST((mx - mn) * 4 // 5 AS INTEGER) AS cutoff FROM bounds),
+train_o AS MATERIALIZED (
+  SELECT o_orderkey, o_custkey FROM orders, cut
+  WHERE CAST(o_orderdate AS DATE) <= cutoff),
+test_o AS MATERIALIZED (
+  SELECT o_orderkey, o_custkey FROM orders, cut
+  WHERE CAST(o_orderdate AS DATE) > cutoff),
+train_owned AS MATERIALIZED (
+  SELECT DISTINCT t.o_custkey AS customer_id, l.l_partkey AS product_id
+  FROM lineitem l JOIN train_o t ON l.l_orderkey = t.o_orderkey),
+train_pairs AS MATERIALIZED (
+  SELECT DISTINCT l.l_orderkey AS order_id, l.l_partkey AS product_id
+  FROM lineitem l JOIN train_o t ON l.l_orderkey = t.o_orderkey),
+edges AS MATERIALIZED (
+  SELECT a.product_id AS pa, b.product_id AS pb,
+         CAST(COUNT(*) AS BIGINT) AS weight
+  FROM train_pairs a JOIN train_pairs b
+    ON a.order_id = b.order_id AND a.product_id < b.product_id
+  GROUP BY pa, pb HAVING COUNT(*) >= 2),
+und AS (SELECT pa, pb, weight FROM edges
+        UNION ALL SELECT pb, pa, weight FROM edges),
+cand AS (
+  SELECT o.customer_id, u.pb AS rec, CAST(SUM(u.weight) AS BIGINT) AS score
+  FROM train_owned o JOIN und u ON o.product_id = u.pa
+  GROUP BY o.customer_id, u.pb),
+cand2 AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM train_owned t
+                    WHERE t.customer_id = c.customer_id
+                      AND t.product_id = c.rec)),
+recs AS MATERIALIZED (
+  SELECT customer_id, rec FROM (
+    SELECT customer_id, rec,
+           row_number() OVER (PARTITION BY customer_id
+                              ORDER BY score DESC, rec ASC) AS rn
+    FROM cand2)
+  WHERE rn <= 10),
+test_new AS MATERIALIZED (
+  SELECT DISTINCT t.o_custkey AS customer_id, l.l_partkey AS product_id
+  FROM lineitem l JOIN test_o t ON l.l_orderkey = t.o_orderkey
+  WHERE NOT EXISTS (SELECT 1 FROM train_owned w
+                    WHERE w.customer_id = t.o_custkey
+                      AND w.product_id = l.l_partkey)),
+evalc AS MATERIALIZED (
+  SELECT DISTINCT n.customer_id FROM test_new n
+  JOIN (SELECT DISTINCT customer_id FROM recs) r
+    ON n.customer_id = r.customer_id),
+hits AS MATERIALIZED (
+  SELECT DISTINCT r.customer_id FROM recs r
+  JOIN test_new n ON r.customer_id = n.customer_id AND r.rec = n.product_id)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM train_o) AS n_train_orders,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM test_o) AS n_test_orders,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM evalc) AS n_eval_customers,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hit_customers,
+       CASE WHEN (SELECT COUNT(*) FROM evalc) > 0
+            THEN CAST(((SELECT COUNT(*) FROM hits) * 1000000)
+                      // (SELECT COUNT(*) FROM evalc) AS BIGINT)
+       END AS hit_rate_fp
 """
 
     sqls["simhash_docs"] = _simhash_sql()
