@@ -84,7 +84,11 @@ from graphdb_td2_spark.similarity import (
     ann_topk_ivf_trained,
     ann_topk_lsh,
 )
-from graphdb_td2_spark.similarity.pq import ann_topk_ivfpq, pq_adc_topk
+from graphdb_td2_spark.similarity.pq import (
+    ann_topk_ivfpq,
+    pq_adc_topk,
+    pq_recall_report,
+)
 from graphdb_td2_spark.operators.transitions import (
     event_transition_matrix,
     event_type_affinity,
@@ -554,6 +558,8 @@ DEMOTED_TAIL = (
     "recs_backtest_hitrate",  # leave-future-out hit-rate@10 of the
                               # co-occurrence recommender — the offline
                               # eval harness of the recs tier
+    "pq_recall_report",  # IVF-PQ recall vs brute-force truth — isolates
+                         # the accuracy cost of ADC code compression
 )
 
 
@@ -775,6 +781,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_diversity_index": text.source_diversity_index,
         "pagerank_convergence_curve": gq.pagerank_convergence_curve,
         "recs_backtest_hitrate": recs_backtest_hitrate,
+        "pq_recall_report": pq_recall_report,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -3473,7 +3480,7 @@ FROM d GROUP BY source ORDER BY source
 """
 
     # similarity/pq.py:ann_topk_ivfpq — IVF cell prune × PQ code compression
-    sqls["ann_topk_ivfpq"] = f"""
+    _ivfpq_with = f"""
 WITH q AS (SELECT vec_id, {_QE} AS qe FROM embeddings),
 cent AS (SELECT vec_id AS cent_id, qe AS cent_qe FROM q WHERE vec_id < 8),
 cells AS MATERIALIZED (
@@ -3513,6 +3520,8 @@ scored AS (
   WHERE c.vec_id <> query_id
   GROUP BY query_id, c.vec_id
 )
+"""
+    sqls["ann_topk_ivfpq"] = _ivfpq_with + """
 SELECT query_id, rank, vec_id, adc_dist FROM (
   SELECT query_id, vec_id, adc_dist,
     CAST(row_number() OVER (
@@ -3520,6 +3529,43 @@ SELECT query_id, rank, vec_id, adc_dist FROM (
     ) AS BIGINT) AS rank
   FROM scored
 ) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+    # similarity/pq.py:pq_recall_report — IVF-PQ top-5 vs brute-force
+    # truth; shares the full IVF-PQ CTE chain, appends the exact-cosine
+    # ground truth and the join-count comparison.
+    sqls["pq_recall_report"] = _ivfpq_with + f""",
+queries_b AS (SELECT vec_id AS query_id, qe AS query_qe FROM q WHERE vec_id < 5),
+scored_b AS (
+  SELECT query_id, q.vec_id, {_cosine_sql("query_qe", "qe")} AS cosine
+  FROM q CROSS JOIN queries_b WHERE q.vec_id <> query_id
+),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM scored_b
+  ) WHERE rank <= 5
+),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY adc_dist ASC, vec_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+),
+counts AS (
+  SELECT
+    (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) FROM truth) AS n_queries,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t JOIN approx a
+       ON t.query_id = a.query_id AND t.vec_id = a.vec_id) AS n_hits
+)
+SELECT n_queries, CAST(n_truth // n_queries AS BIGINT) AS k, n_hits,
+  CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+FROM counts
 """
 
     # graph/walks.py:product_random_walks — hash-seeded deterministic

@@ -212,3 +212,40 @@ def ann_topk_ivfpq(
         .agg(F.sum("dist").cast("long").alias("adc_dist"))
     )
     return _adc_rank(scored, k)
+
+
+def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: one row ``(n_queries, k, n_hits, recall)`` —
+    recall@k of the IVF-PQ index against the brute-force ground truth:
+    the quantization-loss accounting that closes the index-health family
+    (IVF recall: ``similarity/ann.py:ann_recall_report``; MinHash:
+    ``dedup/minhash.py:minhash_accuracy_report``). IVF-PQ loses recall
+    two ways — cell pruning (shared with IVF) and ADC code compression —
+    so this number against the IVF-only recall isolates what the 64x
+    memory compression actually costs in accuracy.
+
+    Both sides are deterministic engine top-k, so recall is an exact
+    ratio (one division). Scale: reuses both existing plans; the
+    comparison joins two k·|queries|-sized frames.
+    """
+    from .ann import ann_topk_bruteforce
+
+    truth = ann_topk_bruteforce(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("t_vec")
+    )
+    approx = ann_topk_ivfpq(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("a_vec")
+    )
+    hits = truth.join(
+        approx,
+        (truth["query_id"] == approx["query_id"])
+        & (truth["t_vec"] == approx["a_vec"]),
+    )
+    nq = truth.select("query_id").distinct().count()
+    n_truth = truth.count()
+    n_hits = hits.count()
+    k = n_truth // max(nq, 1)
+    return spark.createDataFrame(
+        [(nq, k, n_hits, float(n_hits) / float(n_truth))],
+        "n_queries long, k long, n_hits long, recall double",
+    )

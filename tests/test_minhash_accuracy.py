@@ -35,3 +35,16 @@ def test_more_shared_bands_means_higher_estimated_similarity(spark, sf_dir):
     )
     if len(rows) >= 2:
         assert rows[-1]["mean_est_fp"] >= rows[0]["mean_est_fp"]
+
+
+def test_pq_recall_report_bounds(spark, sf_dir):
+    """IVF-PQ recall accounting: same query set/k as the IVF report,
+    recall an exact n_hits/n_truth ratio in [0, 1]."""
+    from graphdb_td2_spark.similarity.ann import ann_recall_report
+    from graphdb_td2_spark.similarity.pq import pq_recall_report
+
+    pq = pq_recall_report(spark, sf_dir).collect()[0]
+    ivf = ann_recall_report(spark, sf_dir).collect()[0]
+    assert (pq["n_queries"], pq["k"]) == (ivf["n_queries"], ivf["k"])
+    assert 0 <= pq["n_hits"] <= pq["n_queries"] * pq["k"]
+    assert pq["recall"] == pq["n_hits"] / (pq["n_queries"] * pq["k"])
