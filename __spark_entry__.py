@@ -560,6 +560,8 @@ DEMOTED_TAIL = (
                               # eval harness of the recs tier
     "pq_recall_report",  # IVF-PQ recall vs brute-force truth — isolates
                          # the accuracy cost of ADC code compression
+    "cohort_ltv_curves",  # first-order-month LTV triangle — the money
+                          # companion of the cohort-retention family
 )
 
 
@@ -782,6 +784,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_convergence_curve": gq.pagerank_convergence_curve,
         "recs_backtest_hitrate": recs_backtest_hitrate,
         "pq_recall_report": pq_recall_report,
+        "cohort_ltv_curves": win.cohort_ltv_curves,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2841,6 +2844,40 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM train_o) AS n_train_orders,
             THEN CAST(((SELECT COUNT(*) FROM hits) * 1000000)
                       // (SELECT COUNT(*) FROM evalc) AS BIGINT)
        END AS hit_rate_fp
+"""
+
+    # operators/windows.py:cohort_ltv_curves — first-order-month LTV
+    # triangle; exact cents, integer month offsets, cohort-size division.
+    sqls["cohort_ltv_curves"] = """
+WITH per_order AS (
+  SELECT o_custkey AS customer_id,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+cohorts AS (SELECT customer_id, MIN(month) AS cohort_month
+            FROM per_order GROUP BY customer_id),
+sizes AS (SELECT cohort_month, CAST(COUNT(*) AS BIGINT) AS cohort_size
+          FROM cohorts GROUP BY cohort_month),
+cell AS (
+  SELECT c.cohort_month,
+         CAST((year(p.month) - year(c.cohort_month)) * 12
+              + (month(p.month) - month(c.cohort_month)) AS BIGINT)
+           AS month_offset,
+         CAST(COUNT(DISTINCT p.customer_id) AS BIGINT) AS n_active_customers,
+         CAST(SUM(p.cents) AS BIGINT) AS revenue_cents
+  FROM per_order p JOIN cohorts c ON p.customer_id = c.customer_id
+  GROUP BY c.cohort_month, month_offset
+)
+SELECT cell.cohort_month, month_offset, n_active_customers, revenue_cents,
+  CAST(SUM(revenue_cents) OVER (PARTITION BY cell.cohort_month
+       ORDER BY month_offset ROWS UNBOUNDED PRECEDING) AS BIGINT)
+    AS cum_revenue_cents,
+  CAST(CAST(SUM(revenue_cents) OVER (PARTITION BY cell.cohort_month
+       ORDER BY month_offset ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       // s.cohort_size AS BIGINT) AS ltv_per_customer_cents
+FROM cell JOIN sizes s ON cell.cohort_month = s.cohort_month
+ORDER BY cell.cohort_month, month_offset
 """
 
     sqls["simhash_docs"] = _simhash_sql()

@@ -357,3 +357,81 @@ def channel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel", "week_offset")
     )
+
+
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(cohort_month, month_offset, n_active_customers,
+    revenue_cents, cum_revenue_cents, ltv_per_customer_cents)`` — the
+    customer-lifetime-value triangle [extension]: customers cohorted by
+    first-order month, each cohort's order revenue tracked by month
+    offset with the running total and the per-customer LTV every
+    subscription/commerce dashboard plots.
+
+    The money companion of ``weekly_cohort_retention``: retention says
+    WHO comes back, this says what their return is WORTH — the number a
+    training-data budget for a recommender is justified against.
+
+    Determinism: months are UTC-truncated DATEs in both engines; the
+    offset is exact integer month arithmetic ((Δyear)·12 + Δmonth, no
+    months_between float); revenue flows through exact DECIMAL cents;
+    per-customer LTV is a truncating integer division by the cohort-0
+    size. The cumulative window partitions by cohort and orders over the
+    bounded month axis (≤ corpus months — the calendar-axis dispensation,
+    never corpus-sized).
+
+    Scale notes: one customer-grain min-aggregate, one broadcast-able
+    cohort join (customer-dimension-sized), one (cohort, offset) hash
+    agg; output is months²/2-bounded.
+    """
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    month = F.to_date(F.date_trunc("month", F.col("o_orderdate")))
+    cents = F.expr("cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)")
+    per_order = orders.select(
+        F.col("o_custkey").alias("customer_id"),
+        month.alias("month"),
+        cents.alias("cents"),
+    )
+    cohorts = per_order.groupBy("customer_id").agg(
+        F.min("month").alias("cohort_month")
+    )
+    sizes = cohorts.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    offs = (
+        per_order.join(cohorts, "customer_id")
+        .withColumn(
+            "month_offset",
+            F.expr(
+                "cast((year(month) - year(cohort_month)) * 12"
+                " + (month(month) - month(cohort_month)) as bigint)"
+            ),
+        )
+    )
+    cell = offs.groupBy("cohort_month", "month_offset").agg(
+        F.count_distinct("customer_id").cast("long").alias("n_active_customers"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cell.withColumn(
+            "cum_revenue_cents", F.sum("revenue_cents").over(w).cast("long")
+        )
+        .join(sizes, "cohort_month")
+        .select(
+            "cohort_month",
+            "month_offset",
+            "n_active_customers",
+            "revenue_cents",
+            "cum_revenue_cents",
+            F.expr("cum_revenue_cents div cohort_size").alias(
+                "ltv_per_customer_cents"
+            ),
+        )
+        .orderBy("cohort_month", "month_offset")
+    )

@@ -57,3 +57,31 @@ def test_pagerank_convergence_curve_decays(spark, sf_dir):
     # on this graph (damping 0.85 → geometric envelope)
     assert deltas[0] > deltas[-1]
     assert all(a >= b for a, b in zip(deltas, deltas[1:]))
+
+
+def test_cohort_ltv_accounting(spark, sf_dir):
+    """LTV triangle accounting: offset-0 actives equal the cohort size,
+    total revenue equals the orders total, cumulative is a running sum,
+    and LTV at each offset is cum div cohort_size."""
+    from graphdb_td2_spark.operators.windows import cohort_ltv_curves
+
+    rows = cohort_ltv_curves(spark, sf_dir).collect()
+    assert rows
+    orders = read_table(spark, sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    total_cents = orders.select(
+        F.sum(
+            F.expr("cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)")
+        ).cast("long")
+    ).first()[0]
+    assert sum(r["revenue_cents"] for r in rows) == total_cents
+    n_customers = orders.select("o_custkey").distinct().count()
+    zero = [r for r in rows if r["month_offset"] == 0]
+    assert sum(r["n_active_customers"] for r in zero) == n_customers
+    by_cohort = {}
+    for r in sorted(rows, key=lambda r: (str(r["cohort_month"]), r["month_offset"])):
+        c = by_cohort.setdefault(r["cohort_month"], {"cum": 0, "size": None})
+        if r["month_offset"] == 0:
+            c["size"] = r["n_active_customers"]
+        c["cum"] += r["revenue_cents"]
+        assert r["cum_revenue_cents"] == c["cum"]
+        assert r["ltv_per_customer_cents"] == c["cum"] // c["size"]
