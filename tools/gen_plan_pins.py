@@ -44,6 +44,12 @@ TAIL_TOP = [
     "streaming_daily_actives",
     "als_rank1_convergence",
     "bloom_urgent_order_events",
+    # round-8 session additions that land in the heavy tail
+    "recs_backtest_hitrate",
+    "pq_recall_report",
+    "hits_top20",
+    "pagerank_convergence_curve",
+    "cohort_ltv_curves",
 ]
 
 
