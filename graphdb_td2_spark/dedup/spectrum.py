@@ -74,6 +74,12 @@ def shingle_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = cached_doc_shingles(spark, sf_dir)
     docs = sh.select("doc_id").distinct()
     n_docs = docs.count()
+    if n_docs == 0:  # empty corpus → empty curve (no 0-denominator decile)
+        return spark.createDataFrame(
+            [],
+            "decile long, n_docs long, n_postings long, n_new_shingles long,"
+            " cum_postings long, cum_vocab long",
+        )
     # two-phase rank: bucket is monotone in doc_id, so no corpus-sized
     # single-partition window (operators/prefix.py contract)
     ranked = bucketed_row_number(

@@ -56,6 +56,7 @@ def hits_fp(edges: DataFrame, num_iter: int = HITS_ITER) -> DataFrame:
     endpoint. ``num_iter`` full (auth then hub) rounds from an all-ones
     hub vector scaled to FP_SCALE.
     """
+    assert num_iter >= 1, "HITS needs at least one full round"
     edges = edges.select("src", "dst")
     verts = (
         edges.select(F.col("src").alias("id"))
