@@ -236,13 +236,23 @@ def _iterate_fp(
             .groupBy("id")
             .agg(F.sum("contrib").alias("msg"))
         )
+        # with delta tracking the OLD rank rides along as __prev so the
+        # convergence sum folds into the SAME 1-row action as the dangling
+        # mass — tracking adds zero extra joins/actions per iteration;
+        # without tracking the code path (and its pinned plan) is unchanged
+        tracking = track_deltas is not None
+        base = (
+            ranks.withColumnRenamed("rank", "__prev")
+            if tracking
+            else ranks.drop("rank")
+        )
         new_ranks = (
-            ranks.drop("rank")
-            .join(contribs, "id", "left")
+            base.join(contribs, "id", "left")
             .select(
                 "id",
                 "reset",
                 "is_dangling",
+                *(["__prev"] if tracking else []),
                 F.expr(
                     f"(({FP_DDEN - FP_DNUM} * reset) div {FP_DDEN})"
                     f" + (({FP_DNUM} * (coalesce(msg, cast(0 as bigint))"
@@ -251,22 +261,20 @@ def _iterate_fp(
             )
         )
         new_ranks = new_ranks.transform(truncate_lineage, eager=False)
-        if track_deltas is not None:
-            # convergence diagnostic: Σ|Δrank| this iteration — one extra
-            # join of two vertex-sized integer frames + a 1-row aggregate
-            track_deltas.append(
-                int(
-                    ranks.select("id", F.col("rank").alias("__old"))
-                    .join(new_ranks.select("id", "rank"), "id")
-                    .agg(
-                        F.coalesce(
-                            F.sum(F.abs(F.col("rank") - F.col("__old"))), F.lit(0)
-                        ).cast("long")
-                    )
-                    .first()[0]
-                )
-            )
-        dangling = dangling_mass(new_ranks)
+        if tracking:
+            row = new_ranks.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("is_dangling"), F.col("rank"))), F.lit(0)
+                ).cast("long"),
+                F.coalesce(
+                    F.sum(F.abs(F.col("rank") - F.col("__prev"))), F.lit(0)
+                ).cast("long"),
+            ).first()
+            dangling = int(row[0])
+            track_deltas.append(int(row[1]))
+            new_ranks = new_ranks.drop("__prev")
+        else:
+            dangling = dangling_mass(new_ranks)
         ranks = new_ranks
     return ranks.select("id", F.col("rank").alias("rank_fp"))
 
