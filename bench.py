@@ -78,6 +78,20 @@ def main() -> None:
         from graphdb_td2_spark.lake import build_lake
 
         build_lake(spark, sf_dir)
+        # The ETL phase also materializes the session model artifacts the
+        # reference's ETL builds (its Neo4j adjacency): the property graph
+        # and the shingle table. With the cross-process lake manifest a
+        # reuse session skips the lake WRITE jobs, which used to warm the
+        # shingle cache as a side effect — without this explicit step the
+        # one-time tokenize cost lands on whichever serving query touches
+        # shingles first and the serving numbers stop measuring serving.
+        from graphdb_td2_spark.dedup.shingles import cached_doc_shingles
+        from graphdb_td2_spark.graph.queries import cached_graph
+
+        g = cached_graph(spark, sf_dir)
+        g.vertices.count()
+        g.edges.count()
+        cached_doc_shingles(spark, sf_dir).count()
         lake_build = round(time.time() - t0, 3)
     except Exception as exc:  # never lose the bench to a lake failure
         lake_build = None
