@@ -562,6 +562,8 @@ DEMOTED_TAIL = (
                          # the accuracy cost of ADC code compression
     "cohort_ltv_curves",  # first-order-month LTV triangle — the money
                           # companion of the cohort-retention family
+    "discount_quantity_response",  # per-brand OLS demand-response slope —
+                                   # pricing-elasticity proxy feature
 )
 
 
@@ -785,6 +787,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recs_backtest_hitrate": recs_backtest_hitrate,
         "pq_recall_report": pq_recall_report,
         "cohort_ltv_curves": win.cohort_ltv_curves,
+        "discount_quantity_response": rel.discount_quantity_response,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2878,6 +2881,32 @@ SELECT cell.cohort_month, month_offset, n_active_customers, revenue_cents,
        // s.cohort_size AS BIGINT) AS ltv_per_customer_cents
 FROM cell JOIN sizes s ON cell.cohort_month = s.cohort_month
 ORDER BY cell.cohort_month, month_offset
+"""
+
+    # operators/relational.py:discount_quantity_response — per-brand OLS
+    # of quantity (centi-units) on discount (basis points); exact integer
+    # sufficient statistics, singular brands NULL-guarded.
+    sqls["discount_quantity_response"] = """
+WITH xy AS (
+  SELECT p.p_brand,
+         CAST(CAST(l.l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT) AS x,
+         CAST(CAST(l.l_quantity AS DECIMAL(14,2)) * 100 AS BIGINT) AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+stats AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM xy GROUP BY p_brand
+)
+SELECT p_brand, n AS n_lineitems,
+  CASE WHEN n * sxx - sx * sx <> 0
+       THEN CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE)
+  END AS slope_cq_per_bp,
+  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_discount_bp,
+  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_quantity_cq
+FROM stats ORDER BY p_brand
 """
 
     sqls["simhash_docs"] = _simhash_sql()

@@ -828,3 +828,56 @@ def brand_return_rates(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFra
         .orderBy(F.desc("return_rate"), "p_brand")
         .limit(k)
     )
+
+
+def discount_quantity_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(p_brand, n_lineitems, slope_cq_per_bp,
+    mean_discount_bp, mean_quantity_cq)`` — per-brand OLS slope of order
+    quantity against the offered discount [extension]: the
+    demand-response (elasticity proxy) curve a pricing team fits, and a
+    feature a recommender's ranking model consumes.
+
+    Exactness (same construction as ``value_trend_by_type``): x =
+    discount in exact basis points, y = quantity in exact centi-units;
+    the five sufficient statistics are exact BIGINTs and the slope/means
+    are each ONE IEEE division of integer values, with the singular case
+    (a brand priced at a single discount level) NULL-guarded identically
+    in both engines.
+
+    Scale notes: one broadcast part-dimension join to resolve the brand,
+    one map-side-partial hash agg; output is |brand|-bounded.
+    """
+    lineitem = read_table(
+        spark, sf_dir, "lineitem", ["l_partkey", "l_discount", "l_quantity"]
+    )
+    part = read_table(spark, sf_dir, "part", ["p_partkey", "p_brand"])
+    xy = lineitem.join(
+        F.broadcast(part), lineitem["l_partkey"] == part["p_partkey"]
+    ).select(
+        "p_brand",
+        (F.col("l_discount").cast("decimal(6,4)") * 10000).cast("long").alias("x"),
+        (F.col("l_quantity").cast("decimal(14,2)") * 100).cast("long").alias("y"),
+    )
+    stats = xy.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return stats.select(
+        "p_brand",
+        F.col("n").alias("n_lineitems"),
+        F.when(
+            det != 0,
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / det.cast("double"),
+        ).alias("slope_cq_per_bp"),
+        (F.col("sx").cast("double") / F.col("n").cast("double")).alias(
+            "mean_discount_bp"
+        ),
+        (F.col("sy").cast("double") / F.col("n").cast("double")).alias(
+            "mean_quantity_cq"
+        ),
+    ).orderBy("p_brand")

@@ -85,3 +85,42 @@ def test_cohort_ltv_accounting(spark, sf_dir):
         c["cum"] += r["revenue_cents"]
         assert r["cum_revenue_cents"] == c["cum"]
         assert r["ltv_per_customer_cents"] == c["cum"] // c["size"]
+
+
+def test_discount_response_matches_python_ols(spark, sf_dir):
+    """Per-brand slope equals a pure-Python OLS over the same exact
+    integer (x, y) pairs."""
+    from collections import defaultdict
+
+    from graphdb_td2_spark.operators.relational import discount_quantity_response
+
+    rows = {r["p_brand"]: r for r in discount_quantity_response(spark, sf_dir).collect()}
+    li = read_table(spark, sf_dir, "lineitem", ["l_partkey", "l_discount", "l_quantity"])
+    part = read_table(spark, sf_dir, "part", ["p_partkey", "p_brand"])
+    data = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select(
+            "p_brand",
+            F.expr("cast(cast(l_discount as decimal(6,4)) * 10000 as bigint)").alias("x"),
+            F.expr("cast(cast(l_quantity as decimal(14,2)) * 100 as bigint)").alias("y"),
+        )
+        .collect()
+    )
+    by_brand = defaultdict(list)
+    for r in data:
+        by_brand[r["p_brand"]].append((r["x"], r["y"]))
+    assert set(by_brand) == set(rows)
+    for brand, pts in by_brand.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        r = rows[brand]
+        assert r["n_lineitems"] == n
+        det = n * sxx - sx * sx
+        if det:
+            assert r["slope_cq_per_bp"] == (n * sxy - sx * sy) / det
+        else:
+            assert r["slope_cq_per_bp"] is None
+        assert r["mean_discount_bp"] == sx / n
