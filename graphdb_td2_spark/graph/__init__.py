@@ -13,6 +13,7 @@ from .build import (
     placed_edges,
     EVENT_TYPE_TO_REL,
 )
+from .hits import hits_fp, hits_top20
 from .pagerank import pagerank, personalized_pagerank
 from .queries import (
     event_edge_dedup_counts,
@@ -32,6 +33,8 @@ __all__ = [
     "event_typed_dedup",
     "placed_edges",
     "EVENT_TYPE_TO_REL",
+    "hits_fp",
+    "hits_top20",
     "pagerank",
     "personalized_pagerank",
     "event_edge_dedup_counts",
