@@ -564,6 +564,9 @@ DEMOTED_TAIL = (
                           # companion of the cohort-retention family
     "discount_quantity_response",  # per-brand OLS demand-response slope —
                                    # pricing-elasticity proxy feature
+    "customer_revenue_concentration",  # whale curve — top-p%% customer
+                                       # revenue share via the two-phase
+                                       # distributed prefix machinery
 )
 
 
@@ -788,6 +791,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall_report": pq_recall_report,
         "cohort_ltv_curves": win.cohort_ltv_curves,
         "discount_quantity_response": rel.discount_quantity_response,
+        "customer_revenue_concentration": rel.customer_revenue_concentration,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2907,6 +2911,38 @@ SELECT p_brand, n AS n_lineitems,
   CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_discount_bp,
   CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_quantity_cq
 FROM stats ORDER BY p_brand
+"""
+
+    # operators/relational.py:customer_revenue_concentration — whale
+    # curve; plain global window here IS the same total order the Spark
+    # side realizes through the two-phase prefix machinery.
+    sqls["customer_revenue_concentration"] = """
+WITH spend AS (
+  SELECT o_custkey AS customer_id,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+              AS BIGINT) AS spend
+  FROM orders GROUP BY o_custkey
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(COALESCE(SUM(spend), 0) AS BIGINT) AS total FROM spend),
+ranked AS (
+  SELECT customer_id, spend,
+         CAST(row_number() OVER (ORDER BY spend DESC, customer_id ASC)
+              AS BIGINT) AS rn,
+         CAST(SUM(spend) OVER (ORDER BY spend DESC, customer_id ASC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM spend
+),
+cuts AS (
+  SELECT CAST(v.pct AS BIGINT) AS pct,
+         GREATEST(((SELECT n FROM nn) * v.pct + 99) // 100, 1) AS rn
+  FROM (VALUES (1), (5), (10), (25), (100)) v(pct)
+)
+SELECT c.pct, r.rn AS n_top_customers, r.cum AS revenue_cents,
+       CAST(r.cum AS DOUBLE) / CAST((SELECT total FROM nn) AS DOUBLE)
+         AS revenue_share
+FROM cuts c JOIN ranked r ON r.rn = c.rn
+ORDER BY c.pct
 """
 
     sqls["simhash_docs"] = _simhash_sql()

@@ -881,3 +881,60 @@ def discount_quantity_response(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_quantity_cq"
         ),
     ).orderBy("p_brand")
+
+
+CONCENTRATION_PCTS = (1, 5, 10, 25, 100)
+
+
+def customer_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(pct, n_top_customers, revenue_cents,
+    revenue_share)`` — the whale curve [extension]: how much of total
+    order revenue the top 1/5/10/25/100% of customers (by spend) carry.
+    The customer companion of ``supplier_concentration_topk``/ABC
+    classes, and the statistic that sizes personalization ROI.
+
+    Exactness: exact-cents spend; the cut at rank ``ceil(n·p/100)`` uses
+    pure integer arithmetic; the cumulative revenue at the cut comes from
+    the two-phase distributed prefix machinery (``operators/prefix.py``)
+    over (spend DESC, custkey ASC) with a spend-derived monotone bucket —
+    NO corpus-sized single-partition window (the DuckDB oracle uses the
+    plain global window, which is the same total order). Share is one
+    IEEE division of exact integers.
+
+    Scale notes: one customer-grain hash agg; the rank/prefix pass
+    shuffles the customer DIMENSION (not facts) partitioned by spend
+    bucket; the 5 cut rows come from an isin filter + broadcast map join.
+    """
+    from .prefix import bucketed_cumsum, bucketed_row_number
+
+    orders = read_table(spark, sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cents = F.expr("cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)")
+    spend = orders.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.sum(cents).cast("long").alias("spend")
+    )
+    row = spend.agg(
+        F.count(F.lit(1)).cast("long"), F.coalesce(F.sum("spend"), F.lit(0)).cast("long")
+    ).first()
+    n, total = int(row[0]), int(row[1])
+    # monotone NON-INCREASING in the DESC primary key spend → ascending
+    # bucket ids; ties share a bucket (function of spend alone)
+    bucket = F.expr("-(spend div 1048576)")
+    order = [F.col("spend").desc(), F.col("customer_id").asc()]
+    ranked = bucketed_row_number(spend, bucket, order, out="rn")
+    ranked = bucketed_cumsum(ranked, bucket, order, sums={"cum": "spend"})
+    cuts = [(p, max((n * p + 99) // 100, 1)) for p in CONCENTRATION_PCTS]
+    cut_df = F.broadcast(
+        spark.createDataFrame(cuts, "pct long, rn long")
+    )
+    return (
+        ranked.join(cut_df, "rn")
+        .select(
+            "pct",
+            F.col("rn").alias("n_top_customers"),
+            F.col("cum").alias("revenue_cents"),
+            (F.col("cum").cast("double") / F.lit(float(total))).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("pct")
+    )

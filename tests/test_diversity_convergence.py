@@ -124,3 +124,32 @@ def test_discount_response_matches_python_ols(spark, sf_dir):
         else:
             assert r["slope_cq_per_bp"] is None
         assert r["mean_discount_bp"] == sx / n
+
+
+def test_revenue_concentration_matches_python(spark, sf_dir):
+    """Whale-curve cuts equal a pure-Python sort over exact cents."""
+    from graphdb_td2_spark.operators.relational import (
+        CONCENTRATION_PCTS,
+        customer_revenue_concentration,
+    )
+
+    rows = {r["pct"]: r for r in customer_revenue_concentration(spark, sf_dir).collect()}
+    orders = read_table(spark, sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    spend = {}
+    for r in orders.collect():
+        c = int(round(float(r["o_totalprice"]) * 100))
+        spend[r["o_custkey"]] = spend.get(r["o_custkey"], 0) + c
+    ordered = sorted(spend.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(spend.values())
+    n = len(ordered)
+    assert set(rows) == set(CONCENTRATION_PCTS)
+    for p in CONCENTRATION_PCTS:
+        k = max((n * p + 99) // 100, 1)
+        cum = sum(v for _, v in ordered[:k])
+        r = rows[p]
+        assert r["n_top_customers"] == k
+        assert r["revenue_cents"] == cum
+        assert r["revenue_share"] == cum / float(total)
+    # the curve is concave: larger p never decreases the share
+    shares = [rows[p]["revenue_share"] for p in sorted(CONCENTRATION_PCTS)]
+    assert shares == sorted(shares) and rows[100]["revenue_share"] == 1.0
