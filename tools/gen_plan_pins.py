@@ -50,6 +50,8 @@ TAIL_TOP = [
     "hits_top20",
     "pagerank_convergence_curve",
     "cohort_ltv_curves",
+    "customer_revenue_concentration",
+    "discount_quantity_response",
 ]
 
 
