@@ -36,7 +36,10 @@ from graphdb_td2_spark.operators.sql_api import (
 )
 from graphdb_td2_spark.functions.scoring import gini_stump_train
 from graphdb_td2_spark.operators.range_join import event_burst_pairs
-from graphdb_td2_spark.operators.timeseries import hourly_event_rollup
+from graphdb_td2_spark.operators.timeseries import (
+    hourly_event_rollup,
+    monthly_seasonal_index,
+)
 from graphdb_td2_spark.graph.bfs import bfs_level_sizes
 from graphdb_td2_spark.graph.hits import hits_top20
 from graphdb_td2_spark.graph.kcore import kcore_sizes
@@ -178,6 +181,7 @@ from graphdb_td2_spark.recs.itemsets import (
     frequent_triples,
     order_size_histogram,
     repurchase_cycle_topk,
+    top_confidence_rules,
 )
 from graphdb_td2_spark.functions.hashing_tf import (
     hashing_tf_stats,
@@ -567,6 +571,10 @@ DEMOTED_TAIL = (
     "customer_revenue_concentration",  # whale curve — top-p%% customer
                                        # revenue share via the two-phase
                                        # distributed prefix machinery
+    "monthly_seasonal_index",  # calendar-month revenue seasonality —
+                               # yearly companion of diurnal/dow profiles
+    "top_confidence_rules",  # directed X->Y association rules by
+                             # confidence — companion of top_lift_pairs
 )
 
 
@@ -792,6 +800,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_ltv_curves": win.cohort_ltv_curves,
         "discount_quantity_response": rel.discount_quantity_response,
         "customer_revenue_concentration": rel.customer_revenue_concentration,
+        "monthly_seasonal_index": monthly_seasonal_index,
+        "top_confidence_rules": top_confidence_rules,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2943,6 +2953,45 @@ SELECT c.pct, r.rn AS n_top_customers, r.cum AS revenue_cents,
          AS revenue_share
 FROM cuts c JOIN ranked r ON r.rn = c.rn
 ORDER BY c.pct
+"""
+
+    # operators/timeseries.py:monthly_seasonal_index — 12-group exact
+    # cents, one IEEE division.
+    sqls["monthly_seasonal_index"] = """
+WITH per_month AS (
+  SELECT CAST(month(o_orderdate) AS BIGINT) AS month_of_year,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+              AS BIGINT) AS revenue_cents
+  FROM orders GROUP BY month_of_year
+)
+SELECT month_of_year, n_orders, revenue_cents,
+  CAST(revenue_cents * 12 AS DOUBLE)
+    / CAST((SELECT SUM(revenue_cents) FROM per_month) AS DOUBLE)
+    AS seasonal_index
+FROM per_month ORDER BY month_of_year
+"""
+
+    # recs/itemsets.py:top_confidence_rules — directed rules, support >= 3,
+    # top-20 by (confidence DESC, antecedent, consequent).
+    sqls["top_confidence_rules"] = """
+WITH items AS (SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id
+               FROM lineitem),
+both_c AS (
+  SELECT a.product_id AS antecedent, b.product_id AS consequent,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM items a JOIN items b
+    ON a.order_id = b.order_id AND a.product_id <> b.product_id
+  GROUP BY antecedent, consequent
+  HAVING COUNT(*) >= 3
+),
+per_prod AS (SELECT product_id AS antecedent, CAST(COUNT(*) AS BIGINT) AS n_antecedent
+             FROM items GROUP BY product_id)
+SELECT b.antecedent, b.consequent, b.n_both, p.n_antecedent,
+       CAST(b.n_both AS DOUBLE) / CAST(p.n_antecedent AS DOUBLE) AS confidence
+FROM both_c b JOIN per_prod p ON b.antecedent = p.antecedent
+ORDER BY confidence DESC, b.antecedent ASC, b.consequent ASC
+LIMIT 20
 """
 
     sqls["simhash_docs"] = _simhash_sql()

@@ -397,3 +397,39 @@ def diurnal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_of_day")
     )
+
+
+def monthly_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(month_of_year, n_orders, revenue_cents,
+    seasonal_index)`` — calendar-month revenue seasonality [extension]:
+    each month-of-year's revenue against the uniform-month expectation
+    (index 1.0 = no seasonality), the yearly companion of the diurnal
+    and day-of-week profiles.
+
+    Exactness: exact-cents sums; the index is ONE IEEE division of
+    integer values — ``12·month_revenue / total_revenue`` — mirrored
+    verbatim in the oracle. Scale: one partial-aggregated 12-group hash
+    agg over the orders scan; constant-size output.
+    """
+    orders = read_table(spark, sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    cents = F.expr("cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)")
+    per_month = orders.groupBy(
+        F.month("o_orderdate").cast("long").alias("month_of_year")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(cents).cast("long").alias("revenue_cents"),
+    )
+    total = per_month.agg(F.sum("revenue_cents").cast("long").alias("t"))
+    return (
+        per_month.crossJoin(F.broadcast(total))
+        .select(
+            "month_of_year",
+            "n_orders",
+            "revenue_cents",
+            (
+                (F.col("revenue_cents") * 12).cast("double")
+                / F.col("t").cast("double")
+            ).alias("seasonal_index"),
+        )
+        .orderBy("month_of_year")
+    )

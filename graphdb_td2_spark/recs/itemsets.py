@@ -174,3 +174,63 @@ def repurchase_cycle_topk(
         .orderBy(F.asc("p50_gap_days"), F.asc("l_partkey"))
         .limit(k)
     )
+
+
+RULE_MIN_SUPPORT = 3
+RULE_TOP_K = 20
+
+
+def top_confidence_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(antecedent, consequent, n_both, n_antecedent,
+    confidence)`` — the top DIRECTED association rules X→Y by confidence
+    ``P(Y|X) = n_XY / n_X`` with support ≥ RULE_MIN_SUPPORT [extension]:
+    the classic market-basket rule mining output, the directed companion
+    of the symmetric lift ranking (``recs/queries.py:top_lift_pairs``) —
+    confidence is what a "customers who bought X also bought Y" widget
+    actually thresholds on.
+
+    Exactness: integer counts; confidence is one IEEE division; the
+    top-k carries a (confidence DESC, antecedent, consequent) total
+    order and compiles to TakeOrderedAndProject. Scale notes: basket
+    pairs come from the same bucketed co-occurrence shape as the lift
+    query (pair space bounded by basket sizes, support filter applied
+    before ranking); per-product counts broadcast onto the pair rows.
+    """
+    from ..graph.build import contains_pairs
+    from ..io import read_table as _rt
+
+    lineitem = _rt(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    pairs = contains_pairs(lineitem)
+    a, b = pairs.alias("a"), pairs.alias("b")
+    both = (
+        a.join(
+            b,
+            (F.col("a.order_id") == F.col("b.order_id"))
+            & (F.col("a.product_id") != F.col("b.product_id")),
+        )
+        .groupBy(
+            F.col("a.product_id").alias("antecedent"),
+            F.col("b.product_id").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= RULE_MIN_SUPPORT)
+    )
+    per_prod = pairs.groupBy(F.col("product_id").alias("antecedent")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_antecedent")
+    )
+    return (
+        both.join(per_prod, "antecedent")
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            "n_antecedent",
+            (
+                F.col("n_both").cast("double") / F.col("n_antecedent").cast("double")
+            ).alias("confidence"),
+        )
+        .orderBy(
+            F.desc("confidence"), F.asc("antecedent"), F.asc("consequent")
+        )
+        .limit(RULE_TOP_K)
+    )

@@ -153,3 +153,45 @@ def test_revenue_concentration_matches_python(spark, sf_dir):
     # the curve is concave: larger p never decreases the share
     shares = [rows[p]["revenue_share"] for p in sorted(CONCENTRATION_PCTS)]
     assert shares == sorted(shares) and rows[100]["revenue_share"] == 1.0
+
+
+def test_monthly_seasonal_index_accounting(spark, sf_dir):
+    from graphdb_td2_spark.operators.timeseries import monthly_seasonal_index
+
+    rows = monthly_seasonal_index(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 12
+    assert all(1 <= r["month_of_year"] <= 12 for r in rows)
+    total = sum(r["revenue_cents"] for r in rows)
+    for r in rows:
+        assert r["seasonal_index"] == (r["revenue_cents"] * 12) / total
+    # indices average to ~1 when all 12 months are present
+    if len(rows) == 12:
+        assert abs(sum(r["seasonal_index"] for r in rows) / 12 - 1.0) < 1e-9
+
+
+def test_top_confidence_rules_are_valid(spark, sf_dir):
+    from graphdb_td2_spark.graph.build import contains_pairs
+    from graphdb_td2_spark.recs.itemsets import (
+        RULE_MIN_SUPPORT,
+        RULE_TOP_K,
+        top_confidence_rules,
+    )
+
+    rows = top_confidence_rules(spark, sf_dir).collect()
+    assert 0 < len(rows) <= RULE_TOP_K
+    li = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    baskets = {}
+    for r in contains_pairs(li).collect():
+        baskets.setdefault(r["order_id"], set()).add(r["product_id"])
+    confs = [r["confidence"] for r in rows]
+    assert confs == sorted(confs, reverse=True)
+    for r in rows:
+        n_both = sum(
+            1
+            for b in baskets.values()
+            if r["antecedent"] in b and r["consequent"] in b
+        )
+        n_ant = sum(1 for b in baskets.values() if r["antecedent"] in b)
+        assert r["n_both"] == n_both >= RULE_MIN_SUPPORT
+        assert r["n_antecedent"] == n_ant
+        assert r["confidence"] == n_both / n_ant
