@@ -575,6 +575,8 @@ DEMOTED_TAIL = (
                                # yearly companion of diurnal/dow profiles
     "top_confidence_rules",  # directed X->Y association rules by
                              # confidence — companion of top_lift_pairs
+    "churn_hazard_curve",  # discrete-time survival hazard with right
+                           # censoring — the WHEN of the lifecycle family
 )
 
 
@@ -802,6 +804,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_revenue_concentration": rel.customer_revenue_concentration,
         "monthly_seasonal_index": monthly_seasonal_index,
         "top_confidence_rules": top_confidence_rules,
+        "churn_hazard_curve": win.churn_hazard_curve,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2992,6 +2995,41 @@ SELECT b.antecedent, b.consequent, b.n_both, p.n_antecedent,
 FROM both_c b JOIN per_prod p ON b.antecedent = p.antecedent
 ORDER BY confidence DESC, b.antecedent ASC, b.consequent ASC
 LIMIT 20
+"""
+
+    # operators/windows.py:churn_hazard_curve — discrete-time hazard,
+    # right-censored within 3 months of the corpus end; exact month
+    # arithmetic, suffix-sum at-risk counts, one IEEE division.
+    sqls["churn_hazard_curve"] = """
+WITH pc AS (
+  SELECT o_custkey AS customer_id,
+         MIN(CAST(date_trunc('month', o_orderdate) AS DATE)) AS first_m,
+         MAX(CAST(date_trunc('month', o_orderdate) AS DATE)) AS last_m
+  FROM orders GROUP BY o_custkey
+),
+endm AS (SELECT MAX(CAST(date_trunc('month', o_orderdate) AS DATE)) AS end_m
+         FROM orders),
+t AS (
+  SELECT customer_id,
+         CAST((year(last_m) - year(first_m)) * 12
+              + (month(last_m) - month(first_m)) AS BIGINT) AS tenure_month,
+         ((year((SELECT end_m FROM endm)) - year(last_m)) * 12
+          + (month((SELECT end_m FROM endm)) - month(last_m))) < 3 AS censored
+  FROM pc
+),
+cell AS (
+  SELECT tenure_month, CAST(COUNT(*) AS BIGINT) AS n_ending,
+         CAST(SUM(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS n_churned
+  FROM t GROUP BY tenure_month
+)
+SELECT tenure_month,
+  CAST(SUM(n_ending) OVER (ORDER BY tenure_month DESC
+       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk,
+  n_churned,
+  CAST(n_churned AS DOUBLE)
+    / CAST(SUM(n_ending) OVER (ORDER BY tenure_month DESC
+           ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS hazard
+FROM cell ORDER BY tenure_month
 """
 
     sqls["simhash_docs"] = _simhash_sql()

@@ -435,3 +435,69 @@ def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "month_offset")
     )
+
+
+CENSOR_MONTHS = 3
+
+
+def churn_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(tenure_month, n_at_risk, n_churned, hazard)``
+    — discrete-time churn hazard [extension], the survival-analysis
+    member of the lifecycle family (``segment_churn_rates`` gives the
+    point-in-time split; this gives the WHEN): among customers who
+    reached tenure month t, the share whose LAST order fell in t.
+
+    Censoring: a customer whose last order lands within CENSOR_MONTHS of
+    the corpus end is censored (we cannot know they churned — the corpus
+    simply ends); censored customers count in ``n_at_risk`` for the
+    months they are observed but never in ``n_churned``, the standard
+    right-censoring rule.
+
+    Exactness: tenure is exact integer month arithmetic (the
+    ``cohort_ltv_curves`` construction); n_at_risk(t) = customers with
+    observed tenure ≥ t is a suffix sum over the bounded month axis;
+    hazard is one IEEE division. Scale: one customer-grain min/max agg,
+    one months-bounded rollup + suffix window.
+    """
+    orders = read_table(spark, sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    month = F.to_date(F.date_trunc("month", F.col("o_orderdate")))
+    per_cust = orders.select(
+        F.col("o_custkey").alias("customer_id"), month.alias("m")
+    ).groupBy("customer_id").agg(
+        F.min("m").alias("first_m"), F.max("m").alias("last_m")
+    )
+    end_row = orders.agg(F.max(month).alias("end_m")).first()
+    end_m = end_row["end_m"]
+    mdiff = (
+        "cast((year({a}) - year({b})) * 12 + (month({a}) - month({b})) as bigint)"
+    )
+    per_cust = per_cust.select(
+        "customer_id",
+        F.expr(mdiff.format(a="last_m", b="first_m")).alias("tenure_month"),
+        (
+            F.expr(mdiff.format(a=f"date'{end_m}'", b="last_m"))
+            < F.lit(CENSOR_MONTHS)
+        ).alias("censored"),
+    )
+    cell = per_cust.groupBy("tenure_month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ending"),
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_churned"),
+    )
+    # suffix sum over the bounded month axis (calendar-axis dispensation)
+    w = Window.orderBy(F.desc("tenure_month")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        cell.withColumn("n_at_risk", F.sum("n_ending").over(w).cast("long"))
+        .select(
+            "tenure_month",
+            "n_at_risk",
+            "n_churned",
+            (
+                F.col("n_churned").cast("double") / F.col("n_at_risk").cast("double")
+            ).alias("hazard"),
+        )
+        .orderBy("tenure_month")
+    )

@@ -195,3 +195,21 @@ def test_top_confidence_rules_are_valid(spark, sf_dir):
         assert r["n_both"] == n_both >= RULE_MIN_SUPPORT
         assert r["n_antecedent"] == n_ant
         assert r["confidence"] == n_both / n_ant
+
+
+def test_churn_hazard_accounting(spark, sf_dir):
+    from graphdb_td2_spark.operators.windows import churn_hazard_curve
+
+    rows = churn_hazard_curve(spark, sf_dir).collect()
+    assert rows
+    n_customers = read_table(spark, sf_dir, "orders", ["o_custkey"]).select(
+        "o_custkey"
+    ).distinct().count()
+    # the smallest observed tenure has EVERY customer at risk (suffix
+    # sum); at-risk counts never increase with tenure
+    assert rows[0]["n_at_risk"] == n_customers
+    at_risk = [r["n_at_risk"] for r in rows]
+    assert at_risk == sorted(at_risk, reverse=True)
+    for r in rows:
+        assert 0 <= r["n_churned"] <= r["n_at_risk"]
+        assert r["hazard"] == r["n_churned"] / r["n_at_risk"]
