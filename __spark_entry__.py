@@ -568,7 +568,7 @@ DEMOTED_TAIL = (
                           # companion of the cohort-retention family
     "discount_quantity_response",  # per-brand OLS demand-response slope —
                                    # pricing-elasticity proxy feature
-    "customer_revenue_concentration",  # whale curve — top-p%% customer
+    "customer_revenue_concentration",  # whale curve — top-p% customer
                                        # revenue share via the two-phase
                                        # distributed prefix machinery
     "monthly_seasonal_index",  # calendar-month revenue seasonality —
