@@ -95,6 +95,7 @@ from graphdb_td2_spark.similarity.pq import (
 from graphdb_td2_spark.operators.transitions import (
     event_transition_matrix,
     event_type_affinity,
+    frequent_event_sequences,
 )
 from graphdb_td2_spark.graph.walks import product_random_walks, walk_skipgram_pairs
 from graphdb_td2_spark.operators.cdc import cdc_customer_state
@@ -577,6 +578,9 @@ DEMOTED_TAIL = (
                              # confidence — companion of top_lift_pairs
     "churn_hazard_curve",  # discrete-time survival hazard with right
                            # censoring — the WHEN of the lifecycle family
+    "frequent_event_sequences",  # exists-subsequence sequential pattern
+                                 # mining — PrefixSpan statistic next to
+                                 # the Markov matrix and fixed funnel
 )
 
 
@@ -805,6 +809,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_seasonal_index": monthly_seasonal_index,
         "top_confidence_rules": top_confidence_rules,
         "churn_hazard_curve": win.churn_hazard_curve,
+        "frequent_event_sequences": frequent_event_sequences,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -3030,6 +3035,42 @@ SELECT tenure_month,
     / CAST(SUM(n_ending) OVER (ORDER BY tenure_month DESC
            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS hazard
 FROM cell ORDER BY tenure_month
+"""
+
+    # operators/transitions.py:frequent_event_sequences — exists-
+    # subsequence support over the type alphabet; strictly-earlier
+    # semantics, top-20 with (n_users DESC, seq_len, seq) total order.
+    sqls["frequent_event_sequences"] = """
+WITH per AS (
+  SELECT user_id, event_type, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+  FROM events GROUP BY user_id, event_type
+),
+ordered AS MATERIALIZED (
+  SELECT a.user_id, a.event_type AS ta, c.event_type AS tc,
+         a.first_ts AS lo, c.last_ts AS hi
+  FROM per a JOIN per c ON a.user_id = c.user_id
+  WHERE a.first_ts < c.last_ts
+),
+pair_support AS (
+  SELECT ta || '>' || tc AS seq, CAST(2 AS BIGINT) AS seq_len,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM ordered GROUP BY ta, tc
+),
+mids AS (
+  SELECT DISTINCT o.user_id, o.ta, e.event_type AS tb, o.tc
+  FROM ordered o JOIN events e
+    ON e.user_id = o.user_id AND e.ts > o.lo AND e.ts < o.hi
+),
+triple_support AS (
+  SELECT ta || '>' || tb || '>' || tc AS seq, CAST(3 AS BIGINT) AS seq_len,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM mids GROUP BY ta, tb, tc
+)
+SELECT seq, seq_len, n_users FROM (
+  SELECT * FROM pair_support UNION ALL SELECT * FROM triple_support
+)
+ORDER BY n_users DESC, seq_len ASC, seq ASC
+LIMIT 20
 """
 
     sqls["simhash_docs"] = _simhash_sql()

@@ -180,3 +180,75 @@ def top_session_paths(
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(k)
     )
+
+
+SEQ_TOP_K = 20
+
+
+def frequent_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(seq, seq_len, n_users)`` — the top
+    ``SEQ_TOP_K`` frequent event-type SEQUENCES (length 2 and 3) by
+    exists-subsequence user support [extension]: sequential pattern
+    mining (the PrefixSpan/GSP statistic), distinct from the Markov
+    matrix (adjacent pairs only) and the fixed-pattern funnel — here b
+    need not immediately follow a, and every candidate sequence over the
+    type alphabet is scored.
+
+    Support semantics (exact, order-theoretic): a user supports (a, b)
+    iff some a-event is STRICTLY earlier than some b-event —
+    equivalently ``min_ts(a) < max_ts(b)``; (a, b, c) iff some b-event
+    lies strictly between ``min_ts(a)`` and ``max_ts(c)``. Equal
+    timestamps never count as ordered (documented tightening — no
+    tie-break dependence), so both engines agree on raw timestamp
+    comparisons.
+
+    Scale notes: the pair stage is a per-(user, type) min/max aggregate
+    joined with itself on user (fan-out ≤ |types|² per user); the triple
+    stage joins the bounded (user, a, c) interval table back to the
+    user's events (fan-out ≤ |types|²·events(u)) — both corpus-linear
+    with an alphabet-squared constant, never user-pair quadratic. Output
+    compiles to TakeOrderedAndProject.
+    """
+    events = read_table(spark, sf_dir, "events", ["user_id", "ts", "event_type"])
+    per = events.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    a = per.select(
+        "user_id", F.col("event_type").alias("ta"), F.col("first_ts").alias("lo")
+    )
+    c = per.select(
+        "user_id", F.col("event_type").alias("tc"), F.col("last_ts").alias("hi")
+    )
+    ordered = a.join(c, "user_id").filter(F.col("lo") < F.col("hi"))
+    pair_support = (
+        ordered.groupBy("ta", "tc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(
+            F.concat_ws(">", "ta", "tc").alias("seq"),
+            F.lit(2).cast("long").alias("seq_len"),
+            "n_users",
+        )
+    )
+    mids = (
+        ordered.join(
+            events.select("user_id", F.col("event_type").alias("tb"), "ts"),
+            "user_id",
+        )
+        .filter((F.col("ts") > F.col("lo")) & (F.col("ts") < F.col("hi")))
+        .select("user_id", "ta", "tb", "tc")
+        .distinct()
+    )
+    triple_support = (
+        mids.groupBy("ta", "tb", "tc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(
+            F.concat_ws(">", "ta", "tb", "tc").alias("seq"),
+            F.lit(3).cast("long").alias("seq_len"),
+            "n_users",
+        )
+    )
+    return (
+        pair_support.unionByName(triple_support)
+        .orderBy(F.desc("n_users"), F.asc("seq_len"), F.asc("seq"))
+        .limit(SEQ_TOP_K)
+    )

@@ -213,3 +213,51 @@ def test_churn_hazard_accounting(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_churned"] <= r["n_at_risk"]
         assert r["hazard"] == r["n_churned"] / r["n_at_risk"]
+
+
+def test_frequent_sequences_match_bruteforce(spark, sf_dir):
+    """Exists-subsequence supports equal a brute-force per-user scan."""
+    from itertools import product as iproduct
+
+    from graphdb_td2_spark.operators.transitions import (
+        SEQ_TOP_K,
+        frequent_event_sequences,
+    )
+
+    rows = frequent_event_sequences(spark, sf_dir).collect()
+    assert 0 < len(rows) <= SEQ_TOP_K
+    ev = read_table(spark, sf_dir, "events", ["user_id", "ts", "event_type"]).collect()
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append((r["ts"], r["event_type"]))
+    types = sorted({r["event_type"] for r in ev})
+    pair_n = {}
+    triple_n = {}
+    for seq_events in by_user.values():
+        firsts, lasts = {}, {}
+        for ts, t in seq_events:
+            if t not in firsts or ts < firsts[t]:
+                firsts[t] = ts
+            if t not in lasts or ts > lasts[t]:
+                lasts[t] = ts
+        for a, c in iproduct(types, types):
+            if a in firsts and c in lasts and firsts[a] < lasts[c]:
+                pair_n[(a, c)] = pair_n.get((a, c), 0) + 1
+                mids = {t for ts, t in seq_events if firsts[a] < ts < lasts[c]}
+                for b in mids:
+                    triple_n[(a, b, c)] = triple_n.get((a, b, c), 0) + 1
+    for r in rows:
+        parts = r["seq"].split(">")
+        if r["seq_len"] == 2:
+            assert pair_n[(parts[0], parts[1])] == r["n_users"]
+        else:
+            assert triple_n[(parts[0], parts[1], parts[2])] == r["n_users"]
+    # the list really is the global top: no brute-force support exceeds
+    # the smallest reported one among sequences not reported
+    reported = {r["seq"] for r in rows}
+    floor = min(r["n_users"] for r in rows)
+    others = [
+        v for k, v in list(pair_n.items()) + list(triple_n.items())
+        if ">".join(k) not in reported
+    ]
+    assert all(v <= floor for v in others)
