@@ -581,6 +581,8 @@ DEMOTED_TAIL = (
     "frequent_event_sequences",  # exists-subsequence sequential pattern
                                  # mining — PrefixSpan statistic next to
                                  # the Markov matrix and fixed funnel
+    "tokenizer_fertility_by_lang",  # subwords-per-word by language — the
+                                    # multilingual tokenizer-mix metric
 )
 
 
@@ -810,6 +812,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_confidence_rules": top_confidence_rules,
         "churn_hazard_curve": win.churn_hazard_curve,
         "frequent_event_sequences": frequent_event_sequences,
+        "tokenizer_fertility_by_lang": text.tokenizer_fertility_by_lang,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -3071,6 +3074,23 @@ SELECT seq, seq_len, n_users FROM (
 )
 ORDER BY n_users DESC, seq_len ASC, seq ASC
 LIMIT 20
+"""
+
+    # functions/text.py:tokenizer_fertility_by_lang — exact integer word
+    # and ceil-div subword sums, one IEEE division per language.
+    sqls["tokenizer_fertility_by_lang"] = f"""
+WITH per AS (
+  SELECT lang, CAST(len({_TOKS}) AS BIGINT) AS w,
+         CAST(list_sum(list_transform(
+               regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'),
+               r -> CAST(ceil(length(r) / 4.0) AS BIGINT))) AS BIGINT) AS sw
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(w) AS BIGINT) AS n_words,
+  CAST(SUM(sw) AS BIGINT) AS n_subwords,
+  CAST(SUM(sw) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS fertility
+FROM per GROUP BY lang ORDER BY lang
 """
 
     sqls["simhash_docs"] = _simhash_sql()

@@ -602,3 +602,42 @@ def source_diversity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_tokens") * (F.col("n_tokens") - 1)).cast("double"),
         ).alias("simpson_diversity"),
     ).orderBy("source")
+
+
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(lang, n_docs, n_words, n_subwords, fertility)``
+    — subwords-per-word by language [extension]: the multilingual
+    tokenizer-quality metric (a language whose fertility runs hot pays
+    more context budget per word — the standard argument for rebalancing
+    a tokenizer's training mix, and the per-language companion of
+    ``bpe_encoded_stats``'s corpus-wide histogram).
+
+    Exactness: whitespace words and the BPE-ish subword count are both
+    exact integer sums (``bpe_ish_token_count`` is ceil-division
+    arithmetic); fertility is ONE IEEE division. Scale: one
+    partial-aggregated |lang|-group hash agg over the documents scan.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["lang", "text"])
+    per = docs.select(
+        "lang",
+        F.size(tokens_col(F.col("text"))).cast("long").alias("w"),
+        bpe_ish_token_count(F.col("text")).alias("sw"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("w").cast("long").alias("n_words"),
+            F.sum("sw").cast("long").alias("n_subwords"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_subwords",
+            (
+                F.col("n_subwords").cast("double") / F.col("n_words").cast("double")
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )

@@ -261,3 +261,25 @@ def test_frequent_sequences_match_bruteforce(spark, sf_dir):
         if ">".join(k) not in reported
     ]
     assert all(v <= floor for v in others)
+
+
+def test_tokenizer_fertility_accounting(spark, sf_dir):
+    from graphdb_td2_spark.functions.text import (
+        bpe_ish_token_count,
+        tokenizer_fertility_by_lang,
+    )
+
+    rows = tokenizer_fertility_by_lang(spark, sf_dir).collect()
+    assert rows
+    docs = read_table(spark, sf_dir, "documents", ["lang", "text"])
+    totals = docs.select(
+        F.count(F.lit(1)).cast("long"),
+        F.sum(F.size(tokens_col(F.col("text")))).cast("long"),
+        F.sum(bpe_ish_token_count(F.col("text"))).cast("long"),
+    ).first()
+    assert sum(r["n_docs"] for r in rows) == totals[0]
+    assert sum(r["n_words"] for r in rows) == totals[1]
+    assert sum(r["n_subwords"] for r in rows) == totals[2]
+    for r in rows:
+        assert r["fertility"] == r["n_subwords"] / r["n_words"]
+        assert r["fertility"] > 0
