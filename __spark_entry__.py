@@ -583,6 +583,8 @@ DEMOTED_TAIL = (
                                  # the Markov matrix and fixed funnel
     "tokenizer_fertility_by_lang",  # subwords-per-word by language — the
                                     # multilingual tokenizer-mix metric
+    "product_skyline",  # Pareto frontier over (popularity, price) — the
+                        # SKYLINE relational operator class
 )
 
 
@@ -813,6 +815,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "churn_hazard_curve": win.churn_hazard_curve,
         "frequent_event_sequences": frequent_event_sequences,
         "tokenizer_fertility_by_lang": text.tokenizer_fertility_by_lang,
+        "product_skyline": rel.product_skyline,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -3091,6 +3094,31 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(SUM(sw) AS BIGINT) AS n_subwords,
   CAST(SUM(sw) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS fertility
 FROM per GROUP BY lang ORDER BY lang
+"""
+
+    # operators/relational.py:product_skyline — textbook NOT EXISTS
+    # dominance formulation; the Spark side uses the level-axis running
+    # min (two independent formulations must agree).
+    sqls["product_skyline"] = """
+WITH pop AS (
+  SELECT product_id, CAST(COUNT(*) AS BIGINT) AS n_orders FROM (
+    SELECT DISTINCT l_orderkey, l_partkey AS product_id FROM lineitem
+  ) GROUP BY product_id
+),
+prods AS (
+  SELECT p.product_id, p.n_orders,
+         CAST(CAST(t.p_retailprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+           AS price_cents
+  FROM pop p JOIN part t ON p.product_id = t.p_partkey
+)
+SELECT product_id, n_orders, price_cents
+FROM prods a
+WHERE NOT EXISTS (
+  SELECT 1 FROM prods b
+  WHERE b.n_orders >= a.n_orders AND b.price_cents <= a.price_cents
+    AND (b.n_orders > a.n_orders OR b.price_cents < a.price_cents)
+)
+ORDER BY n_orders DESC, price_cents ASC, product_id ASC
 """
 
     sqls["simhash_docs"] = _simhash_sql()

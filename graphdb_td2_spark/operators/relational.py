@@ -24,7 +24,7 @@ TakeOrderedAndProject.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..io import read_table
 
@@ -937,4 +937,65 @@ def customer_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         )
         .orderBy("pct")
+    )
+
+
+def product_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(product_id, n_orders, price_cents)`` — the
+    SKYLINE (Pareto frontier) of products over (popularity MAX, price
+    MIN) [extension]: products no other product dominates (at least as
+    popular AND at least as cheap, strictly better in one) — the
+    multi-criteria "best value" shortlist, a relational operator class
+    (Börzsönyi et al.'s SKYLINE OF) none of the single-criterion top-k
+    queries cover.
+
+    Plan (the scale-correct 2-D skyline): the quadratic NOT EXISTS
+    dominance test collapses to per-POPULARITY-LEVEL min prices + a
+    running min over strictly-more-popular levels. The level axis is
+    |distinct popularity counts|-bounded (hundreds even at 100 TB corpus
+    sizes — it is a count histogram axis, not the product dimension), so
+    the running-min window rides the same bounded-axis dispensation as
+    the calendar windows; products never self-join. A product is on the
+    frontier iff its price equals its level minimum AND beats every
+    more-popular level's minimum strictly. Exact cents; equal
+    (popularity, price) ties are mutually non-dominating and all kept.
+
+    The DuckDB oracle uses the textbook NOT EXISTS formulation — two
+    independent formulations agreeing is the correctness argument.
+    """
+    lineitem = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    part = read_table(spark, sf_dir, "part", ["p_partkey", "p_retailprice"])
+    pop = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy(F.col("l_partkey").alias("product_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    prods = pop.join(
+        part.select(
+            F.col("p_partkey").alias("product_id"),
+            F.expr(
+                "cast(cast(p_retailprice as decimal(14,2)) * 100 as bigint)"
+            ).alias("price_cents"),
+        ),
+        "product_id",
+    )
+    levels = prods.groupBy("n_orders").agg(
+        F.min("price_cents").alias("lvl_min")
+    )
+    w = Window.orderBy(F.desc("n_orders")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    levels = levels.withColumn("higher_min", F.min("lvl_min").over(w))
+    return (
+        prods.join(F.broadcast(levels), "n_orders")
+        .filter(
+            (F.col("price_cents") == F.col("lvl_min"))
+            & (
+                F.col("higher_min").isNull()
+                | (F.col("price_cents") < F.col("higher_min"))
+            )
+        )
+        .select("product_id", "n_orders", "price_cents")
+        .orderBy(F.desc("n_orders"), F.asc("price_cents"), F.asc("product_id"))
     )

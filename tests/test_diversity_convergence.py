@@ -283,3 +283,35 @@ def test_tokenizer_fertility_accounting(spark, sf_dir):
     for r in rows:
         assert r["fertility"] == r["n_subwords"] / r["n_words"]
         assert r["fertility"] > 0
+
+
+def test_product_skyline_dominance(spark, sf_dir):
+    """Frontier members are mutually non-dominating and every non-member
+    is dominated by some member (brute-force check)."""
+    from graphdb_td2_spark.operators.relational import product_skyline
+
+    sky = product_skyline(spark, sf_dir).collect()
+    assert sky
+    li = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    part = read_table(spark, sf_dir, "part", ["p_partkey", "p_retailprice"])
+    pop = (
+        li.select("l_orderkey", "l_partkey").distinct()
+        .groupBy("l_partkey").count().collect()
+    )
+    prices = {
+        r["p_partkey"]: int(round(float(r["p_retailprice"]) * 100))
+        for r in part.collect()
+    }
+    pts = {r["l_partkey"]: (r["count"], prices[r["l_partkey"]]) for r in pop}
+
+    def dominates(a, b):
+        return (a[0] >= b[0] and a[1] <= b[1]) and (a[0] > b[0] or a[1] < b[1])
+
+    members = {r["product_id"] for r in sky}
+    for r in sky:
+        assert pts[r["product_id"]] == (r["n_orders"], r["price_cents"])
+    for m in members:
+        assert not any(dominates(pts[o], pts[m]) for o in pts if o != m)
+    for o, p in pts.items():
+        if o not in members:
+            assert any(dominates(pts[m], p) for m in members)
