@@ -7,12 +7,32 @@
 
 Each query is timed end-to-end (plan + execute + collect), which is the
 reference's ``took_ms`` spirit (app/main.py:35,134) applied per operator.
+
+Noise control (r8 postmortem: a same-commit 2× spread under host
+steal-time masqueraded as a regression):
+
+- a PARALLEL calibration burst (one fixed pure-Python loop per CPU via
+  multiprocessing — single-thread loops stayed constant under the very
+  steal that doubled the 32-thread Spark bursts, so the probe must be as
+  wide as the workload) runs before and after the query sweep; the JSON
+  carries ``calibration_sec`` and the committed quiet-box reference from
+  ``tools/bench_calibration.json``, and ``calibration_ok`` is false when
+  either probe deviates >20% from that reference;
+- every query runs ``SPARK_GRAFT_BENCH_RUNS`` times (default 3);
+  ``queries`` holds per-query MEDIANS, ``spread`` holds [min, max], and
+  the headline total is the sum of medians.
+
+A bench whose ``calibration_ok`` is false must not be read as a
+performance comparison point (set ``SPARK_GRAFT_REQUIRE_QUIET=1`` to
+make such a run exit non-zero instead of emitting one, for
+artifact-committing runs).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -55,9 +75,60 @@ HEADLINE = [
 ]
 
 
+CALIBRATION_REF = Path(__file__).resolve().parent / "tools" / "bench_calibration.json"
+CALIBRATION_ITERS = 4_000_000  # per-process loop size (~0.4 s/core quiet)
+
+
+def _calibration_loop(iters: int) -> int:
+    acc = 0
+    for i in range(iters):
+        acc = (acc + i * i) % 1_000_003
+    return acc
+
+
+def calibrate() -> float:
+    """Wall-clock of one fixed loop per CPU running concurrently — the
+    host-contention probe shaped like the workload it guards."""
+    import concurrent.futures as cf
+
+    ncpu = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    with cf.ProcessPoolExecutor(max_workers=ncpu) as ex:
+        # warm the pool (process spawn + import cost must not be timed —
+        # it added ~25% to the first burst when measured at reference time)
+        list(ex.map(_calibration_loop, [1000] * ncpu))
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            list(ex.map(_calibration_loop, [CALIBRATION_ITERS] * ncpu))
+            samples.append(time.time() - t0)
+        # min, not median: noise only ever ADDS time to a CPU-bound
+        # burst, so the min of 3 is the robust quiet-time estimator
+        # and persistent host steal still inflates all three
+        return round(min(samples), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+    cal_ref = None
+    if CALIBRATION_REF.exists():
+        cal_ref = json.loads(CALIBRATION_REF.read_text())["quiet_box_sec"]
+    cal_before = calibrate()
+    print(f"# calibration (pre): {cal_before}s (ref {cal_ref}s)", file=sys.stderr)
+    if (
+        os.environ.get("SPARK_GRAFT_REQUIRE_QUIET")
+        and cal_ref is not None
+        and abs(cal_before - cal_ref) / cal_ref > 0.20
+    ):
+        print(
+            f"# REFUSING: calibration {cal_before}s deviates >20% from "
+            f"quiet-box reference {cal_ref}s — rerun on a quiet host",
+            file=sys.stderr,
+        )
+        sys.exit(3)
+
     spark = get_spark("graphdb-td2-bench")
     queries = entry_mod.queries()
 
@@ -103,18 +174,42 @@ def main() -> None:
     # AnalysisException). Failures are recorded under "errors" and the
     # summary line is always emitted.
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.time()
-        try:
-            n = len(fn(spark, sf_dir).collect())
-        except Exception as exc:
-            errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:300]}"
-            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+        samples: list[float] = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            try:
+                n = len(fn(spark, sf_dir).collect())
+            except Exception as exc:
+                errors[name] = (
+                    f"{type(exc).__name__}: {str(exc).splitlines()[0][:300]}"
+                )
+                print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+                break
+            samples.append(time.time() - t0)
+        if not samples:
             continue
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        timings[name] = round(statistics.median(samples), 3)
+        spread[name] = [round(min(samples), 3), round(max(samples), 3)]
+        print(
+            f"# {name}: median {timings[name]:.3f}s of {samples and len(samples)}"
+            f" (spread {spread[name][0]:.3f}-{spread[name][1]:.3f}, {n} rows)",
+            file=sys.stderr,
+        )
+
+    # Stop Spark before the post-probe: an idle local[32] JVM still costs
+    # the probe ~15% (GC/daemon threads), which would eat most of the 20%
+    # gate's margin; the post-probe exists to catch HOST contention.
+    spark.stop()
+    cal_after = calibrate()
+    print(f"# calibration (post): {cal_after}s", file=sys.stderr)
+    cal_ok = cal_ref is None or (
+        abs(cal_before - cal_ref) / cal_ref <= 0.20
+        and abs(cal_after - cal_ref) / cal_ref <= 0.20
+    )
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -124,6 +219,11 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "lake_build_sec": lake_build,
+        "runs": n_runs,
+        "spread": spread,
+        "calibration_sec": [cal_before, cal_after],
+        "calibration_ref_sec": cal_ref,
+        "calibration_ok": cal_ok,
     }
     if errors:
         out["errors"] = errors

@@ -76,7 +76,7 @@ def hits_fp(edges: DataFrame, num_iter: int = HITS_ITER) -> DataFrame:
         verts = verts.repartition(parts)
     edges = edges.persist()
     verts = verts.persist()
-    verts.count()  # materialize both persists
+    verts.count()  # materialize the verts persist (edges fills on first half-step)
 
     def _half_step(scores: DataFrame, score_col: str, join_on: str,
                    group_on: str, out_col: str) -> DataFrame:
@@ -112,9 +112,16 @@ def hits_fp(edges: DataFrame, num_iter: int = HITS_ITER) -> DataFrame:
     for _ in range(num_iter):
         auths = _half_step(hubs, "hub", "src", "dst", "auth")
         hubs = _half_step(auths, "auth", "dst", "src", "hub")
-    return auths.join(hubs, "id").select(
+    out = auths.join(hubs, "id").select(
         "id", F.col("auth").alias("auth_fp"), F.col("hub").alias("hub_fp")
     )
+    # Materialize the final vector (truncate_lineage is eager), then release
+    # the iteration-scoped caches — a long session invoking HITS repeatedly
+    # must not accumulate pinned edge/vertex blocks in executor storage.
+    out = out.transform(truncate_lineage, eager=True)
+    edges.unpersist()
+    verts.unpersist()
+    return out
 
 
 def hits_top20(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -839,7 +839,9 @@ def discount_quantity_response(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness (same construction as ``value_trend_by_type``): x =
     discount in exact basis points, y = quantity in exact centi-units;
-    the five sufficient statistics are exact BIGINTs and the slope/means
+    the five sufficient statistics are exact DECIMAL(38,0) (mirroring
+    DuckDB's HUGEINT sums — no int64 wrap at any realistic per-brand row
+    count) and the slope/means
     are each ONE IEEE division of integer values, with the singular case
     (a brand priced at a single discount level) NULL-guarded identically
     in both engines.
@@ -858,20 +860,28 @@ def discount_quantity_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_discount").cast("decimal(6,4)") * 10000).cast("long").alias("x"),
         (F.col("l_quantity").cast("decimal(14,2)") * 100).cast("long").alias("y"),
     )
+    # Sufficient statistics in DECIMAL(38,0): n·sxx and sx² reach ~n²·1e6,
+    # which wraps int64 once a brand holds ≳3M lineitems (~sf10+). DuckDB
+    # sums into HUGEINT, so decimal sums keep exact cross-engine parity
+    # with no per-brand row bound (values stay integral; divisions below
+    # are the only IEEE steps, identical in both engines).
+    d38 = "decimal(38,0)"
     stats = xy.groupBy("p_brand").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
     )
-    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    det = F.col("n").cast(d38) * F.col("sxx") - F.col("sx") * F.col("sx")
     return stats.select(
         "p_brand",
         F.col("n").alias("n_lineitems"),
         F.when(
             det != 0,
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            (
+                F.col("n").cast(d38) * F.col("sxy") - F.col("sx") * F.col("sy")
+            ).cast("double")
             / det.cast("double"),
         ).alias("slope_cq_per_bp"),
         (F.col("sx").cast("double") / F.col("n").cast("double")).alias(

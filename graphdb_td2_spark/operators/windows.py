@@ -468,6 +468,13 @@ def churn_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     end_row = orders.agg(F.max(month).alias("end_m")).first()
     end_m = end_row["end_m"]
+    if end_m is None:  # degenerate empty-orders input: empty result, not
+        # a date'None' AnalysisException (shingle_novelty_curve pattern)
+        return spark.createDataFrame(
+            [],
+            "tenure_month bigint, n_at_risk bigint, n_churned bigint,"
+            " hazard double",
+        )
     mdiff = (
         "cast((year({a}) - year({b})) * 12 + (month({a}) - month({b})) as bigint)"
     )

@@ -246,6 +246,9 @@ def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_hits = hits.count()
     k = n_truth // max(nq, 1)
     return spark.createDataFrame(
-        [(nq, k, n_hits, float(n_hits) / float(n_truth))],
+        # n_truth == 0 (empty embeddings table): NULL recall row, not
+        # a ZeroDivisionError — degenerate input still returns one row.
+        [(nq, k, n_hits,
+          float(n_hits) / float(n_truth) if n_truth else None)],
         "n_queries long, k long, n_hits long, recall double",
     )

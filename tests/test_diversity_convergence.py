@@ -315,3 +315,16 @@ def test_product_skyline_dominance(spark, sf_dir):
     for o, p in pts.items():
         if o not in members:
             assert any(dominates(pts[m], p) for m in members)
+
+
+def test_churn_hazard_empty_orders_returns_empty(spark, tmp_path):
+    """Degenerate empty-orders input → empty result with the standard
+    schema, not a date'None' AnalysisException (ADVICE r8)."""
+    from graphdb_td2_spark.operators.windows import churn_hazard_curve
+    from graphdb_td2_spark.schemas import CORPUS
+
+    sf = str(tmp_path / "sf_empty")
+    spark.createDataFrame([], CORPUS["orders"]).write.parquet(f"{sf}/orders.parquet")
+    out = churn_hazard_curve(spark, sf)
+    assert out.count() == 0
+    assert out.columns == ["tenure_month", "n_at_risk", "n_churned", "hazard"]
