@@ -42,6 +42,10 @@ from graphdb_td2_spark.operators.timeseries import (
 )
 from graphdb_td2_spark.graph.bfs import bfs_level_sizes
 from graphdb_td2_spark.graph.hits import hits_top20
+from graphdb_td2_spark.graph.hyperball import (
+    harmonic_approx_error_report,
+    harmonic_centrality_approx_top20,
+)
 from graphdb_td2_spark.graph.kcore import kcore_sizes
 from graphdb_td2_spark.graph.lpa import community_sizes as lpa_community_sizes
 from graphdb_td2_spark.graph.components import component_sizes
@@ -585,6 +589,12 @@ DEMOTED_TAIL = (
                                     # multilingual tokenizer-mix metric
     "product_skyline",  # Pareto frontier over (popularity, price) — the
                         # SKYLINE relational operator class
+    "harmonic_centrality_approx_top20",  # HyperBall/ANF sketch variant of
+                                         # harmonic_centrality_top20 — the
+                                         # all-sources scale path
+    "harmonic_approx_error_report",  # sketch-vs-exact ball-size audit of
+                                     # the HyperBall estimator (the
+                                     # ann_recall_report pattern)
 )
 
 
@@ -816,6 +826,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_event_sequences": frequent_event_sequences,
         "tokenizer_fertility_by_lang": text.tokenizer_fertility_by_lang,
         "product_skyline": rel.product_skyline,
+        "harmonic_centrality_approx_top20": harmonic_centrality_approx_top20,
+        "harmonic_approx_error_report": harmonic_approx_error_report,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2618,9 +2630,11 @@ ORDER BY doc_id_a, doc_id_b
     # minhash_accuracy_report: estimator-vs-truth audit over the SAME
     # capped candidate pairs (dedup/minhash.py:minhash_accuracy_report);
     # 1e6 fixed point, truncating integer division in both engines.
+    from graphdb_td2_spark.dedup.minhash import ACC_FP, N_HASHES
+
     _sig_match = " + ".join(
         f"(CASE WHEN a.sig_{j} = b.sig_{j} THEN 1 ELSE 0 END)"
-        for j in range(16)
+        for j in range(N_HASHES)
     )
     sqls["minhash_accuracy_report"] = f"""
 WITH sigs AS ({_minhash_sig_sql()}),
@@ -2646,7 +2660,7 @@ inter AS (
 ),
 per AS (
   SELECT p.n_shared_bands,
-         CAST(({_sig_match}) * 62500 AS BIGINT) AS est_fp,
+         CAST(({_sig_match}) * {ACC_FP // N_HASHES} AS BIGINT) AS est_fp,
          CAST((COALESCE(i.n_inter, 0) * 1000000)
               // (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS BIGINT) AS true_fp
   FROM pairs p
@@ -4180,6 +4194,72 @@ SELECT node, harmonic_fp, n_reached FROM (
   FROM ({_h_union})
   GROUP BY node
 ) ORDER BY harmonic_fp DESC, node ASC LIMIT 20
+"""
+
+    # graph/hyperball.py — HyperBall/ANF approximate harmonic centrality.
+    # Constants and the rho CASE generator are imported from the Spark
+    # module so the two engines cannot drift (ADVICE r8: never hard-code a
+    # twin of a tunable).
+    from graphdb_td2_spark.graph.hyperball import (
+        ALPHA_DEN as _HB_AD,
+        EST_NUM as _HB_NUM,
+        M_REG as _HB_M,
+        RHO_W as _HB_RW,
+        rho_case_sql as _hb_rho_sql,
+    )
+
+    _hb_suffix = "CAST(('0x' || substr(md5(CAST(node AS VARCHAR)), 2, 8)) AS BIGINT)"
+
+    def _hb_chain(rounds: int, est_rounds: list[int]) -> str:
+        """CTEs ``s0..s{rounds}`` (exploded HLL register state) and
+        ``est{t}`` for each t in est_rounds — mirrors
+        ``graph/hyperball.py`` round for round."""
+        parts = [f"""s0 AS MATERIALIZED (
+  SELECT node,
+    CAST(('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 1)) AS BIGINT) AS j,
+    CAST({_hb_rho_sql(_hb_suffix)} AS BIGINT) AS M
+  FROM (SELECT DISTINCT src AS node FROM adj))"""]
+        for t in range(1, rounds + 1):
+            parts.append(f"""s{t} AS MATERIALIZED (
+  SELECT node, j, MAX(M) AS M FROM (
+    SELECT a.src AS node, s.j, s.M FROM adj a JOIN s{t - 1} s ON s.node = a.dst
+    UNION ALL SELECT node, j, M FROM s{t - 1}) GROUP BY node, j)""")
+        for t in est_rounds:
+            parts.append(f"""est{t} AS MATERIALIZED (
+  SELECT node, CAST({_HB_NUM} // ({_HB_AD} * S) AS BIGINT) AS est FROM (
+    SELECT node,
+      SUM(CAST(1 AS BIGINT) << ({_HB_RW} - M))
+        + ({_HB_M} - COUNT(*)) * (CAST(1 AS BIGINT) << {_HB_RW}) AS S
+    FROM s{t} GROUP BY node))""")
+        return ",\n".join(parts)
+
+    sqls["harmonic_centrality_approx_top20"] = f"""
+{_adj_with},
+{_hb_chain(4, [0, 1, 2, 3, 4])}
+SELECT node,
+  CAST((e1.est - e0.est) * 12 + (e2.est - e1.est) * 6
+     + (e3.est - e2.est) * 4 + (e4.est - e3.est) * 3 AS BIGINT)
+    AS harmonic_est_fp,
+  e4.est AS ball_est_milli
+FROM est0 e0 JOIN est1 e1 USING (node) JOIN est2 e2 USING (node)
+  JOIN est3 e3 USING (node) JOIN est4 e4 USING (node)
+ORDER BY harmonic_est_fp DESC, node ASC LIMIT 20
+"""
+
+    sqls["harmonic_approx_error_report"] = f"""
+{_adj_with},
+seeds AS (SELECT src FROM (SELECT DISTINCT src FROM adj) ORDER BY src LIMIT 8),
+v0 AS (SELECT src AS seed, src AS node FROM seeds),
+{_h_body},
+tb AS (SELECT seed, CAST(COUNT(*) AS BIGINT) AS true_ball
+       FROM vis4 GROUP BY seed),
+{_hb_chain(4, [4])}
+SELECT tb.seed, tb.true_ball, e.est AS est_ball_milli,
+  CAST(abs(e.est - tb.true_ball * 1000) AS BIGINT) AS abs_err_milli,
+  CAST(abs(e.est - tb.true_ball * 1000) // tb.true_ball AS BIGINT)
+    AS rel_err_pm
+FROM tb JOIN est4 e ON e.node = tb.seed
+ORDER BY tb.seed
 """
 
     # operators/transitions.py:event_transition_matrix — canonical per-user

@@ -10,12 +10,29 @@ rounds (like ``bfs.py``), so intermediate states match even before
 convergence; the per-round surviving-vertex counts are the query output
 (monotone non-increasing, and constant once converged).
 
-Loop discipline (same as pagerank/components): the surviving edge set
-re-enters the next round's plan through the degree aggregate and two
-semi-joins, so its lineage is truncated EVERY round via the session's
-checkpoint mode (``graph/checkpointing.py``); each round costs one degree
-shuffle + two hash-semi-joins over the shrinking edge set — at 100 TB the
-first rounds dominate and are plain word-count-shaped aggregates.
+Execution strategy (r9 rewrite — the r8 version re-filtered and
+re-checkpointed the FULL edge set every round through two shuffled
+semi-joins, the round-8 sf10 wall at 811 s): peel INCREMENTALLY.
+
+- The symmetric edge set is shuffled/materialized ONCE (distinct) and
+  the initial degree table once more; both are edge/vertex-scale
+  one-time costs shared with any degree query.
+- Each subsequent round touches only the DELTA: vertices removed last
+  round are a (typically tiny, always vertex-scale) set; the edges they
+  take with them are found by one map-side (broadcast when small)
+  semi-join over the cached symmetric edges, combined map-side into a
+  per-survivor loss count, and subtracted from the vertex-sized degree
+  table. No edge-set rewrite, no edge-scale checkpoint, ever again —
+  removal sets are disjoint across rounds, so cumulative subtraction
+  equals the degree in the surviving subgraph.
+- Fixed point short-circuits: once a round removes nothing, every later
+  round's count is definitionally identical — appended without jobs.
+
+At 100 TB: one distinct + one degree shuffle over the edges, then R
+map-scans of the cached edge relation with vertex-scale aggregates —
+the first two stages are plain word-count-shaped and AQE-sized; the
+loop state (degree table + removal set) is vertex-sized, so lineage
+truncation per round is cheap regardless of edge count.
 """
 
 from __future__ import annotations
@@ -27,6 +44,12 @@ from .queries import cached_graph
 
 KCORE_K = 2
 KCORE_ROUNDS = 6
+
+# Removal sets at or under this many vertices ship as broadcast hash
+# relations for the delta semi-join (8-byte ids → ~40 MB at the cap);
+# bigger sets (only ever the first peel of a pendant-heavy graph) fall
+# back to a shuffled semi-join.
+_BROADCAST_REMOVED_MAX = 5_000_000
 
 
 def kcore_round_sizes(
@@ -40,22 +63,47 @@ def kcore_round_sizes(
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .transform(truncate_lineage)
+        .persist()
+    )
+    deg = (
+        und.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .transform(truncate_lineage)
     )
     sizes: list[tuple[int, int]] = []
-    active = und
+    removed: DataFrame | None = None
+    n_removed = -1  # sentinel: round 1 always evaluates
     for r in range(1, rounds + 1):
-        keep = (
-            active.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= k)
-            .select(F.col("src").alias("id"))
-        ).transform(truncate_lineage)
-        sizes.append((r, keep.count()))
-        active = (
-            active.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
-            .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
-            .select("src", "dst")
-        ).transform(truncate_lineage)
+        if r > 1 and n_removed == 0:
+            sizes.append((r, sizes[-1][1]))  # converged: fixed point
+            continue
+        if r > 1:
+            gone = removed.select(F.col("id").alias("dst"))
+            if n_removed <= _BROADCAST_REMOVED_MAX:
+                gone = F.broadcast(gone)
+            lost = (
+                und.join(gone, "dst", "left_semi")
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.count(F.lit(1)).cast("long").alias("lost"))
+            )
+            deg = (
+                deg.join(lost, "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.col("deg") - F.coalesce(F.col("lost"), F.lit(0))
+                    ).alias("deg"),
+                )
+                .transform(truncate_lineage)
+            )
+        removed = deg.filter(F.col("deg") < k).select("id").transform(
+            truncate_lineage
+        )
+        n_removed = removed.count()
+        deg = deg.filter(F.col("deg") >= k)
+        n_alive = deg.count() if r == 1 else sizes[-1][1] - n_removed
+        sizes.append((r, n_alive))
+    und.unpersist()
     return spark.createDataFrame(sizes, "round long, n_vertices long")
 
 
