@@ -199,6 +199,7 @@ from graphdb_td2_spark.multimodal import (
 )
 from graphdb_td2_spark.streaming.ivm import (
     ivm_cooccurrence_top20,
+    ivm_served_recs_customer,
     ivm_served_recs_product,
 )
 from graphdb_td2_spark.streaming.dedup_stream import streaming_minhash_pairs
@@ -595,6 +596,9 @@ DEMOTED_TAIL = (
     "harmonic_approx_error_report",  # sketch-vs-exact ball-size audit of
                                      # the HyperBall estimator (the
                                      # ann_recall_report pattern)
+    "ivm_served_recs_customer",  # /recs customer-CF SERVED from the
+                                 # maintained IVM state (same oracle as
+                                 # recs_customer_cf)
 )
 
 
@@ -828,6 +832,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "product_skyline": rel.product_skyline,
         "harmonic_centrality_approx_top20": harmonic_centrality_approx_top20,
         "harmonic_approx_error_report": harmonic_approx_error_report,
+        "ivm_served_recs_customer": ivm_served_recs_customer,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -1888,6 +1893,7 @@ GROUP BY product_id
 ORDER BY score DESC, product_id ASC
 LIMIT 10
 """
+    sqls["ivm_served_recs_customer"] = sqls["recs_customer_cf"]
 
     sqls["recs_customer_brand_fallback"] = f"""
 {_CUST_CF_PREFIX},

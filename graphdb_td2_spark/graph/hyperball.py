@@ -41,6 +41,7 @@ anti-joins, output |V| rows.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .centrality import HARMONIC_LCM, N_SEEDS, ROUNDS, TOP_K
@@ -166,7 +167,9 @@ def harmonic_centrality_approx_top20(
     sample), ties → lowest node id. ``harmonic_est_fp`` is in
     milli-vertices × lcm(1..4) units; ``ball_est_milli`` is the round-4
     ball-size estimate in milli-vertices."""
-    adj = copurchase_adjacency(spark, sf_dir).persist()
+    adj = copurchase_adjacency(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK  # serialized — R scans, agg-heavy rounds
+    )
     harmonic, est = hyperball_harmonic(adj)
     # hyperball_harmonic materialized its state eagerly (per-round lineage
     # truncation), so the returned frames no longer reference the adjacency
@@ -191,7 +194,9 @@ def harmonic_approx_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the exact side is an 8-seed BFS (frontier×adjacency joins);
     the sketch side reuses the full HyperBall run. Output is 8 rows.
     """
-    adj = copurchase_adjacency(spark, sf_dir).persist()
+    adj = copurchase_adjacency(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     _, est = hyperball_harmonic(adj)
     seeds = (
         adj.select("src").distinct().orderBy("src").limit(N_SEEDS)

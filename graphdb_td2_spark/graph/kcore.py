@@ -58,12 +58,14 @@ def kcore_round_sizes(
     """``(round, n_vertices)`` after each of ``rounds`` peeling steps over
     the undirected multigraph-collapsed edge set."""
     spark = edges.sparkSession
+    # The local checkpoint IS the cache: its serialized blocks are re-read
+    # by every round's delta scan (an extra .persist() here stores a second
+    # DESERIALIZED copy and OOMed the sf10 rehearsal's hash aggregates).
     und = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .transform(truncate_lineage)
-        .persist()
     )
     deg = (
         und.groupBy(F.col("src").alias("id"))
@@ -103,7 +105,6 @@ def kcore_round_sizes(
         deg = deg.filter(F.col("deg") >= k)
         n_alive = deg.count() if r == 1 else sizes[-1][1] - n_removed
         sizes.append((r, n_alive))
-    und.unpersist()
     return spark.createDataFrame(sizes, "round long, n_vertices long")
 
 

@@ -537,3 +537,43 @@ def test_steady_batch_jobs_per_batch_ceiling(spark, tmp_path):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_ivm_served_customer_cf_matches_batch_after_each_microbatch(spark, tmp_path):
+    """VERDICT r8 task 4: customer-CF served from the maintained state
+    equals the 4-hop batch recompute over exactly the rows streamed so
+    far, after EVERY micro-batch."""
+    from graphdb_td2_spark.recs.queries import customer_cooccurrence_core
+    from graphdb_td2_spark.streaming.ivm import (
+        apply_cooccurrence_delta,
+        serve_customer_cf,
+    )
+
+    state = str(tmp_path / "st")
+    placed = spark.createDataFrame(
+        [(10, 1), (30, 1), (20, 2), (40, 2), (50, 3)],
+        "order_id long, customer_id long",
+    )
+    batches = [
+        [(10, 7), (10, 1), (20, 7), (20, 2)],
+        [(30, 7), (30, 1), (40, 2), (40, 3)],
+        [(30, 9), (50, 7), (50, 1), (50, 9)],
+    ]
+    seen: list[tuple[int, int]] = []
+    for bid, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "order_id long, product_id long")
+        apply_cooccurrence_delta(spark, df, bid, state)
+        seen.extend(rows)
+        items = spark.createDataFrame(
+            sorted(set(seen)), "order_id long, product_id long"
+        )
+        for cust in (1, 2):
+            got = [
+                tuple(r)
+                for r in serve_customer_cf(spark, state, placed, cust).collect()
+            ]
+            expected = [
+                tuple(r)
+                for r in customer_cooccurrence_core(items, placed, cust).collect()
+            ]
+            assert got == expected, f"batch {bid} cust {cust}: {got} != {expected}"
