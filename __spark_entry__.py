@@ -153,7 +153,10 @@ from graphdb_td2_spark.graph.triangles import (
 )
 from graphdb_td2_spark.dedup.overlap import source_overlap_matrix
 from graphdb_td2_spark.dedup.minhash import minhash_accuracy_report
-from graphdb_td2_spark.recs.backtest import recs_backtest_hitrate
+from graphdb_td2_spark.recs.backtest import (
+    recs_backtest_by_strategy,
+    recs_backtest_hitrate,
+)
 from graphdb_td2_spark.dedup.spectrum import (
     shingle_frequency_spectrum,
     shingle_novelty_curve,
@@ -599,6 +602,8 @@ DEMOTED_TAIL = (
     "ivm_served_recs_customer",  # /recs customer-CF SERVED from the
                                  # maintained IVM state (same oracle as
                                  # recs_customer_cf)
+    "recs_backtest_by_strategy",  # leave-future-out hit-rate@10 for ALL
+                                  # five scorers (cooc/ivm/brand/trend/als)
 )
 
 
@@ -833,6 +838,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality_approx_top20": harmonic_centrality_approx_top20,
         "harmonic_approx_error_report": harmonic_approx_error_report,
         "ivm_served_recs_customer": ivm_served_recs_customer,
+        "recs_backtest_by_strategy": recs_backtest_by_strategy,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2896,6 +2902,153 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM train_o) AS n_train_orders,
                       // (SELECT COUNT(*) FROM evalc) AS BIGINT)
        END AS hit_rate_fp
 """
+
+    # recs/backtest.py:recs_backtest_by_strategy — the same split/eval
+    # protocol applied to all five production scorers. Shared CTE prefix
+    # with recs_backtest_hitrate; the ALS half-solve and decay-bucket
+    # fragments mirror the als_rank1_convergence / trending oracles
+    # (_als_half is rebound identically beside als_rank1_convergence).
+    _als_half = (
+        "CAST(SUM(r * f) * 1000000 // GREATEST(SUM(f * f), 1) AS BIGINT) AS f"
+    )
+    def _bt_edge_chain(tag: str, having: str) -> str:
+        return f"""
+edges_{tag} AS MATERIALIZED (
+  SELECT a.product_id AS pa, b.product_id AS pb,
+         CAST(COUNT(*) AS BIGINT) AS weight
+  FROM train_pairs a JOIN train_pairs b
+    ON a.order_id = b.order_id AND a.product_id < b.product_id
+  GROUP BY pa, pb{having}),
+und_{tag} AS (SELECT pa, pb, weight FROM edges_{tag}
+        UNION ALL SELECT pb, pa, weight FROM edges_{tag}),
+cand_{tag} AS (
+  SELECT o.customer_id, u.pb AS rec, CAST(SUM(u.weight) AS BIGINT) AS score
+  FROM train_owned o JOIN und_{tag} u ON o.product_id = u.pa
+  GROUP BY o.customer_id, u.pb),
+recs_{tag} AS MATERIALIZED (
+  SELECT customer_id, rec FROM (
+    SELECT customer_id, rec,
+           row_number() OVER (PARTITION BY customer_id
+                              ORDER BY score DESC, rec ASC) AS rn
+    FROM cand_{tag} c
+    WHERE NOT EXISTS (SELECT 1 FROM train_owned t
+                      WHERE t.customer_id = c.customer_id
+                        AND t.product_id = c.rec))
+  WHERE rn <= 10)"""
+
+    def _bt_global_chain(tag: str, top_cte: str) -> str:
+        return f"""
+recs_{tag} AS MATERIALIZED (
+  SELECT customer_id, rec FROM (
+    SELECT c.customer_id, t.rec,
+           row_number() OVER (PARTITION BY c.customer_id
+                              ORDER BY t.grank ASC) AS rn
+    FROM custs c CROSS JOIN {top_cte} t
+    WHERE NOT EXISTS (SELECT 1 FROM train_owned w
+                      WHERE w.customer_id = c.customer_id
+                        AND w.product_id = t.rec))
+  WHERE rn <= 10)"""
+
+    def _bt_score(name: str, tag: str) -> str:
+        return f"""
+SELECT '{name}' AS strategy,
+  (SELECT CAST(COUNT(DISTINCT n.customer_id) AS BIGINT) FROM test_new n
+   WHERE EXISTS (SELECT 1 FROM recs_{tag} r
+                 WHERE r.customer_id = n.customer_id)) AS n_eval_customers,
+  (SELECT CAST(COUNT(DISTINCT r.customer_id) AS BIGINT) FROM recs_{tag} r
+   JOIN test_new n ON r.customer_id = n.customer_id
+                  AND r.rec = n.product_id) AS n_hit_customers,
+  CASE WHEN (SELECT COUNT(DISTINCT n.customer_id) FROM test_new n
+             WHERE EXISTS (SELECT 1 FROM recs_{tag} r
+                           WHERE r.customer_id = n.customer_id)) > 0
+       THEN CAST(((SELECT COUNT(DISTINCT r.customer_id) FROM recs_{tag} r
+                   JOIN test_new n ON r.customer_id = n.customer_id
+                                  AND r.rec = n.product_id) * 1000000)
+                 // (SELECT COUNT(DISTINCT n.customer_id) FROM test_new n
+                     WHERE EXISTS (SELECT 1 FROM recs_{tag} r
+                                   WHERE r.customer_id = n.customer_id))
+                 AS BIGINT)
+  END AS hit_rate_fp"""
+
+    sqls["recs_backtest_by_strategy"] = f"""
+WITH bounds AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS mn,
+                       MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+cut AS (SELECT mn + CAST((mx - mn) * 4 // 5 AS INTEGER) AS cutoff FROM bounds),
+train_o AS MATERIALIZED (
+  SELECT o_orderkey, o_custkey FROM orders, cut
+  WHERE CAST(o_orderdate AS DATE) <= cutoff),
+test_o AS MATERIALIZED (
+  SELECT o_orderkey, o_custkey FROM orders, cut
+  WHERE CAST(o_orderdate AS DATE) > cutoff),
+train_owned AS MATERIALIZED (
+  SELECT DISTINCT t.o_custkey AS customer_id, l.l_partkey AS product_id
+  FROM lineitem l JOIN train_o t ON l.l_orderkey = t.o_orderkey),
+train_pairs AS MATERIALIZED (
+  SELECT DISTINCT l.l_orderkey AS order_id, l.l_partkey AS product_id
+  FROM lineitem l JOIN train_o t ON l.l_orderkey = t.o_orderkey),
+test_new AS MATERIALIZED (
+  SELECT DISTINCT t.o_custkey AS customer_id, l.l_partkey AS product_id
+  FROM lineitem l JOIN test_o t ON l.l_orderkey = t.o_orderkey
+  WHERE NOT EXISTS (SELECT 1 FROM train_owned w
+                    WHERE w.customer_id = t.o_custkey
+                      AND w.product_id = l.l_partkey)),
+custs AS MATERIALIZED (SELECT DISTINCT customer_id FROM train_owned),
+{_bt_edge_chain("cooc", " HAVING COUNT(*) >= 2")},
+{_bt_edge_chain("ivm", "")},
+owned_brands AS (
+  SELECT DISTINCT o.customer_id, p.p_brand
+  FROM train_owned o JOIN part p ON o.product_id = p.p_partkey),
+recs_brand AS MATERIALIZED (
+  SELECT customer_id, rec FROM (
+    SELECT b.customer_id, p.p_partkey AS rec,
+           row_number() OVER (PARTITION BY b.customer_id
+                              ORDER BY p.p_partkey ASC) AS rn
+    FROM owned_brands b JOIN part p ON p.p_brand = b.p_brand
+    WHERE NOT EXISTS (SELECT 1 FROM train_owned w
+                      WHERE w.customer_id = b.customer_id
+                        AND w.product_id = p.p_partkey))
+  WHERE rn <= 10),
+traind AS MATERIALIZED (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders, cut
+  WHERE CAST(o_orderdate AS DATE) <= cutoff),
+ref AS (SELECT MAX(d) AS ref_date FROM traind),
+aged AS (
+  SELECT l.l_partkey AS product_id,
+         (CAST(1 AS BIGINT) << (20 - CAST(LEAST((ref_date - d) // 30, 20)
+                                          AS INTEGER))) AS wgt
+  FROM lineitem l JOIN traind t ON l.l_orderkey = t.o_orderkey
+  CROSS JOIN ref),
+trend_top AS MATERIALIZED (
+  SELECT product_id AS rec,
+         row_number() OVER (ORDER BY score DESC, product_id ASC) AS grank
+  FROM (SELECT product_id, CAST(SUM(wgt) AS BIGINT) AS score
+        FROM aged GROUP BY product_id)
+  QUALIFY grank <= 100),
+{_bt_global_chain("trend", "trend_top")},
+ratings AS MATERIALIZED (
+  SELECT c, p, CAST(COUNT(*) AS BIGINT) AS r FROM (
+    SELECT DISTINCT t.o_custkey AS c, l.l_partkey AS p, t.o_orderkey AS o
+    FROM lineitem l JOIN train_o t ON l.l_orderkey = t.o_orderkey
+  ) GROUP BY c, p
+),
+v0 AS (SELECT DISTINCT p, CAST(1000 AS BIGINT) AS f FROM ratings),
+u1 AS (SELECT c, {_als_half} FROM ratings JOIN v0 USING (p) GROUP BY c),
+v1 AS (SELECT p, {_als_half} FROM ratings JOIN u1 USING (c) GROUP BY p),
+u2 AS (SELECT c, {_als_half} FROM ratings JOIN v1 USING (p) GROUP BY c),
+v2 AS (SELECT p, {_als_half} FROM ratings JOIN u2 USING (c) GROUP BY p),
+als_top AS MATERIALIZED (
+  SELECT p AS rec, row_number() OVER (ORDER BY f DESC, p ASC) AS grank
+  FROM v2 QUALIFY grank <= 100),
+{_bt_global_chain("als", "als_top")}
+SELECT * FROM (
+{_bt_score("als", "als")}
+UNION ALL {_bt_score("brand_fallback", "brand")}
+UNION ALL {_bt_score("cooccurrence", "cooc")}
+UNION ALL {_bt_score("ivm_cooccurrence", "ivm")}
+UNION ALL {_bt_score("trending", "trend")}
+) ORDER BY strategy
+"""
+
 
     # operators/windows.py:cohort_ltv_curves — first-order-month LTV
     # triangle; exact cents, integer month offsets, cohort-size division.

@@ -62,3 +62,29 @@ def test_backtest_corpus_invariants(spark, sf_dir):
             row["hit_rate_fp"]
             == row["n_hit_customers"] * HR_FP // row["n_eval_customers"]
         )
+
+
+def test_by_strategy_rows_and_cooc_consistency(spark, sf_dir):
+    """5 strategies, each internally consistent; the cooccurrence row
+    reproduces recs_backtest_hitrate's eval/hit counts exactly (same
+    scorer, same protocol)."""
+    from graphdb_td2_spark.recs.backtest import (
+        recs_backtest_by_strategy,
+        recs_backtest_hitrate,
+    )
+
+    rows = {r["strategy"]: r for r in recs_backtest_by_strategy(spark, sf_dir).collect()}
+    assert sorted(rows) == [
+        "als", "brand_fallback", "cooccurrence", "ivm_cooccurrence", "trending",
+    ]
+    for r in rows.values():
+        assert 0 <= r["n_hit_customers"] <= r["n_eval_customers"]
+        if r["n_eval_customers"]:
+            assert r["hit_rate_fp"] == (
+                r["n_hit_customers"] * 1_000_000 // r["n_eval_customers"]
+            )
+    single = recs_backtest_hitrate(spark, sf_dir).collect()[0]
+    cooc = rows["cooccurrence"]
+    assert cooc["n_eval_customers"] == single["n_eval_customers"]
+    assert cooc["n_hit_customers"] == single["n_hit_customers"]
+    assert cooc["hit_rate_fp"] == single["hit_rate_fp"]
