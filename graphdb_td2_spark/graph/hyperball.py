@@ -30,13 +30,16 @@ Registers only grow, so Σ2^(−M) only shrinks and the ball estimate is
 MONOTONE non-decreasing in t — the per-round harmonic increments
 (est_t − est_{t−1})·(LCM/t) are non-negative exact integers.
 
-Scale notes: state is ≤ m rows (node, j, M) per vertex; each round is
-one equi-join of the cached symmetric adjacency against the state plus
-a (node, j) MAX aggregate whose map-side combine caps shuffle volume at
-m·|V| per reducer regardless of |E|. R rounds, vertex-sized lineage
-truncation per round. At 100 TB this is the textbook ANF plan: edge
-relation scanned R times, no per-seed frontier state, no visited
-anti-joins, output |V| rows.
+Scale notes: state is ONE wide row per vertex (16 register columns) —
+each round is one equi-join of the cached symmetric adjacency against
+the state (|E| wide rows, not 16·|E| exploded ones) plus a per-node
+16-way columnar MAX aggregate whose map-side combine caps shuffle
+volume at |V| rows per reducer regardless of |E|; estimates are pure
+projections. HyperBall's systolic delta makes only CHANGED sketches
+travel after round 1. R rounds, vertex-sized lineage truncation per
+round. At 100 TB this is the textbook ANF plan: edge relation scanned
+R times, no per-seed frontier state, no visited anti-joins, output |V|
+rows.
 """
 
 from __future__ import annotations
@@ -68,14 +71,26 @@ def rho_case_sql(x: str) -> str:
 
 
 def _self_sketch(nodes: DataFrame) -> DataFrame:
-    """Round-0 state: every vertex's sketch holds exactly its own hash —
-    ``(node, j, M)``."""
+    """Round-0 state: every vertex's sketch holds exactly its own hash.
+
+    WIDE layout — one row per node with 16 register COLUMNS ``m0..m15``
+    (values rho or 0). The edge join then moves |E| wide rows instead of
+    16·|E| exploded (node, j, M) rows, and the union is 16 column-wise
+    MAX aggregates in one map-side-combinable groupBy — measured 16× less
+    join/agg traffic than the exploded layout at sf10."""
     hx = F.md5(F.col("node").cast("string"))
+    j = F.conv(F.substring(hx, 1, 1), 16, 10).cast("long")
     suffix = F.conv(F.substring(hx, 2, 8), 16, 10).cast("long")
+    rho = _rho_col(suffix)
     return nodes.select(
         "node",
-        F.conv(F.substring(hx, 1, 1), 16, 10).cast("long").alias("j"),
-        _rho_col(suffix).alias("M"),
+        *[
+            F.when(j == F.lit(i), rho)
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias(f"m{i}")
+            for i in range(M_REG)
+        ],
     )
 
 
@@ -90,27 +105,41 @@ def _rho_col(x):
     return expr
 
 
+_REG_COLS = [f"m{i}" for i in range(M_REG)]
+
+
 def _estimates(state: DataFrame) -> DataFrame:
-    """Per-node raw-HLL ball estimate in milli-vertices from the exploded
-    register state: ``(node, est)`` with
-    S = Σ_present 2^(RHO_W − M) + (m − cnt)·2^RHO_W and
-    est = EST_NUM div (ALPHA_DEN·S)."""
-    s = state.groupBy("node").agg(
-        F.sum(
-            F.expr(f"shiftleft(cast(1 as bigint), cast({RHO_W} - M as int))")
-        ).alias("s_present"),
-        F.count(F.lit(1)).alias("cnt"),
+    """Per-node raw-HLL ball estimate in milli-vertices from the wide
+    register state: ``(node, est)`` with S = Σ_j 2^(RHO_W − m_j)
+    (m_j = 0 for a never-touched register) and
+    est = EST_NUM div (ALPHA_DEN·S) — all int64, no shuffle at all
+    (a per-row projection over the vertex-sized state)."""
+    s_expr = " + ".join(
+        f"shiftleft(cast(1 as bigint), cast({RHO_W} - {c} as int))"
+        for c in _REG_COLS
     )
-    s_total = F.col("s_present") + (F.lit(M_REG) - F.col("cnt")) * F.lit(
-        1 << RHO_W
-    ).cast("long")
-    return s.select("node", s_total.alias("_s")).select(
+    return state.select(
         "node",
         F.expr(
-            f"cast({EST_NUM} as bigint) div (cast({ALPHA_DEN} as bigint) * _s)"
+            f"cast({EST_NUM} as bigint) div (cast({ALPHA_DEN} as bigint)"
+            f" * ({s_expr}))"
         )
         .cast("long")
         .alias("est"),
+    )
+
+
+def _round_ready_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-purchase adjacency cached SERIALIZED for the R round scans.
+
+    Measured A/B at sf10 (PERF_NOTES_r9 §3): pre-partitioning+sorting the
+    cache on ``dst`` to elide the per-round join exchange won 1.4× at
+    sf0.1 but LOST 1.3× at sf10 — the 370M-row sorted cache build costs
+    more than the four exchanges it saves once the relation no longer
+    fits in memory. Plain serialized persist is the measured winner at
+    the scale that matters."""
+    return copurchase_adjacency(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK  # serialized
     )
 
 
@@ -130,17 +159,43 @@ def hyperball_harmonic(
     acc = _estimates(state).select(
         "node", F.col("est").alias("prev"), F.lit(0).cast("long").alias("h")
     )
-    est = None
+    est = _estimates(state)
+    changed: DataFrame | None = None  # None = round 1, everything "changed"
     for t in range(1, rounds + 1):
+        # HyperBall's systolic delta: only sketches that CHANGED last
+        # round need to travel — an unchanged neighbor's contribution is
+        # already absorbed (s_t(v) ⊇ image of s_{t-1}(w) = s_t(w)). The
+        # round-1 senders are every vertex; in dense graphs the sender
+        # set collapses within 2-3 rounds and the tail rounds cost
+        # vertex-scale, not edge-scale. Exactly equivalent to full
+        # propagation — the oracle (which unrolls FULL rounds) hash-
+        # matches, the executable proof of the equivalence argument.
+        senders = (
+            state
+            if changed is None
+            else state.join(changed, "node", "left_semi")
+        )
         msgs = adj.join(
-            state.withColumnRenamed("node", "dst"), "dst"
-        ).select(F.col("src").alias("node"), "j", "M")
-        state = (
+            senders.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), *_REG_COLS)
+        new_state = (
             msgs.unionByName(state)
-            .groupBy("node", "j")
-            .agg(F.max("M").alias("M"))
+            .groupBy("node")
+            .agg(*[F.max(c).alias(c) for c in _REG_COLS])
             .transform(truncate_lineage)
         )
+        grew = None
+        for c in _REG_COLS:
+            cond = F.col(f"n.{c}") > F.col(f"o.{c}")
+            grew = cond if grew is None else (grew | cond)
+        changed = (
+            new_state.alias("n")
+            .join(state.alias("o"), "node")
+            .filter(grew)
+            .select("node")
+            .transform(truncate_lineage)
+        )
+        state = new_state
         est = _estimates(state)
         w = HARMONIC_LCM // t
         acc = (
@@ -154,6 +209,9 @@ def hyperball_harmonic(
             )
             .transform(truncate_lineage)
         )
+        if changed.isEmpty():
+            # converged: every later round's increment is exactly zero
+            break
     harmonic = acc.select("node", F.col("h").alias("harmonic_est_fp"))
     return harmonic, est
 
@@ -167,9 +225,7 @@ def harmonic_centrality_approx_top20(
     sample), ties → lowest node id. ``harmonic_est_fp`` is in
     milli-vertices × lcm(1..4) units; ``ball_est_milli`` is the round-4
     ball-size estimate in milli-vertices."""
-    adj = copurchase_adjacency(spark, sf_dir).persist(
-        StorageLevel.MEMORY_AND_DISK  # serialized — R scans, agg-heavy rounds
-    )
+    adj = _round_ready_adjacency(spark, sf_dir)
     harmonic, est = hyperball_harmonic(adj)
     # hyperball_harmonic materialized its state eagerly (per-round lineage
     # truncation), so the returned frames no longer reference the adjacency
@@ -194,9 +250,7 @@ def harmonic_approx_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the exact side is an 8-seed BFS (frontier×adjacency joins);
     the sketch side reuses the full HyperBall run. Output is 8 rows.
     """
-    adj = copurchase_adjacency(spark, sf_dir).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    adj = _round_ready_adjacency(spark, sf_dir)
     _, est = hyperball_harmonic(adj)
     seeds = (
         adj.select("src").distinct().orderBy("src").limit(N_SEEDS)

@@ -66,6 +66,7 @@ _LOGICAL = {
 _PART_SCHEMA = {"items": _ITEMS_SCHEMA, "counts": _COUNTS_SCHEMA}
 N_BUCKETS = 16
 COMPACT_SEGMENTS = 4  # max segments per bucket before a level-merge
+GC_EVERY = 4  # sweep cadence in batches (deferred, floor-tracked)
 
 
 def _fs(spark: SparkSession, path: str):
@@ -602,13 +603,20 @@ def apply_cooccurrence_delta(
     if not warm:
         batch_persisted.unpersist()
     new_items.unpersist()
-    _gc(
-        spark,
-        state_dir,
-        keep_manifests=[new_manifest, manifest],
-        upto=latest,
-        keep_versions={batch_id, latest},
-    )
+    # GC every GC_EVERY batches, not every batch: the sweep is pure FS
+    # round-trips (walk versions since _GC_FLOOR, delete, rewrite floor)
+    # on the per-batch constant path; deferring it only lets garbage live
+    # a few batches longer — the floor file makes the eventual sweep scan
+    # exactly the accumulated range, and the kept-manifest rule (current
+    # + previous as the recovery point) is unchanged.
+    if batch_id % GC_EVERY == 0:
+        _gc(
+            spark,
+            state_dir,
+            keep_manifests=[new_manifest, manifest],
+            upto=latest,
+            keep_versions={batch_id, latest},
+        )
 
 
 def _compact(

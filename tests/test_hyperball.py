@@ -40,11 +40,15 @@ def test_rho_column_matches_case_sql_on_edge_values(spark):
 
 def test_single_element_estimate_formula(spark):
     """est of a 1-element sketch equals the closed form
-    EST_NUM div (ALPHA_DEN · (2^(RHO_W−rho) + 15·2^RHO_W))."""
+    EST_NUM div (ALPHA_DEN · (2^(RHO_W−rho) + 15·2^RHO_W)); exactly one
+    of the 16 wide registers is touched."""
     state = _self_sketch(spark.createDataFrame([(7,)], "node long"))
     row = state.collect()[0]
+    regs = [row[f"m{i}"] for i in range(M_REG)]
+    touched = [m for m in regs if m > 0]
+    assert len(touched) == 1
     est = _estimates(state).collect()[0]["est"]
-    s = (1 << (RHO_W - row["M"])) + (M_REG - 1) * (1 << RHO_W)
+    s = (1 << (RHO_W - touched[0])) + (M_REG - 1) * (1 << RHO_W)
     assert est == EST_NUM // (ALPHA_DEN * s)
 
 
