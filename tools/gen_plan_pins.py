@@ -52,6 +52,22 @@ TAIL_TOP = [
     "cohort_ltv_curves",
     "customer_revenue_concentration",
     "discount_quantity_response",
+    # round-9 additions (the remaining r8 tail + this round's new entries)
+    "product_skyline",
+    "churn_hazard_curve",
+    "frequent_event_sequences",
+    "minhash_accuracy_report",
+    "top_confidence_rules",
+    "monthly_seasonal_index",
+    "tokenizer_fertility_by_lang",
+    "join_key_skew_report",
+    "source_diversity_index",
+    "shingle_frequency_spectrum",
+    "shingle_novelty_curve",
+    "harmonic_centrality_approx_top20",
+    "harmonic_approx_error_report",
+    "ivm_served_recs_customer",
+    "recs_backtest_by_strategy",
 ]
 
 
