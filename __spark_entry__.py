@@ -202,6 +202,7 @@ from graphdb_td2_spark.multimodal import (
 )
 from graphdb_td2_spark.streaming.ivm import (
     ivm_cooccurrence_top20,
+    ivm_served_recs_brand_fallback,
     ivm_served_recs_customer,
     ivm_served_recs_product,
 )
@@ -604,6 +605,9 @@ DEMOTED_TAIL = (
                                  # recs_customer_cf)
     "recs_backtest_by_strategy",  # leave-future-out hit-rate@10 for ALL
                                   # five scorers (cooc/ivm/brand/trend/als)
+    "ivm_served_recs_brand_fallback",  # /recs brand fallback SERVED from
+                                       # maintained state (same oracle as
+                                       # recs_customer_brand_fallback)
 )
 
 
@@ -839,6 +843,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_approx_error_report": harmonic_approx_error_report,
         "ivm_served_recs_customer": ivm_served_recs_customer,
         "recs_backtest_by_strategy": recs_backtest_by_strategy,
+        "ivm_served_recs_brand_fallback": ivm_served_recs_brand_fallback,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -1913,6 +1918,7 @@ cand AS (
 SELECT product_id, CAST(1.0 AS DOUBLE) AS score, 'same-category' AS reason
 FROM cand ORDER BY product_id ASC LIMIT 10
 """
+    sqls["ivm_served_recs_brand_fallback"] = sqls["recs_customer_brand_fallback"]
 
     sqls["purchased_products"] = f"""
 {_CUST_CF_PREFIX}

@@ -1004,6 +1004,82 @@ def ivm_served_recs_product(
     return serve_product_cooccurrence(spark, state_dir, product_id, k)
 
 
+def serve_brand_fallback(
+    spark: SparkSession,
+    state_dir: str,
+    placed: DataFrame,
+    products: DataFrame,
+    cust_key: int,
+    k: int = 10,
+) -> DataFrame:
+    """The C6 serving query (brand fallback) answered from MAINTAINED
+    state: the customer's purchased set comes from the maintained ITEMS
+    part (bucket-pruned to the customer's order buckets, exactly the
+    ``serve_customer_cf`` read path) instead of a lineitem recompute; the
+    category expansion / anti-join / deterministic lowest-id LIMIT are
+    the static-dimension chain of
+    ``recs/queries.py:customer_brand_fallback_core`` verbatim. With this,
+    every state-dependent /recs strategy the reference serves from its
+    built graph (app/main.py:51-123) has a maintained-state twin."""
+    version = _latest_version(spark, state_dir)
+    manifest = _read_manifest(spark, state_dir, version)
+    n_buckets = manifest.get("n_buckets") or N_BUCKETS
+    my_orders = (
+        placed.filter(F.col("customer_id") == cust_key)
+        .select("order_id")
+        .distinct()
+    )
+    buckets = [
+        r[0]
+        for r in my_orders.select(
+            F.pmod(F.hash("order_id"), F.lit(n_buckets)).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    items = _mem_state_part(
+        spark, state_dir, version, manifest, "items", sorted(buckets), n_buckets
+    )
+    purchased = (
+        items.join(F.broadcast(my_orders), "order_id")
+        .select("product_id")
+        .distinct()
+    )
+    cats = (
+        products.join(F.broadcast(purchased), "product_id")
+        .select("category_id")
+        .distinct()
+    )
+    return (
+        products.join(F.broadcast(cats), "category_id")
+        .join(F.broadcast(purchased), "product_id", "left_anti")
+        .select("product_id")
+        .distinct()
+        .orderBy(F.asc("product_id"))
+        .limit(k)
+        .select(
+            "product_id",
+            F.lit(1.0).alias("score"),
+            F.lit("same-category").alias("reason"),
+        )
+    )
+
+
+def ivm_served_recs_brand_fallback(
+    spark: SparkSession, sf_dir: str, cust_key: int = 1, k: int = 10
+) -> DataFrame:
+    """Registry entry: the /recs brand-fallback strategy SERVED FROM THE
+    IVM-MAINTAINED STATE. Shares ``recs_customer_brand_fallback``'s
+    oracle SQL verbatim."""
+    from ..recs.queries import _placed, _products
+
+    state_dir = ensure_ivm_state(spark, sf_dir)
+    return serve_brand_fallback(
+        spark, state_dir, _placed(spark, sf_dir), _products(spark, sf_dir),
+        cust_key, k,
+    )
+
+
 def ivm_served_recs_customer(
     spark: SparkSession, sf_dir: str, cust_key: int = 1, k: int = 10
 ) -> DataFrame:

@@ -577,3 +577,50 @@ def test_ivm_served_customer_cf_matches_batch_after_each_microbatch(spark, tmp_p
                 for r in customer_cooccurrence_core(items, placed, cust).collect()
             ]
             assert got == expected, f"batch {bid} cust {cust}: {got} != {expected}"
+
+
+def test_ivm_served_brand_fallback_matches_batch_after_each_microbatch(
+    spark, tmp_path
+):
+    """Brand fallback served from maintained state equals the batch chain
+    over exactly the rows streamed so far, after EVERY micro-batch."""
+    from graphdb_td2_spark.recs.queries import customer_brand_fallback_core
+    from graphdb_td2_spark.streaming.ivm import (
+        apply_cooccurrence_delta,
+        serve_brand_fallback,
+    )
+
+    state = str(tmp_path / "st")
+    placed = spark.createDataFrame(
+        [(10, 1), (30, 1), (20, 2)], "order_id long, customer_id long"
+    )
+    products = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (7, "B"), (9, "B"), (11, "A")],
+        "product_id long, category_id string",
+    )
+    batches = [
+        [(10, 7), (10, 1), (20, 2)],
+        [(30, 9), (30, 3)],
+    ]
+    seen: list[tuple[int, int]] = []
+    for bid, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "order_id long, product_id long")
+        apply_cooccurrence_delta(spark, df, bid, state)
+        seen.extend(rows)
+        items = spark.createDataFrame(
+            sorted(set(seen)), "order_id long, product_id long"
+        )
+        for cust in (1, 2):
+            got = [
+                tuple(r)
+                for r in serve_brand_fallback(
+                    spark, state, placed, products, cust
+                ).collect()
+            ]
+            expected = [
+                tuple(r)
+                for r in customer_brand_fallback_core(
+                    items, placed, products, cust
+                ).collect()
+            ]
+            assert got == expected, f"batch {bid} cust {cust}: {got} != {expected}"
