@@ -68,6 +68,7 @@ TAIL_TOP = [
     "harmonic_approx_error_report",
     "ivm_served_recs_customer",
     "recs_backtest_by_strategy",
+    "ivm_served_recs_brand_fallback",
 ]
 
 
