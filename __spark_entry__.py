@@ -43,6 +43,7 @@ from graphdb_td2_spark.operators.timeseries import (
 from graphdb_td2_spark.graph.bfs import bfs_level_sizes
 from graphdb_td2_spark.graph.hits import hits_top20
 from graphdb_td2_spark.graph.hyperball import (
+    graph_neighborhood_function,
     harmonic_approx_error_report,
     harmonic_centrality_approx_top20,
 )
@@ -608,6 +609,8 @@ DEMOTED_TAIL = (
     "ivm_served_recs_brand_fallback",  # /recs brand fallback SERVED from
                                        # maintained state (same oracle as
                                        # recs_customer_brand_fallback)
+    "graph_neighborhood_function",  # ANF N(t) + effective-diameter flags
+                                    # from the HyperBall sketch rounds
 )
 
 
@@ -844,6 +847,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_served_recs_customer": ivm_served_recs_customer,
         "recs_backtest_by_strategy": recs_backtest_by_strategy,
         "ivm_served_recs_brand_fallback": ivm_served_recs_brand_fallback,
+        "graph_neighborhood_function": graph_neighborhood_function,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -4409,6 +4413,21 @@ SELECT node,
 FROM est0 e0 JOIN est1 e1 USING (node) JOIN est2 e2 USING (node)
   JOIN est3 e3 USING (node) JOIN est4 e4 USING (node)
 ORDER BY harmonic_est_fp DESC, node ASC LIMIT 20
+"""
+
+    sqls["graph_neighborhood_function"] = f"""
+{_adj_with},
+{_hb_chain(4, [0, 1, 2, 3, 4])},
+rounds AS (
+  SELECT CAST(0 AS BIGINT) AS t, CAST(SUM(est) AS BIGINT) AS s FROM est0
+  UNION ALL SELECT CAST(1 AS BIGINT), CAST(SUM(est) AS BIGINT) FROM est1
+  UNION ALL SELECT CAST(2 AS BIGINT), CAST(SUM(est) AS BIGINT) FROM est2
+  UNION ALL SELECT CAST(3 AS BIGINT), CAST(SUM(est) AS BIGINT) FROM est3
+  UNION ALL SELECT CAST(4 AS BIGINT), CAST(SUM(est) AS BIGINT) FROM est4
+),
+tot AS (SELECT s AS s4 FROM rounds WHERE t = 4)
+SELECT t, s AS sum_ball_est_milli, (s * 10 >= s4 * 9) AS reaches_p90
+FROM rounds, tot ORDER BY t
 """
 
     sqls["harmonic_approx_error_report"] = f"""

@@ -293,3 +293,76 @@ def harmonic_approx_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seed long, true_ball long, est_ball_milli long,"
         " abs_err_milli long, rel_err_pm long",
     )
+
+
+def graph_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(t, sum_ball_est_milli, reaches_p90)`` — the
+    neighborhood function N(t) = Σ_v |B_t(v)| of the co-purchase graph,
+    estimated with the same HyperBall sketches as the centrality entry,
+    one row per hop t = 0..4. ``reaches_p90`` marks the hops where
+    N(t) ≥ 0.9·N(4) — the smallest such t is the standard ANF
+    effective-diameter estimate (Palmer/Gibbons/Faloutsos's ANF
+    deliverable; exact integer comparison ``N(t)·10 ≥ N(4)·9``, no
+    floats).
+
+    Scale: the sketch rounds ARE the centrality rounds (edge-linear,
+    wide state); each N(t) is one 1-row SUM over the vertex-sized
+    estimate projection. Output is 5 rows.
+    """
+    adj = _round_ready_adjacency(spark, sf_dir)
+    nodes = adj.select(F.col("src").alias("node")).distinct()
+    state = _self_sketch(nodes).transform(truncate_lineage)
+    sums = [
+        _estimates(state).agg(
+            F.sum("est").cast("long").alias("s")
+        ).select(F.lit(0).cast("long").alias("t"), "s")
+    ]
+    changed: DataFrame | None = None
+    for t in range(1, ROUNDS + 1):
+        senders = (
+            state
+            if changed is None
+            else state.join(changed, "node", "left_semi")
+        )
+        msgs = adj.join(
+            senders.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), *_REG_COLS)
+        new_state = (
+            msgs.unionByName(state)
+            .groupBy("node")
+            .agg(*[F.max(c).alias(c) for c in _REG_COLS])
+            .transform(truncate_lineage)
+        )
+        grew = None
+        for c in _REG_COLS:
+            cond = F.col(f"n.{c}") > F.col(f"o.{c}")
+            grew = cond if grew is None else (grew | cond)
+        changed = (
+            new_state.alias("n")
+            .join(state.alias("o"), "node")
+            .filter(grew)
+            .select("node")
+            .transform(truncate_lineage)
+        )
+        state = new_state
+        sums.append(
+            _estimates(state).agg(
+                F.sum("est").cast("long").alias("s")
+            ).select(F.lit(t).cast("long").alias("t"), "s")
+        )
+    adj.unpersist()
+    rounds_df = sums[0]
+    for s in sums[1:]:
+        rounds_df = rounds_df.unionByName(s)
+    total = sums[-1].select(F.col("s").alias("s4"))
+    return (
+        rounds_df.crossJoin(F.broadcast(total))
+        .select(
+            "t",
+            F.col("s").alias("sum_ball_est_milli"),
+            (F.col("s") * F.lit(10) >= F.col("s4") * F.lit(9)).alias(
+                "reaches_p90"
+            ),
+        )
+        .orderBy("t")
+    )

@@ -79,3 +79,17 @@ def test_error_report_entries(spark, sf_dir):
             r["est_ball_milli"] - r["true_ball"] * EST_SCALE
         )
         assert r["rel_err_pm"] == r["abs_err_milli"] // r["true_ball"]
+
+
+def test_neighborhood_function_laws(spark, sf_dir):
+    """N(t) is monotone non-decreasing (registers only grow), N(0) is the
+    self-ball baseline, and the p90 flag is exact-integer consistent."""
+    from graphdb_td2_spark.graph.hyperball import graph_neighborhood_function
+
+    rows = graph_neighborhood_function(spark, sf_dir).collect()
+    assert [r["t"] for r in rows] == [0, 1, 2, 3, 4]
+    sums = [r["sum_ball_est_milli"] for r in rows]
+    assert sums == sorted(sums)
+    assert rows[-1]["reaches_p90"]  # N(4) >= 0.9 N(4) always
+    for r in rows:
+        assert r["reaches_p90"] == (r["sum_ball_est_milli"] * 10 >= sums[-1] * 9)
