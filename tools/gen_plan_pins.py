@@ -69,6 +69,7 @@ TAIL_TOP = [
     "ivm_served_recs_customer",
     "recs_backtest_by_strategy",
     "ivm_served_recs_brand_fallback",
+    "graph_neighborhood_function",
 ]
 
 
