@@ -30,16 +30,21 @@ Registers only grow, so Σ2^(−M) only shrinks and the ball estimate is
 MONOTONE non-decreasing in t — the per-round harmonic increments
 (est_t − est_{t−1})·(LCM/t) are non-negative exact integers.
 
-Scale notes: state is ONE wide row per vertex (16 register columns) —
-each round is one equi-join of the cached symmetric adjacency against
-the state (|E| wide rows, not 16·|E| exploded ones) plus a per-node
-16-way columnar MAX aggregate whose map-side combine caps shuffle
-volume at |V| rows per reducer regardless of |E|; estimates are pure
-projections. HyperBall's systolic delta makes only CHANGED sketches
-travel after round 1. R rounds, vertex-sized lineage truncation per
-round. At 100 TB this is the textbook ANF plan: edge relation scanned
-R times, no per-seed frontier state, no visited anti-joins, output |V|
-rows.
+Scale notes: state is ONE wide row per vertex (16 register columns,
+SMALLINT — rho ≤ 33) — each round is one equi-join of the cached
+symmetric adjacency against the state (|E| wide rows, not 16·|E|
+exploded ones) plus a per-node 16-way columnar MAX aggregate whose
+map-side combine caps shuffle volume at |V| rows per reducer regardless
+of |E|; estimates are pure projections. Below
+``_BROADCAST_STATE_MAX`` vertices the state side of the round join is
+BROADCAST (the pagerank/HITS rank-vector switch): the compact register
+row is ~40 B/vertex, so even multi-million-vertex states ship in tens
+of MB and the edge relation is never exchanged or sorted — above the
+bar the join falls back to the shuffle plan that scales unboundedly.
+HyperBall's systolic delta makes only CHANGED sketches travel after
+round 1. R rounds, vertex-sized lineage truncation per round. At
+100 TB this is the textbook ANF plan: edge relation scanned R times,
+no per-seed frontier state, no visited anti-joins, output |V| rows.
 """
 
 from __future__ import annotations
@@ -59,6 +64,10 @@ EST_SCALE = 1000    # estimates in milli-vertices
 # alpha·m²·scale·2^RHO_W — the fixed numerator of every estimate;
 # 673·256·1000·2^33 ≈ 1.48e18 keeps the whole computation inside int64.
 EST_NUM = ALPHA_NUM * M_REG * M_REG * EST_SCALE * (2 ** RHO_W)
+# Vertex count below which the round join broadcasts the register state
+# instead of shuffling the edge relation — the same bar as the
+# pagerank/HITS rank vectors (5M × ~40 B compact rows ≈ 200 MB build).
+_BROADCAST_STATE_MAX = 5_000_000
 
 
 def rho_case_sql(x: str) -> str:
@@ -77,7 +86,9 @@ def _self_sketch(nodes: DataFrame) -> DataFrame:
     (values rho or 0). The edge join then moves |E| wide rows instead of
     16·|E| exploded (node, j, M) rows, and the union is 16 column-wise
     MAX aggregates in one map-side-combinable groupBy — measured 16× less
-    join/agg traffic than the exploded layout at sf10."""
+    join/agg traffic than the exploded layout at sf10. Registers are
+    SMALLINT (rho ∈ [0, 33]): 2 B instead of 8 B per register cuts the
+    join/shuffle/broadcast payload 3×+ with identical values."""
     hx = F.md5(F.col("node").cast("string"))
     j = F.conv(F.substring(hx, 1, 1), 16, 10).cast("long")
     suffix = F.conv(F.substring(hx, 2, 8), 16, 10).cast("long")
@@ -87,7 +98,7 @@ def _self_sketch(nodes: DataFrame) -> DataFrame:
         *[
             F.when(j == F.lit(i), rho)
             .otherwise(F.lit(0))
-            .cast("long")
+            .cast("smallint")
             .alias(f"m{i}")
             for i in range(M_REG)
         ],
@@ -143,41 +154,45 @@ def _round_ready_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def hyperball_harmonic(
-    adj: DataFrame, rounds: int = ROUNDS
-) -> tuple[DataFrame, DataFrame]:
-    """Run ``rounds`` HyperBall iterations over the (symmetric) adjacency.
+def _hyperball_rounds(adj: DataFrame, rounds: int = ROUNDS):
+    """Shared HyperBall round driver: yields ``(t, state, converged)``
+    for t = 0 (self-sketch) through ``rounds`` — or fewer if the sketch
+    set reaches its fixed point early (``converged`` marks the first
+    such round; registers can never grow after it).
 
-    Returns ``(harmonic, final_est)``: ``harmonic`` is
-    ``(node, harmonic_est_fp)`` with
-    harmonic_est_fp = Σ_t (est_t − est_{t−1})·(HARMONIC_LCM div t),
-    ``final_est`` is ``(node, est)`` — the round-R ball estimate in
-    milli-vertices."""
-    assert rounds <= 4, "HARMONIC_LCM is lcm(1..4); adjust both together"
+    Join strategy switch (the pagerank/HITS rank-vector discipline): the
+    register state is |V| compact rows, so below ``_BROADCAST_STATE_MAX``
+    vertices the round join BROADCASTS the state into the cached edge
+    relation — no |E|-row exchange, no SMJ sort of the adjacency, four
+    edge-cache scans total. Above the bar it falls back to the shuffle
+    join, which never collects state anywhere and scales unboundedly.
+
+    HyperBall's systolic delta: only sketches that CHANGED last round
+    need to travel — an unchanged neighbor's contribution is already
+    absorbed (s_t(v) ⊇ image of s_{t-1}(w) = s_t(w)). The round-1
+    senders are every vertex; in dense graphs the sender set collapses
+    within 2-3 rounds and the tail rounds cost vertex-scale, not
+    edge-scale. Exactly equivalent to full propagation — the oracle
+    (which unrolls FULL rounds) hash-matches, the executable proof of
+    the equivalence argument."""
     nodes = adj.select(F.col("src").alias("node")).distinct()
     state = _self_sketch(nodes).transform(truncate_lineage)
-    acc = _estimates(state).select(
-        "node", F.col("est").alias("prev"), F.lit(0).cast("long").alias("h")
-    )
-    est = _estimates(state)
+    # the checkpoint just materialized, so this count is a block scan
+    small = state.count() <= _BROADCAST_STATE_MAX
+    yield 0, state, False
     changed: DataFrame | None = None  # None = round 1, everything "changed"
     for t in range(1, rounds + 1):
-        # HyperBall's systolic delta: only sketches that CHANGED last
-        # round need to travel — an unchanged neighbor's contribution is
-        # already absorbed (s_t(v) ⊇ image of s_{t-1}(w) = s_t(w)). The
-        # round-1 senders are every vertex; in dense graphs the sender
-        # set collapses within 2-3 rounds and the tail rounds cost
-        # vertex-scale, not edge-scale. Exactly equivalent to full
-        # propagation — the oracle (which unrolls FULL rounds) hash-
-        # matches, the executable proof of the equivalence argument.
         senders = (
             state
             if changed is None
             else state.join(changed, "node", "left_semi")
         )
-        msgs = adj.join(
-            senders.withColumnRenamed("node", "dst"), "dst"
-        ).select(F.col("src").alias("node"), *_REG_COLS)
+        side = senders.withColumnRenamed("node", "dst")
+        if small:
+            side = F.broadcast(side)
+        msgs = adj.join(side, "dst").select(
+            F.col("src").alias("node"), *_REG_COLS
+        )
         new_state = (
             msgs.unionByName(state)
             .groupBy("node")
@@ -196,7 +211,31 @@ def hyperball_harmonic(
             .transform(truncate_lineage)
         )
         state = new_state
+        yield t, state, changed.isEmpty()
+
+
+def hyperball_harmonic(
+    adj: DataFrame, rounds: int = ROUNDS
+) -> tuple[DataFrame, DataFrame]:
+    """Run ``rounds`` HyperBall iterations over the (symmetric) adjacency.
+
+    Returns ``(harmonic, final_est)``: ``harmonic`` is
+    ``(node, harmonic_est_fp)`` with
+    harmonic_est_fp = Σ_t (est_t − est_{t−1})·(HARMONIC_LCM div t),
+    ``final_est`` is ``(node, est)`` — the round-R ball estimate in
+    milli-vertices."""
+    assert rounds <= 4, "HARMONIC_LCM is lcm(1..4); adjust both together"
+    acc: DataFrame | None = None
+    est: DataFrame | None = None
+    for t, state, converged in _hyperball_rounds(adj, rounds):
         est = _estimates(state)
+        if t == 0:
+            acc = est.select(
+                "node",
+                F.col("est").alias("prev"),
+                F.lit(0).cast("long").alias("h"),
+            )
+            continue
         w = HARMONIC_LCM // t
         acc = (
             acc.join(est, "node")
@@ -209,8 +248,8 @@ def hyperball_harmonic(
             )
             .transform(truncate_lineage)
         )
-        if changed.isEmpty():
-            # converged: every later round's increment is exactly zero
+        if converged:
+            # fixed point: every later round's increment is exactly zero
             break
     harmonic = acc.select("node", F.col("h").alias("harmonic_est_fp"))
     return harmonic, est
@@ -310,45 +349,23 @@ def graph_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate projection. Output is 5 rows.
     """
     adj = _round_ready_adjacency(spark, sf_dir)
-    nodes = adj.select(F.col("src").alias("node")).distinct()
-    state = _self_sketch(nodes).transform(truncate_lineage)
-    sums = [
-        _estimates(state).agg(
-            F.sum("est").cast("long").alias("s")
-        ).select(F.lit(0).cast("long").alias("t"), "s")
-    ]
-    changed: DataFrame | None = None
-    for t in range(1, ROUNDS + 1):
-        senders = (
-            state
-            if changed is None
-            else state.join(changed, "node", "left_semi")
-        )
-        msgs = adj.join(
-            senders.withColumnRenamed("node", "dst"), "dst"
-        ).select(F.col("src").alias("node"), *_REG_COLS)
-        new_state = (
-            msgs.unionByName(state)
-            .groupBy("node")
-            .agg(*[F.max(c).alias(c) for c in _REG_COLS])
-            .transform(truncate_lineage)
-        )
-        grew = None
-        for c in _REG_COLS:
-            cond = F.col(f"n.{c}") > F.col(f"o.{c}")
-            grew = cond if grew is None else (grew | cond)
-        changed = (
-            new_state.alias("n")
-            .join(state.alias("o"), "node")
-            .filter(grew)
-            .select("node")
-            .transform(truncate_lineage)
-        )
-        state = new_state
+    sums = []
+    last_t = 0
+    for t, state, converged in _hyperball_rounds(adj, ROUNDS):
         sums.append(
             _estimates(state).agg(
                 F.sum("est").cast("long").alias("s")
             ).select(F.lit(t).cast("long").alias("t"), "s")
+        )
+        last_t = t
+        if converged:
+            break
+    # converged early: registers can never grow again, so N(t) is the
+    # fixed-point value for every remaining hop — replicate it instead
+    # of running zero-message rounds
+    for t in range(last_t + 1, ROUNDS + 1):
+        sums.append(
+            sums[-1].select(F.lit(t).cast("long").alias("t"), "s")
         )
     adj.unpersist()
     rounds_df = sums[0]
