@@ -39,6 +39,7 @@ from graphdb_td2_spark.operators.range_join import event_burst_pairs
 from graphdb_td2_spark.operators.timeseries import (
     hourly_event_rollup,
     monthly_seasonal_index,
+    seasonal_naive_forecast_error,
 )
 from graphdb_td2_spark.graph.bfs import bfs_level_sizes
 from graphdb_td2_spark.graph.hits import hits_top20
@@ -47,6 +48,7 @@ from graphdb_td2_spark.graph.hyperball import (
     harmonic_approx_error_report,
     harmonic_centrality_approx_top20,
 )
+from graphdb_td2_spark.graph.betweenness import betweenness_sample_top20
 from graphdb_td2_spark.graph.kcore import kcore_sizes
 from graphdb_td2_spark.graph.lpa import community_sizes as lpa_community_sizes
 from graphdb_td2_spark.graph.components import component_sizes
@@ -101,6 +103,7 @@ from graphdb_td2_spark.operators.transitions import (
     event_transition_matrix,
     event_type_affinity,
     frequent_event_sequences,
+    markov_next_event_backtest,
 )
 from graphdb_td2_spark.graph.walks import product_random_walks, walk_skipgram_pairs
 from graphdb_td2_spark.operators.cdc import cdc_customer_state
@@ -175,7 +178,13 @@ from graphdb_td2_spark.operators.timeseries import (
 )
 from graphdb_td2_spark.recs.als import als_rank1_convergence
 from graphdb_td2_spark.recs.batch import batch_recommendations_stats
-from graphdb_td2_spark.similarity.ann import ann_recall_report, ivf_cell_balance
+from graphdb_td2_spark.similarity.ann import (
+    KNN_K,
+    KNN_N_EVAL,
+    ann_recall_report,
+    ivf_cell_balance,
+    knn_loo_label_accuracy,
+)
 from graphdb_td2_spark.similarity.gram import (
     embedding_quality_report,
     gram_fixed_point,
@@ -611,6 +620,20 @@ DEMOTED_TAIL = (
                                        # recs_customer_brand_fallback)
     "graph_neighborhood_function",  # ANF N(t) + effective-diameter flags
                                     # from the HyperBall sketch rounds
+    "l_diversity_report",  # distinct-l sensitive-value audit — the
+                           # homogeneity-attack companion of
+                           # k_anonymity_report (same QI sets)
+    "seasonal_naive_forecast_error",  # walk-forward weekly-naive revenue
+                                      # forecast MAE/WAPE — forecasting-eval
+                                      # twin of smoothed_daily_revenue
+    "markov_next_event_backtest",  # time-split top-1 accuracy of the
+                                   # transition-matrix predictor
+                                   # (event_transition_matrix's backtest)
+    "knn_loo_label_accuracy",  # leave-one-out k-NN label recovery —
+                               # classification twin of ann_recall_report
+    "betweenness_sample_top20",  # sampled Brandes dependency in integer
+                                 # fixed point — the broker centrality
+                                 # (same seed/round regime as harmonic)
 )
 
 
@@ -848,6 +871,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recs_backtest_by_strategy": recs_backtest_by_strategy,
         "ivm_served_recs_brand_fallback": ivm_served_recs_brand_fallback,
         "graph_neighborhood_function": graph_neighborhood_function,
+        "l_diversity_report": governance.l_diversity_report,
+        "seasonal_naive_forecast_error": seasonal_naive_forecast_error,
+        "markov_next_event_backtest": markov_next_event_backtest,
+        "knn_loo_label_accuracy": knn_loo_label_accuracy,
+        "betweenness_sample_top20": betweenness_sample_top20,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -4365,6 +4393,65 @@ SELECT node, harmonic_fp, n_reached FROM (
 ) ORDER BY harmonic_fp DESC, node ASC LIMIT 20
 """
 
+    # graph/betweenness.py — sampled Brandes in integer fixed point:
+    # forward BFS levels carry exact sigma path counts; the backward
+    # dependency pass floors (sigma_v·(SCALE+delta_w)) // sigma_w per
+    # edge, so both engines unroll the identical integer recurrence.
+    from graphdb_td2_spark.graph.betweenness import DELTA_SCALE as _BW_SCALE
+
+    _bw_fwd = []
+    for r in range(1, 5):
+        _bw_fwd.append(
+            f"""f{r} AS (
+  SELECT l{r - 1}.seed, adj.dst AS node, CAST(SUM(l{r - 1}.sigma) AS BIGINT) AS sigma
+  FROM l{r - 1} JOIN adj ON l{r - 1}.node = adj.src
+  GROUP BY l{r - 1}.seed, adj.dst
+),
+l{r} AS MATERIALIZED (
+  SELECT f{r}.* FROM f{r} ANTI JOIN vis{r - 1} USING (seed, node)
+),
+vis{r} AS (
+  SELECT seed, node FROM vis{r - 1} UNION ALL SELECT seed, node FROM l{r}
+)"""
+        )
+    _bw_back = [
+        "d4 AS (SELECT seed, node, sigma, CAST(0 AS BIGINT) AS delta_fp FROM l4)"
+    ]
+    for r in range(3, 0, -1):
+        _bw_back.append(
+            f"""c{r} AS (
+  SELECT d.seed, lv.node,
+    CAST(SUM((lv.sigma * ({_BW_SCALE} + d.delta_fp)) // d.sigma) AS BIGINT)
+      AS dsum
+  FROM d{r + 1} d
+  JOIN adj ON d.node = adj.dst
+  JOIN l{r} lv ON lv.seed = d.seed AND lv.node = adj.src
+  GROUP BY d.seed, lv.node
+),
+d{r} AS MATERIALIZED (
+  SELECT lv.seed, lv.node, lv.sigma,
+    CAST(COALESCE(c.dsum, 0) AS BIGINT) AS delta_fp
+  FROM l{r} lv LEFT JOIN c{r} c USING (seed, node)
+)"""
+        )
+    _bw_union = "\nUNION ALL\n".join(
+        f"SELECT node, delta_fp FROM d{r}" for r in range(1, 5)
+    )
+    _bw_fwd_sql = ",\n".join(_bw_fwd)
+    _bw_back_sql = ",\n".join(_bw_back)
+    sqls["betweenness_sample_top20"] = f"""
+{_adj_with},
+seeds AS (SELECT src FROM (SELECT DISTINCT src FROM adj) ORDER BY src LIMIT 8),
+l0 AS (SELECT src AS seed, src AS node, CAST(1 AS BIGINT) AS sigma FROM seeds),
+vis0 AS (SELECT seed, node FROM l0),
+{_bw_fwd_sql},
+{_bw_back_sql}
+SELECT node, CAST(SUM(delta_fp) AS BIGINT) AS betweenness_fp,
+  CAST(COUNT(*) AS BIGINT) AS n_seeds_reaching
+FROM ({_bw_union})
+GROUP BY node ORDER BY betweenness_fp DESC, node ASC LIMIT 20
+"""
+
     # graph/hyperball.py — HyperBall/ANF approximate harmonic centrality.
     # Constants and the rho CASE generator are imported from the Spark
     # module so the two engines cannot drift (ADVICE r8: never hard-code a
@@ -6111,6 +6198,170 @@ SELECT 'segment', CAST(COUNT(*) AS BIGINT), CAST(MIN(n) AS BIGINT),
   CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
 FROM g_segment
 ORDER BY quasi_identifier
+"""
+
+    # functions/governance.py:l_diversity_report — distinct acctbal-band
+    # l per QI group (cents via the shared floor(x*100+0.5) rule, band
+    # via floor division — both engines double-divide then floor).
+    sqls["l_diversity_report"] = """
+WITH base AS (
+  SELECT CAST(c_nationkey AS VARCHAR) AS nation, c_mktsegment AS seg,
+    CAST(FLOOR(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) / 100000) AS BIGINT)
+      AS band
+  FROM customer
+),
+g_nation AS (
+  SELECT CAST(COUNT(DISTINCT band) AS BIGINT) AS l,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM base GROUP BY nation
+),
+g_segment AS (
+  SELECT CAST(COUNT(DISTINCT band) AS BIGINT) AS l,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM base GROUP BY seg
+),
+g_both AS (
+  SELECT CAST(COUNT(DISTINCT band) AS BIGINT) AS l,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM base GROUP BY nation || '|' || seg
+)
+SELECT 'nation' AS quasi_identifier, CAST(COUNT(*) AS BIGINT) AS n_groups,
+  CAST(MIN(l) AS BIGINT) AS min_l,
+  CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_weak_groups,
+  CAST(SUM(CASE WHEN l < 3 THEN n_rows ELSE 0 END) AS BIGINT) AS n_exposed_rows
+FROM g_nation
+UNION ALL
+SELECT 'nation+segment', CAST(COUNT(*) AS BIGINT), CAST(MIN(l) AS BIGINT),
+  CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(SUM(CASE WHEN l < 3 THEN n_rows ELSE 0 END) AS BIGINT)
+FROM g_both
+UNION ALL
+SELECT 'segment', CAST(COUNT(*) AS BIGINT), CAST(MIN(l) AS BIGINT),
+  CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(SUM(CASE WHEN l < 3 THEN n_rows ELSE 0 END) AS BIGINT)
+FROM g_segment
+ORDER BY quasi_identifier
+"""
+
+    # operators/timeseries.py:seasonal_naive_forecast_error — dense day
+    # axis, lag-7 forecast, monthly exact-cents error rollup.
+    sqls["seasonal_naive_forecast_error"] = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds),
+dense AS (
+  SELECT a.day, CAST(COALESCE(d.cents, 0) AS BIGINT) AS cents
+  FROM axis a LEFT JOIN daily d ON d.day = a.day
+),
+scored AS (
+  SELECT day, cents, lag(cents, 7) OVER (ORDER BY day) AS forecast FROM dense
+)
+SELECT CAST(date_trunc('month', day) AS TIMESTAMP) AS month,
+  CAST(COUNT(*) AS BIGINT) AS n_days,
+  CAST(SUM(cents) AS BIGINT) AS sum_actual_cents,
+  CAST(SUM(ABS(cents - forecast)) AS BIGINT) AS sum_abs_err_cents,
+  CAST(SUM(ABS(cents - forecast)) AS DOUBLE) / CAST(COUNT(*) AS BIGINT)
+    AS mae_cents,
+  CAST(SUM(ABS(cents - forecast)) AS DOUBLE) / CAST(SUM(cents) AS DOUBLE)
+    AS wape
+FROM scored WHERE forecast IS NOT NULL
+GROUP BY 1 ORDER BY month
+"""
+
+    # operators/transitions.py:markov_next_event_backtest — 4/5 time
+    # split on the NEXT event's date, argmax-count model (ties → smallest
+    # next_type), per-prev-type top-1 accuracy.
+    sqls["markov_next_event_backtest"] = """
+WITH seq AS (
+  SELECT event_type, CAST(ts AS DATE) AS next_date,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, next_date
+  FROM seq WHERE prev_type IS NOT NULL
+),
+b AS (SELECT MIN(CAST(ts AS DATE)) AS dmin, MAX(CAST(ts AS DATE)) AS dmax
+      FROM events),
+cut AS (
+  SELECT dmin + CAST(FLOOR(date_diff('day', dmin, dmax) * 4 / 5) AS INT)
+    AS cutoff
+  FROM b
+),
+counts AS (
+  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs, cut WHERE next_date <= cutoff GROUP BY prev_type, next_type
+),
+model AS (
+  SELECT prev_type, next_type AS predicted_next, n_train_trans FROM (
+    SELECT prev_type, next_type,
+      row_number() OVER (PARTITION BY prev_type ORDER BY n DESC, next_type ASC)
+        AS rk,
+      CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS n_train_trans
+    FROM counts
+  ) WHERE rk = 1
+),
+test AS (SELECT prev_type, next_type FROM pairs, cut WHERE next_date > cutoff)
+SELECT m.prev_type AS prev_type, m.predicted_next AS predicted_next,
+  m.n_train_trans AS n_train_trans,
+  CAST(COUNT(*) AS BIGINT) AS n_test_trans,
+  CAST(SUM(CASE WHEN t.next_type = m.predicted_next THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_correct,
+  CAST(SUM(CASE WHEN t.next_type = m.predicted_next THEN 1 ELSE 0 END)
+    AS DOUBLE) / CAST(COUNT(*) AS BIGINT) AS accuracy
+FROM test t JOIN model m USING (prev_type)
+GROUP BY 1, 2, 3
+ORDER BY prev_type
+"""
+
+    # similarity/ann.py:knn_loo_label_accuracy — LOO 1-NN + top-k majority
+    # label recovery (constants imported, not inlined).
+    sqls["knn_loo_label_accuracy"] = f"""
+WITH q AS (SELECT vec_id, {_QE} AS qe, CAST(label AS BIGINT) AS label
+           FROM embeddings),
+evals AS (SELECT vec_id AS query_id, qe AS query_qe, label AS true_label
+          FROM q WHERE vec_id < {KNN_N_EVAL}),
+scored AS (
+  SELECT query_id, true_label, q.label AS neigh_label, q.vec_id AS vec_id,
+    {_cosine_sql("query_qe", "q.qe")} AS cosine
+  FROM q CROSS JOIN evals WHERE q.vec_id <> query_id
+),
+top AS (
+  SELECT * FROM (
+    SELECT query_id, true_label, neigh_label,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {KNN_K}
+),
+pred1 AS (SELECT query_id, true_label, neigh_label AS pred_1nn
+          FROM top WHERE rank = 1),
+votes AS (SELECT query_id, neigh_label, COUNT(*) AS votes
+          FROM top GROUP BY query_id, neigh_label),
+predk AS (
+  SELECT query_id, neigh_label AS pred_knn FROM (
+    SELECT query_id, neigh_label,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY votes DESC, neigh_label ASC) AS vr
+    FROM votes
+  ) WHERE vr = 1
+)
+SELECT true_label AS label, CAST(COUNT(*) AS BIGINT) AS n_examples,
+  CAST(SUM(CASE WHEN pred_1nn = true_label THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_correct_1nn,
+  CAST(SUM(CASE WHEN pred_knn = true_label THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_correct_knn,
+  CAST(SUM(CASE WHEN pred_1nn = true_label THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS BIGINT) AS acc_1nn,
+  CAST(SUM(CASE WHEN pred_knn = true_label THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS BIGINT) AS acc_knn
+FROM pred1 JOIN predk USING (query_id)
+GROUP BY true_label ORDER BY label
 """
 
     # functions/text.py:blocklist_hit_stats — whitespace-token membership

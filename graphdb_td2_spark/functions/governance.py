@@ -149,3 +149,74 @@ def k_anonymity_report(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("quasi_identifier")
+
+
+L_DIVERSITY_THRESHOLD = 3  # groups with fewer distinct sensitive values leak
+
+
+def l_diversity_report(
+    spark: SparkSession, sf_dir: str, l_min: int = L_DIVERSITY_THRESHOLD
+) -> DataFrame:
+    """Registry entry: ``(quasi_identifier, n_groups, min_l, n_weak_groups,
+    n_exposed_rows)`` — distinct-l-diversity audit over the same
+    quasi-identifier sets as :func:`k_anonymity_report`, with the
+    sensitive attribute = the account-balance band (exact cents // 1000
+    dollars). A QI group where every member shares one of fewer than
+    ``l_min`` sensitive values is attribute-disclosure-prone even when it
+    is k-anonymous — ``min_l`` is the weakest group's distinct-value
+    count and ``n_exposed_rows`` the customers inside weak groups.
+    Ordered by quasi_identifier.
+
+    No reference counterpart [extension]; complements the k-anonymity
+    gate the way homogeneity attacks motivate l-diversity over
+    k-anonymity in the published privacy literature.
+
+    Scale: one (QI, band) hash agg then one QI agg per quasi-identifier
+    set — both partial-agged, output bounded by the QI list. Exact
+    integers throughout (cents via the shared ``floor(x*100 + 0.5)``
+    rule; band via floor division, negative balances land in band −1).
+    """
+    customer = read_table(
+        spark,
+        sf_dir,
+        "customer",
+        ["c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"],
+    )
+    band = F.floor(
+        (F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long"))
+        / F.lit(100000)
+    ).cast("long")
+    qis = {
+        "nation": [F.col("c_nationkey").cast("string")],
+        "segment": [F.col("c_mktsegment")],
+        "nation+segment": [
+            F.col("c_nationkey").cast("string"),
+            F.col("c_mktsegment"),
+        ],
+    }
+    out = None
+    for name, cols in qis.items():
+        groups = (
+            customer.groupBy(
+                F.concat_ws("|", *cols).alias("g"), band.alias("band")
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("l"),
+                F.sum("n").cast("long").alias("n_rows"),
+            )
+        )
+        row = groups.agg(
+            F.lit(name).alias("quasi_identifier"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.min("l").cast("long").alias("min_l"),
+            F.sum((F.col("l") < l_min).cast("long"))
+            .cast("long")
+            .alias("n_weak_groups"),
+            F.sum(F.when(F.col("l") < l_min, F.col("n_rows")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_exposed_rows"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("quasi_identifier")

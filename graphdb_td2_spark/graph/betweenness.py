@@ -1,0 +1,171 @@
+"""Sampled Brandes betweenness centrality [extension] over the
+co-purchase graph — the "broker" centrality (how often does a product
+sit ON the shortest chains between other products?), completing the
+centrality family next to degree / harmonic (closeness) / PageRank /
+HITS.
+
+Reference parity: no reference counterpart; the graph itself is the
+reference's co-purchase relation (``app/main.py:51-60``). Sampling
+follows Brandes–Pich: run the exact per-source dependency accumulation
+from a fixed seed sample instead of every vertex.
+
+Determinism (the repo's integer fixed-point discipline): true Brandes
+accumulates delta(v) = Σ_w σ(v)/σ(w) · (1 + delta(w)) over successors w
+on shortest paths — float ratios whose summation order Spark does not
+fix. We instead define the estimator IN fixed point: delta_fp carries
+``DELTA_SCALE`` units per unit of dependency and every edge
+contribution is the floor division
+
+    (σ(v) · (DELTA_SCALE + delta_fp(w))) div σ(w)
+
+of exact BIGINTs. Integer addition is order-independent, floor division
+is engine-exact, so the result is bit-reproducible across Spark and the
+DuckDB oracle — at the cost of ≤1/DELTA_SCALE dependency per edge hop
+of downward bias, irrelevant for a top-k ranking. Shortest paths are
+CAPPED at ``ROUNDS`` hops (same bound as the harmonic-centrality BFS;
+the co-purchase graph's effective diameter at every tested SF is ≤ 3,
+see ``graph_neighborhood_function``), which also bounds the recursion
+unrolled in the oracle.
+
+Overflow headroom: the product σ(v)·(DELTA_SCALE + delta_fp(w)) must
+stay under 2^63. σ counts ≤ROUNDS-hop shortest paths and delta_fp ≤
+(reached−1)·DELTA_SCALE; measured at sf0.01 / sf0.1 the worst product
+is ~1e13 (int64 headroom ~6 decimal orders). The bound degrades with
+hub degree roughly as deg^(ROUNDS−1)·|V|·DELTA_SCALE — at 100 TB run
+with a larger seed stride, not a larger ROUNDS.
+
+Scale notes: the forward pass is the harmonic-BFS plan with one extra
+integer column (σ aggregated by map-side-combinable SUM instead of
+DISTINCT); the backward pass is one equi-join per level between the
+cached level frames and the adjacency — (seeds × frontier)-sized state,
+never corpus-sized, all keyed shuffles on (seed, node). Levels are
+persisted and reused by the backward pass, then unpersisted.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .centrality import N_SEEDS, ROUNDS, TOP_K
+from .walks import copurchase_adjacency
+
+DELTA_SCALE = 1000  # fixed-point dependency units (milli-dependencies)
+
+
+def betweenness_fixed_point(
+    adj: DataFrame,
+    n_seeds: int = N_SEEDS,
+    rounds: int = ROUNDS,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Core estimator over a symmetric ``(src, dst)`` adjacency: the
+    ``k`` highest fixed-point Brandes dependency totals over the
+    ``n_seeds`` lowest-id seeds (ties → lowest node id). Materializes
+    the k-row result eagerly so every per-level cache can be released
+    before returning (the hits_fp unpersist discipline)."""
+    adj = adj.persist()
+    seeds = (
+        adj.select("src").distinct().orderBy("src").limit(n_seeds)
+        .select(F.col("src").alias("seed"), F.col("src").alias("node"))
+    )
+
+    # forward: BFS levels with shortest-path counts sigma
+    levels = [seeds.withColumn("sigma", F.lit(1).cast("long")).persist()]
+    visited = levels[0].select("seed", "node").persist()
+    for _ in range(1, rounds + 1):
+        nxt = (
+            levels[-1]
+            .join(adj, levels[-1]["node"] == adj["src"])
+            .select("seed", F.col("dst").alias("node"), "sigma")
+            .groupBy("seed", "node")
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .join(visited, ["seed", "node"], "left_anti")
+            .persist()
+        )
+        levels.append(nxt)
+        visited = visited.unionByName(nxt.select("seed", "node")).persist()
+
+    # backward: dependency accumulation from the deepest level inward
+    deltas: dict[int, DataFrame] = {
+        rounds: levels[rounds].withColumn(
+            "delta_fp", F.lit(0).cast("long")
+        )
+    }
+    for r in range(rounds - 1, 0, -1):
+        child = deltas[r + 1]
+        contrib = (
+            child.join(adj, child["node"] == adj["dst"])
+            .select(
+                "seed",
+                F.col("src").alias("node"),
+                F.col("sigma").alias("sigma_w"),
+                "delta_fp",
+            )
+            .join(
+                levels[r].select(
+                    "seed", "node", F.col("sigma").alias("sigma_v")
+                ),
+                ["seed", "node"],
+            )
+            .select(
+                "seed",
+                "node",
+                F.expr(
+                    f"(sigma_v * ({DELTA_SCALE} + delta_fp)) div sigma_w"
+                ).alias("c"),
+            )
+            .groupBy("seed", "node")
+            .agg(F.sum("c").cast("long").alias("dsum"))
+        )
+        deltas[r] = (
+            levels[r]
+            .join(contrib, ["seed", "node"], "left")
+            .select(
+                "seed",
+                "node",
+                "sigma",
+                F.coalesce("dsum", F.lit(0)).cast("long").alias("delta_fp"),
+            )
+            .persist()
+        )
+
+    acc = functools.reduce(
+        DataFrame.unionByName,
+        [deltas[r].select("seed", "node", "delta_fp") for r in range(1, rounds + 1)],
+    )
+    out = (
+        acc.groupBy("node")
+        .agg(
+            F.sum("delta_fp").cast("long").alias("betweenness_fp"),
+            F.count(F.lit(1)).cast("long").alias("n_seeds_reaching"),
+        )
+        .orderBy(F.desc("betweenness_fp"), F.asc("node"))
+        .limit(k)
+        .select("node", "betweenness_fp", "n_seeds_reaching")
+    )
+    rows = out.collect()
+    for df in levels:
+        df.unpersist()
+    for df in deltas.values():
+        df.unpersist()
+    adj.unpersist()
+    return adj.sparkSession.createDataFrame(rows, out.schema)
+
+
+def betweenness_sample_top20(
+    spark: SparkSession,
+    sf_dir: str,
+    n_seeds: int = N_SEEDS,
+    rounds: int = ROUNDS,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Registry entry: ``(node, betweenness_fp, n_seeds_reaching)`` —
+    sampled fixed-point Brandes betweenness of the co-purchase graph.
+    ``betweenness_fp`` is in ``DELTA_SCALE`` units of dependency;
+    ``n_seeds_reaching`` counts seeds whose ≤``rounds``-hop shortest
+    paths reach the node (the estimator's per-node support)."""
+    return betweenness_fixed_point(
+        copurchase_adjacency(spark, sf_dir), n_seeds, rounds, k
+    )

@@ -30,17 +30,23 @@ Registers only grow, so Σ2^(−M) only shrinks and the ball estimate is
 MONOTONE non-decreasing in t — the per-round harmonic increments
 (est_t − est_{t−1})·(LCM/t) are non-negative exact integers.
 
-Scale notes: state is ONE wide row per vertex (16 register columns,
-SMALLINT — rho ≤ 33) — each round is one equi-join of the cached
+Scale notes: state is ONE wide row per vertex (16 register columns;
+LONG on the big-graph shuffle path — a SMALLINT variant measured 49%
+SLOWER at sf10, the 16-way MAX re-widens every comparison — but
+SMALLINT on the sub-bar broadcast path where the narrow rows shrank
+the per-round broadcast 26% wall at sf0.1; see SCALE_r9_graph.json) —
+each round is one equi-join of the cached
 symmetric adjacency against the state (|E| wide rows, not 16·|E|
 exploded ones) plus a per-node 16-way columnar MAX aggregate whose
 map-side combine caps shuffle volume at |V| rows per reducer regardless
 of |E|; estimates are pure projections. Below
 ``_BROADCAST_STATE_MAX`` vertices the state side of the round join is
-BROADCAST (the pagerank/HITS rank-vector switch): the compact register
-row is ~40 B/vertex, so even multi-million-vertex states ship in tens
-of MB and the edge relation is never exchanged or sorted — above the
+BROADCAST, so the edge relation is never exchanged or sorted; above the
 bar the join falls back to the shuffle plan that scales unboundedly.
+Unlike pagerank's static rank vector, the state is re-collected every
+round, so the bar is the MEASURED crossover (won at 20k vertices, lost
+at 2M — see ``_BROADCAST_STATE_MAX``), far below the one-shot
+broadcast-join threshold.
 HyperBall's systolic delta makes only CHANGED sketches travel after
 round 1. R rounds, vertex-sized lineage truncation per round. At
 100 TB this is the textbook ANF plan: edge relation scanned R times,
@@ -65,9 +71,15 @@ EST_SCALE = 1000    # estimates in milli-vertices
 # 673·256·1000·2^33 ≈ 1.48e18 keeps the whole computation inside int64.
 EST_NUM = ALPHA_NUM * M_REG * M_REG * EST_SCALE * (2 ** RHO_W)
 # Vertex count below which the round join broadcasts the register state
-# instead of shuffling the edge relation — the same bar as the
-# pagerank/HITS rank vectors (5M × ~40 B compact rows ≈ 200 MB build).
-_BROADCAST_STATE_MAX = 5_000_000
+# instead of shuffling the edge relation. MEASURED crossover, not the
+# pagerank bar: at 20k vertices the broadcast round join wins 25.4 s vs
+# 36.0 s, but at 2M vertices it LOSES 676 s vs 425 s (SCALE_r9_graph.json
+# ab_variants) — unlike the static rank vectors, the register state is
+# re-collected and re-broadcast EVERY round, so the per-round rebuild
+# (~40 B/vertex collect + per-task hashmap) swamps the saved exchange
+# once the state stops being trivially small. 100k × ~40 B ≈ 4 MB keeps
+# the broadcast strictly in won territory.
+_BROADCAST_STATE_MAX = 100_000
 
 
 def rho_case_sql(x: str) -> str:
@@ -86,9 +98,10 @@ def _self_sketch(nodes: DataFrame) -> DataFrame:
     (values rho or 0). The edge join then moves |E| wide rows instead of
     16·|E| exploded (node, j, M) rows, and the union is 16 column-wise
     MAX aggregates in one map-side-combinable groupBy — measured 16× less
-    join/agg traffic than the exploded layout at sf10. Registers are
-    SMALLINT (rho ∈ [0, 33]): 2 B instead of 8 B per register cuts the
-    join/shuffle/broadcast payload 3×+ with identical values."""
+    join/agg traffic than the exploded layout at sf10. Registers start
+    LONG; ``_hyperball_rounds`` narrows them to SMALLINT only on the
+    sub-bar broadcast path (a big-graph SMALLINT A/B LOST 633.6 s vs
+    424.8 s at sf10 — the MAX agg re-widens every comparison)."""
     hx = F.md5(F.col("node").cast("string"))
     j = F.conv(F.substring(hx, 1, 1), 16, 10).cast("long")
     suffix = F.conv(F.substring(hx, 2, 8), 16, 10).cast("long")
@@ -98,7 +111,7 @@ def _self_sketch(nodes: DataFrame) -> DataFrame:
         *[
             F.when(j == F.lit(i), rho)
             .otherwise(F.lit(0))
-            .cast("smallint")
+            .cast("long")
             .alias(f"m{i}")
             for i in range(M_REG)
         ],
@@ -160,12 +173,13 @@ def _hyperball_rounds(adj: DataFrame, rounds: int = ROUNDS):
     set reaches its fixed point early (``converged`` marks the first
     such round; registers can never grow after it).
 
-    Join strategy switch (the pagerank/HITS rank-vector discipline): the
-    register state is |V| compact rows, so below ``_BROADCAST_STATE_MAX``
-    vertices the round join BROADCASTS the state into the cached edge
+    Join strategy switch: below ``_BROADCAST_STATE_MAX`` vertices the
+    round join BROADCASTS the register state into the cached edge
     relation — no |E|-row exchange, no SMJ sort of the adjacency, four
     edge-cache scans total. Above the bar it falls back to the shuffle
     join, which never collects state anywhere and scales unboundedly.
+    The bar is the measured per-round-rebroadcast crossover, not the
+    one-shot broadcast-join threshold (see ``_BROADCAST_STATE_MAX``).
 
     HyperBall's systolic delta: only sketches that CHANGED last round
     need to travel — an unchanged neighbor's contribution is already
@@ -179,6 +193,17 @@ def _hyperball_rounds(adj: DataFrame, rounds: int = ROUNDS):
     state = _self_sketch(nodes).transform(truncate_lineage)
     # the checkpoint just materialized, so this count is a block scan
     small = state.count() <= _BROADCAST_STATE_MAX
+    if small:
+        # sub-bar graphs also flip the registers to SMALLINT: it shrank
+        # the per-round broadcast ~26% wall at sf0.1 (25.4 s vs 35.2 s
+        # long), while on the big-graph shuffle path the same cast LOST
+        # 49% at sf10 (the MAX agg re-widens every comparison) — so the
+        # width rides the same measured switch as the join strategy.
+        state = state.select(
+            "node",
+            *[F.col(c).cast("smallint").alias(c) for c in _REG_COLS],
+        )
+    zero = F.lit(0).cast("smallint" if small else "long")
     yield 0, state, False
     changed: DataFrame | None = None  # None = round 1, everything "changed"
     for t in range(1, rounds + 1):
@@ -193,24 +218,35 @@ def _hyperball_rounds(adj: DataFrame, rounds: int = ROUNDS):
         msgs = adj.join(side, "dst").select(
             F.col("src").alias("node"), *_REG_COLS
         )
-        new_state = (
-            msgs.unionByName(state)
-            .groupBy("node")
-            .agg(*[F.max(c).alias(c) for c in _REG_COLS])
-            .transform(truncate_lineage)
+        # fused round: aggregate the messages alone (|msgs| rows, not
+        # |msgs|+|V|), then ONE left join against the old state yields
+        # the new registers (columnar GREATEST) AND the changed flag —
+        # one checkpoint per round instead of two, and the separate
+        # |V|⋈|V| changed-detection join disappears.
+        mx = msgs.groupBy("node").agg(
+            *[F.max(c).alias(c) for c in _REG_COLS]
         )
         grew = None
         for c in _REG_COLS:
-            cond = F.col(f"n.{c}") > F.col(f"o.{c}")
+            cond = F.coalesce(F.col(f"n.{c}"), zero) > F.col(f"o.{c}")
             grew = cond if grew is None else (grew | cond)
-        changed = (
-            new_state.alias("n")
-            .join(state.alias("o"), "node")
-            .filter(grew)
-            .select("node")
+        comb = (
+            state.alias("o")
+            .join(mx.alias("n"), "node", "left")
+            .select(
+                "node",
+                *[
+                    F.greatest(
+                        F.col(f"o.{c}"), F.coalesce(F.col(f"n.{c}"), zero)
+                    ).alias(c)
+                    for c in _REG_COLS
+                ],
+                grew.alias("grew"),
+            )
             .transform(truncate_lineage)
         )
-        state = new_state
+        state = comb.select("node", *_REG_COLS)
+        changed = comb.filter("grew").select("node")
         yield t, state, changed.isEmpty()
 
 

@@ -17,7 +17,7 @@ Money sums go through DECIMAL(12,2) (cross-engine exact; see
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..io import read_table
 
@@ -432,4 +432,81 @@ def monthly_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seasonal_index"),
         )
         .orderBy("month_of_year")
+    )
+
+
+SEASONAL_LAG_DAYS = 7  # weekly seasonality: forecast(t) = actual(t-7)
+
+
+def seasonal_naive_forecast_error(
+    spark: SparkSession, sf_dir: str, lag_days: int = SEASONAL_LAG_DAYS
+) -> DataFrame:
+    """Registry entry: ``(month, n_days, sum_actual_cents,
+    sum_abs_err_cents, mae_cents, wape)`` — walk-forward backtest of the
+    seasonal-naive forecaster (predict each day's order revenue with the
+    revenue exactly one week earlier) over the dense daily axis, rolled
+    up per calendar month. The standard forecasting baseline every
+    fancier model must beat; ``wape`` = Σ|err| / Σactual is the
+    scale-free headline. Days before the first possible forecast
+    (min_day + ``lag_days``) are excluded. Ordered by month.
+
+    No reference counterpart [extension]; forecasting-eval twin of
+    ``revenue_changepoint`` / ``smoothed_daily_revenue``.
+
+    Shape: one hash agg over the orders scan (exact cents through
+    DECIMAL(14,2)), densified against the sequence-generated day axis
+    (time-range-sized, not corpus-sized — broadcast-scale at any SF),
+    one lag window over that axis (single ordered pass over a few
+    thousand rows), then a months-sized rollup. The only divisions are
+    the two final per-month doubles; everything upstream is exact
+    integers, so the error accounting is cross-engine exact.
+    """
+    orders = read_table(spark, sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(14,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    axis = (
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias(
+                "day"
+            )
+        )
+    )
+    dense = axis.join(daily, "day", "left").select(
+        "day", F.coalesce("cents", F.lit(0)).cast("long").alias("cents")
+    )
+    w = Window.orderBy("day")
+    scored = dense.select(
+        "day",
+        "cents",
+        F.lag("cents", lag_days).over(w).alias("forecast"),
+    ).filter(F.col("forecast").isNotNull())
+    return (
+        scored.groupBy(F.date_trunc("month", F.col("day")).alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("cents").cast("long").alias("sum_actual_cents"),
+            F.sum(F.abs(F.col("cents") - F.col("forecast")))
+            .cast("long")
+            .alias("sum_abs_err_cents"),
+        )
+        .select(
+            "month",
+            "n_days",
+            "sum_actual_cents",
+            "sum_abs_err_cents",
+            (F.col("sum_abs_err_cents").cast("double") / F.col("n_days")).alias(
+                "mae_cents"
+            ),
+            (
+                F.col("sum_abs_err_cents").cast("double")
+                / F.col("sum_actual_cents")
+            ).alias("wape"),
+        )
+        .orderBy("month")
     )

@@ -252,3 +252,97 @@ def frequent_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), F.asc("seq_len"), F.asc("seq"))
         .limit(SEQ_TOP_K)
     )
+
+
+def markov_next_event_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(prev_type, predicted_next, n_train_trans,
+    n_test_trans, n_correct, accuracy)`` — walk-forward evaluation of
+    the first-order Markov next-event predictor: train the transition
+    matrix on the past, predict each held-out transition's next type as
+    the argmax train count for its prev type (ties → lexicographically
+    smallest next_type), and score top-1 accuracy per prev type.
+    Ordered by prev_type.
+
+    Time split (same 4/5 rule as ``recs/backtest.py``): cutoff_date =
+    min event date + (span_days·4 div 5); a transition belongs to TEST
+    when its NEXT event falls strictly after the cutoff date, TRAIN
+    otherwise — every consecutive pair is used exactly once, and pairs
+    that straddle the boundary score the model on exactly the
+    information it would have had. Prev types never seen in training
+    are dropped (inner join); with the 3-type enum this is vacuous.
+
+    No reference counterpart [extension]; the forecasting-eval twin of
+    ``event_transition_matrix`` the way ``recs_backtest_hitrate`` is of
+    the recs chain.
+
+    Shape: one scan → per-user lag window (the sessionize shuffle) →
+    two |types|²-bounded hash aggs + one |types|-row broadcast join of
+    the argmax model into the test rollup. The cutoff is a 1-row bounds
+    aggregate cross-joined in (broadcast, no driver round-trip).
+    Accuracy is the single IEEE division of two exact longs.
+    """
+    ev = read_table(
+        spark, sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]
+    )
+    seq = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(seq))
+        .filter(F.col("prev_type").isNotNull())
+        .select(
+            "prev_type",
+            F.col("event_type").alias("next_type"),
+            F.to_date("ts").alias("next_date"),
+        )
+    )
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("dmin"), F.max(F.to_date("ts")).alias("dmax")
+    ).select(
+        F.date_add(
+            F.col("dmin"),
+            F.floor(F.datediff(F.col("dmax"), F.col("dmin")) * 4 / 5)
+            .cast("int"),
+        ).alias("cutoff")
+    )
+    split = pairs.crossJoin(F.broadcast(bounds))
+    train = split.filter(F.col("next_date") <= F.col("cutoff"))
+    test = split.filter(F.col("next_date") > F.col("cutoff"))
+
+    counts = train.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    pick = Window.partitionBy("prev_type").orderBy(
+        F.desc("n"), F.asc("next_type")
+    )
+    model = (
+        counts.withColumn("rk", F.row_number().over(pick))
+        .withColumn(
+            "n_train_trans",
+            F.sum("n").over(Window.partitionBy("prev_type")).cast("long"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "prev_type",
+            F.col("next_type").alias("predicted_next"),
+            "n_train_trans",
+        )
+    )
+    scored = test.join(F.broadcast(model), "prev_type").groupBy(
+        "prev_type", "predicted_next", "n_train_trans"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_trans"),
+        F.sum(
+            (F.col("next_type") == F.col("predicted_next")).cast("long")
+        )
+        .cast("long")
+        .alias("n_correct"),
+    )
+    return scored.select(
+        "prev_type",
+        "predicted_next",
+        "n_train_trans",
+        "n_test_trans",
+        "n_correct",
+        (F.col("n_correct").cast("double") / F.col("n_test_trans")).alias(
+            "accuracy"
+        ),
+    ).orderBy("prev_type")

@@ -388,3 +388,103 @@ def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+KNN_K = 5
+KNN_N_EVAL = 200  # leave-one-out eval sample: the vec_id < 200 prefix
+
+
+def knn_loo_label_accuracy(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KNN_K,
+    n_eval: int = KNN_N_EVAL,
+) -> DataFrame:
+    """Registry entry: ``(label, n_examples, n_correct_1nn,
+    n_correct_knn, acc_1nn, acc_knn)`` — leave-one-out k-NN label
+    classification over the embedding corpus: for each eval vector
+    (the deterministic ``vec_id < n_eval`` prefix), rank every OTHER
+    vector by quantized cosine (ties → lowest vec_id), predict with the
+    single nearest neighbor's label (1-NN) and with the majority label
+    of the top ``k`` (ties → smallest label), and score both against
+    the true label, per label class. The standard embedding-quality
+    probe: if labels aren't recoverable from neighborhoods, the vectors
+    won't power dedup/search either. Ordered by label.
+
+    No reference counterpart [extension]; the classification twin of
+    ``ann_recall_report`` (retrieval) and ``label_centroid_distances``
+    (geometry).
+
+    Shape: the eval prefix is BROADCAST against one narrow corpus scan —
+    O(corpus · n_eval · dim) multiply-adds, no shuffle on the corpus
+    side (the production posture: the eval set is a bounded sample, the
+    corpus is the big side); then two windows over query_id (n_eval
+    partitions) and one |labels|-bounded hash agg. Cosine is the shared
+    quantized-exact form; accuracies are single IEEE divisions of exact
+    longs.
+    """
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    q = emb.select(
+        "vec_id",
+        quantize_embedding(F.col("embedding")).alias("qe"),
+        F.col("label").cast("long").alias("label"),
+    )
+    evals = q.filter(F.col("vec_id") < n_eval).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qe").alias("query_qe"),
+        F.col("label").alias("true_label"),
+    )
+    scored = (
+        q.crossJoin(F.broadcast(evals))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            F.col("label").alias("neigh_label"),
+            "vec_id",
+            cosine_similarity_q(F.col("query_qe"), F.col("qe")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    top = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    pred1 = top.filter(F.col("rank") == 1).select(
+        "query_id", "true_label", F.col("neigh_label").alias("pred_1nn")
+    )
+    vote_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("neigh_label")
+    )
+    predk = (
+        top.groupBy("query_id", "neigh_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+        .withColumn("vr", F.row_number().over(vote_rank))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("neigh_label").alias("pred_knn"))
+    )
+    per_query = pred1.join(predk, "query_id")
+    return (
+        per_query.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_examples"),
+            F.sum((F.col("pred_1nn") == F.col("true_label")).cast("long"))
+            .cast("long")
+            .alias("n_correct_1nn"),
+            F.sum((F.col("pred_knn") == F.col("true_label")).cast("long"))
+            .cast("long")
+            .alias("n_correct_knn"),
+        )
+        .select(
+            "label",
+            "n_examples",
+            "n_correct_1nn",
+            "n_correct_knn",
+            (F.col("n_correct_1nn").cast("double") / F.col("n_examples")).alias(
+                "acc_1nn"
+            ),
+            (F.col("n_correct_knn").cast("double") / F.col("n_examples")).alias(
+                "acc_knn"
+            ),
+        )
+        .orderBy("label")
+    )

@@ -1,0 +1,87 @@
+"""Round-9 session-2 operators: l-diversity audit, seasonal-naive
+forecast backtest, Markov next-event backtest, and k-NN leave-one-out
+label accuracy — internal-consistency and cross-operator invariants
+(exact values are pinned by the DuckDB oracle twins)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphdb_td2_spark.functions.governance import (
+    k_anonymity_report,
+    l_diversity_report,
+)
+from graphdb_td2_spark.io import read_table
+from graphdb_td2_spark.operators.timeseries import seasonal_naive_forecast_error
+from graphdb_td2_spark.operators.transitions import (
+    event_transition_matrix,
+    markov_next_event_backtest,
+)
+from graphdb_td2_spark.similarity.ann import KNN_N_EVAL, knn_loo_label_accuracy
+
+
+def test_l_diversity_bounded_by_group_size_and_k_anon(spark, sf_dir):
+    ldiv = {r["quasi_identifier"]: r for r in l_diversity_report(spark, sf_dir).collect()}
+    kanon = {r["quasi_identifier"]: r for r in k_anonymity_report(spark, sf_dir).collect()}
+    assert set(ldiv) == {"nation", "segment", "nation+segment"} == set(kanon)
+    for qi, r in ldiv.items():
+        # same grouping → same group count as the k-anonymity audit
+        assert r["n_groups"] == kanon[qi]["n_groups"]
+        # distinct sensitive values can't exceed the smallest group's rows
+        assert 1 <= r["min_l"] <= kanon[qi]["min_group_size"]
+        assert 0 <= r["n_weak_groups"] <= r["n_groups"]
+    # refining the QI (nation+segment) can only shrink the weakest group's l
+    assert ldiv["nation+segment"]["min_l"] <= ldiv["nation"]["min_l"]
+    assert ldiv["nation+segment"]["min_l"] <= ldiv["segment"]["min_l"]
+
+
+def test_seasonal_naive_accounting(spark, sf_dir):
+    rows = seasonal_naive_forecast_error(spark, sf_dir).collect()
+    assert rows
+    months = [r["month"] for r in rows]
+    assert months == sorted(months)
+    orders = read_table(spark, sf_dir, "orders", ["o_orderdate"])
+    lo, hi = orders.agg(
+        F.min(F.to_date("o_orderdate")), F.max(F.to_date("o_orderdate"))
+    ).first()
+    axis_days = (hi - lo).days + 1
+    # every day after the first forecastable one is scored exactly once
+    assert sum(r["n_days"] for r in rows) == axis_days - 7
+    for r in rows:
+        assert 1 <= r["n_days"] <= 31
+        assert r["sum_abs_err_cents"] >= 0
+        assert r["mae_cents"] == r["sum_abs_err_cents"] / r["n_days"]
+        assert r["wape"] == r["sum_abs_err_cents"] / r["sum_actual_cents"]
+
+
+def test_markov_backtest_partitions_all_transitions(spark, sf_dir):
+    bt = markov_next_event_backtest(spark, sf_dir).collect()
+    assert bt
+    tm = event_transition_matrix(spark, sf_dir).collect()
+    total_transitions = sum(r["n_trans"] for r in tm)
+    split_total = sum(r["n_train_trans"] for r in bt) + sum(
+        r["n_test_trans"] for r in bt
+    )
+    # train + test per prev_type cover every consecutive pair exactly once
+    # (n_train_trans repeats per prev_type row, but output is 1 row per
+    # prev_type so the sum is the plain train total)
+    assert split_total == total_transitions
+    types = {r["prev_type"] for r in tm} | {r["next_type"] for r in tm}
+    for r in bt:
+        assert r["predicted_next"] in types
+        assert 0 <= r["n_correct"] <= r["n_test_trans"]
+        assert r["accuracy"] == r["n_correct"] / r["n_test_trans"]
+
+
+def test_knn_loo_covers_eval_prefix(spark, sf_dir):
+    rows = knn_loo_label_accuracy(spark, sf_dir).collect()
+    assert rows
+    n_vecs = read_table(spark, sf_dir, "embeddings", ["vec_id"]).count()
+    assert sum(r["n_examples"] for r in rows) == min(KNN_N_EVAL, n_vecs)
+    labels = [r["label"] for r in rows]
+    assert labels == sorted(labels)
+    for r in rows:
+        assert 0 <= r["n_correct_1nn"] <= r["n_examples"]
+        assert 0 <= r["n_correct_knn"] <= r["n_examples"]
+        assert r["acc_1nn"] == r["n_correct_1nn"] / r["n_examples"]
+        assert r["acc_knn"] == r["n_correct_knn"] / r["n_examples"]

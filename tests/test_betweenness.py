@@ -1,0 +1,72 @@
+"""Sampled fixed-point Brandes betweenness (graph/betweenness.py):
+hand-computed path-graph fixture + corpus invariants (exact corpus
+values are pinned by the DuckDB oracle twin)."""
+
+from __future__ import annotations
+
+from graphdb_td2_spark.graph.betweenness import (
+    DELTA_SCALE,
+    betweenness_fixed_point,
+    betweenness_sample_top20,
+)
+
+
+def _sym_adj(spark, edges):
+    both = list(edges) + [(b, a) for a, b in edges]
+    return spark.createDataFrame(both, "src long, dst long")
+
+
+def test_path_graph_matches_hand_brandes(spark):
+    # 1-2-3-4: interior nodes carry all dependency; with sigma == 1
+    # everywhere the floor division is exact, so fp == 1000 × Brandes.
+    adj = _sym_adj(spark, [(1, 2), (2, 3), (3, 4)])
+    rows = {
+        r["node"]: r
+        for r in betweenness_fixed_point(adj, n_seeds=4, rounds=4, k=10).collect()
+    }
+    # per-source dependencies: delta(2) = 2+1+1, delta(3) = 1+1+2
+    assert rows[2]["betweenness_fp"] == 4 * DELTA_SCALE
+    assert rows[3]["betweenness_fp"] == 4 * DELTA_SCALE
+    assert rows[1]["betweenness_fp"] == 0
+    assert rows[4]["betweenness_fp"] == 0
+    assert all(r["n_seeds_reaching"] == 3 for r in rows.values())
+
+
+def test_star_graph_center_is_sole_broker(spark):
+    # star: center 0, leaves 1..4 — every leaf-to-leaf shortest path
+    # crosses the center; leaves broker nothing.
+    adj = _sym_adj(spark, [(0, i) for i in range(1, 5)])
+    rows = {
+        r["node"]: r
+        for r in betweenness_fixed_point(adj, n_seeds=5, rounds=4, k=10).collect()
+    }
+    # from each of 4 leaf sources the center's delta is 3 (3 other leaves)
+    assert rows[0]["betweenness_fp"] == 4 * 3 * DELTA_SCALE
+    for leaf in range(1, 5):
+        assert rows[leaf]["betweenness_fp"] == 0
+
+
+def test_diamond_splits_dependency_by_sigma(spark):
+    # 1-2-4, 1-3-4 (diamond): every opposite-corner pair has TWO
+    # shortest paths (sigma = 2), so each intermediate gets
+    # floor(1·(1000+0)/2) = 500 from each of its two "far" sources —
+    # the fixed-point sigma split. By symmetry all four nodes end at
+    # 2 × 500.
+    adj = _sym_adj(spark, [(1, 2), (1, 3), (2, 4), (3, 4)])
+    rows = {
+        r["node"]: r
+        for r in betweenness_fixed_point(adj, n_seeds=4, rounds=4, k=10).collect()
+    }
+    for node in (1, 2, 3, 4):
+        assert rows[node]["betweenness_fp"] == 2 * (DELTA_SCALE // 2)
+        assert rows[node]["n_seeds_reaching"] == 3
+
+
+def test_corpus_invariants(spark, sf_dir):
+    rows = betweenness_sample_top20(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r["betweenness_fp"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r["betweenness_fp"] >= 0
+        assert 1 <= r["n_seeds_reaching"] <= 8

@@ -70,6 +70,12 @@ TAIL_TOP = [
     "recs_backtest_by_strategy",
     "ivm_served_recs_brand_fallback",
     "graph_neighborhood_function",
+    # round-9 session-2 additions
+    "betweenness_sample_top20",
+    "knn_loo_label_accuracy",
+    "markov_next_event_backtest",
+    "seasonal_naive_forecast_error",
+    "l_diversity_report",
 ]
 
 
