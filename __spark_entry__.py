@@ -152,6 +152,7 @@ from graphdb_td2_spark.graph.centrality import (
     rich_club_coefficients,
 )
 from graphdb_td2_spark.graph.triangles import (
+    clustering_coefficient_histogram,
     edge_support_histogram,
     ktruss_edge_counts,
 )
@@ -634,6 +635,12 @@ DEMOTED_TAIL = (
     "betweenness_sample_top20",  # sampled Brandes dependency in integer
                                  # fixed point — the broker centrality
                                  # (same seed/round regime as harmonic)
+    "clustering_coefficient_histogram",  # per-node cc deciles in integer
+                                         # fixed point — node-level
+                                         # refinement of triangle_stats
+    "collocation_pmi_topk",  # adjacent-token PMI collocations — the
+                             # multiword-unit extractor next to the raw
+                             # frequency and basket-lift top lists
 )
 
 
@@ -876,6 +883,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_next_event_backtest": markov_next_event_backtest,
         "knn_loo_label_accuracy": knn_loo_label_accuracy,
         "betweenness_sample_top20": betweenness_sample_top20,
+        "clustering_coefficient_histogram": clustering_coefficient_histogram,
+        "collocation_pmi_topk": text.collocation_pmi_topk,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -4450,6 +4459,102 @@ SELECT node, CAST(SUM(delta_fp) AS BIGINT) AS betweenness_fp,
   CAST(COUNT(*) AS BIGINT) AS n_seeds_reaching
 FROM ({_bw_union})
 GROUP BY node ORDER BY betweenness_fp DESC, node ASC LIMIT 20
+"""
+
+    # graph/triangles.py:clustering_coefficient_histogram — per-node cc
+    # deciles in per-mille fixed point (constants imported).
+    from graphdb_td2_spark.graph.triangles import (
+        CC_BUCKET as _CC_B,
+        CC_SCALE as _CC_S,
+    )
+
+    sqls["clustering_coefficient_histogram"] = f"""
+WITH pairs AS (
+  SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id FROM lineitem
+),
+edges AS MATERIALIZED (
+  SELECT a.product_id AS pa, b.product_id AS pb
+  FROM pairs a JOIN pairs b
+    ON a.order_id = b.order_id AND a.product_id < b.product_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+tris AS (
+  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+  FROM edges e1 JOIN edges e2 ON e1.pb = e2.pa
+  JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+),
+corners AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS t FROM (
+    SELECT a AS p FROM tris
+    UNION ALL SELECT b FROM tris
+    UNION ALL SELECT c FROM tris
+  ) GROUP BY p
+),
+degrees AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT pa AS p FROM edges UNION ALL SELECT pb FROM edges
+  ) GROUP BY p
+),
+per_node AS (
+  SELECT CAST(COALESCE(c.t, 0) AS BIGINT) AS t,
+    CAST(CASE WHEN d.deg >= 2
+      THEN (2 * {_CC_S} * COALESCE(c.t, 0)) // (d.deg * (d.deg - 1))
+      ELSE -1 END AS BIGINT) AS cc_pm
+  FROM degrees d LEFT JOIN corners c USING (p)
+)
+SELECT CAST(CASE WHEN cc_pm < 0 THEN -1 ELSE cc_pm // {_CC_B} END AS BIGINT)
+    AS cc_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+  CAST(SUM(t) AS BIGINT) AS sum_triangles,
+  CAST(MIN(cc_pm) AS BIGINT) AS min_cc_pm,
+  CAST(MAX(cc_pm) AS BIGINT) AS max_cc_pm
+FROM per_node GROUP BY 1 ORDER BY cc_bucket
+"""
+
+    # functions/text.py:collocation_pmi_topk — adjacent-token PMI ratio,
+    # one fixed-shape IEEE expression over exact counts (constants
+    # imported; tokens carry no whitespace so the 'w1 w2' round-trip is
+    # lossless).
+    from graphdb_td2_spark.functions.text import (
+        COLLOC_K as _PMI_K,
+        COLLOC_MIN_COUNT as _PMI_MIN,
+    )
+
+    sqls["collocation_pmi_topk"] = f"""
+WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+),
+bi_all AS (
+  SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+    CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM (
+    SELECT unnest(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i + 1])) AS bg
+    FROM toks
+  ) GROUP BY 1, 2
+),
+totals AS (
+  SELECT (SELECT CAST(SUM(n_w) AS BIGINT) FROM uni) AS n_uni,
+         (SELECT CAST(SUM(n_ab) AS BIGINT) FROM bi_all) AS n_bi
+),
+scored AS (
+  SELECT b.w1, b.w2, b.n_ab, ua.n_w AS n_a, ub.n_w AS n_b,
+    (CAST(b.n_ab AS DOUBLE) * CAST(t.n_uni AS DOUBLE)
+     * CAST(t.n_uni AS DOUBLE))
+    / ((CAST(t.n_bi AS DOUBLE) * CAST(ua.n_w AS DOUBLE))
+       * CAST(ub.n_w AS DOUBLE)) AS pmi_ratio
+  FROM bi_all b
+  JOIN uni ua ON ua.w = b.w1
+  JOIN uni ub ON ub.w = b.w2
+  CROSS JOIN totals t
+  WHERE b.n_ab >= {_PMI_MIN}
+)
+SELECT CAST(row_number() OVER (ORDER BY pmi_ratio DESC, w1 ASC, w2 ASC)
+    AS BIGINT) AS rank,
+  w1, w2, n_ab, n_a, n_b, pmi_ratio
+FROM scored ORDER BY pmi_ratio DESC, w1 ASC, w2 ASC LIMIT {_PMI_K}
 """
 
     # graph/hyperball.py — HyperBall/ANF approximate harmonic centrality.

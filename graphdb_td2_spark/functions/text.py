@@ -641,3 +641,91 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+COLLOC_MIN_COUNT = 5
+COLLOC_K = 30
+
+
+def collocation_pmi_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = COLLOC_K,
+    min_count: int = COLLOC_MIN_COUNT,
+) -> DataFrame:
+    """Registry entry: ``(rank, w1, w2, n_ab, n_a, n_b, pmi_ratio)`` —
+    the ``k`` adjacent-token collocations with the highest pointwise
+    mutual information over the whole corpus, support ≥ ``min_count``.
+    ``pmi_ratio`` is the PMI argument P(ab)/(P(a)·P(b)) itself rather
+    than its log (same ranking, and it stays ONE fixed-shape IEEE
+    expression over five exact integers — no engine-dependent log).
+    Ties → (w1, w2) ascending. The collocation-extraction companion of
+    ``top_bigrams_per_source`` (raw frequency) and ``top_lift_pairs``
+    (basket lift): raw-frequency top lists surface boilerplate, PMI
+    surfaces multiword units.
+
+    Shape: one token explode → unigram hash agg; one adjacent-pair
+    explode → bigram hash agg (stream-sized, never tokens²); support
+    filter BEFORE the two unigram joins prunes the long tail; the two
+    corpus totals ride in via a broadcast 1-row cross join; final exact
+    top-k via ordered limit over the support-filtered survivors.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["text"])
+    toks = tokens_col(F.col("text"))
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+    )
+    pairs_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bi_all = (
+        docs.select(F.explode(pairs_arr).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    bi = bi_all.filter(F.col("n_ab") >= min_count)
+    # totals are over the FULL streams (the probability denominators),
+    # not the support-filtered survivors
+    totals = uni.agg(
+        F.sum("n_w").cast("long").alias("n_uni")
+    ).crossJoin(
+        bi_all.agg(F.sum("n_ab").cast("long").alias("n_bi"))
+    )
+    scored = (
+        bi.join(
+            uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a")), "w1"
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b")), "w2"
+        )
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "pmi_ratio",
+            F.expr(
+                "(CAST(n_ab AS DOUBLE) * CAST(n_uni AS DOUBLE)"
+                " * CAST(n_uni AS DOUBLE))"
+                " / ((CAST(n_bi AS DOUBLE) * CAST(n_a AS DOUBLE))"
+                " * CAST(n_b AS DOUBLE))"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("pmi_ratio"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.orderBy(F.desc("pmi_ratio"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "w1", "w2", "n_ab", "n_a", "n_b", "pmi_ratio")
+        .orderBy("rank")
+    )

@@ -203,7 +203,6 @@ def _hyperball_rounds(adj: DataFrame, rounds: int = ROUNDS):
             "node",
             *[F.col(c).cast("smallint").alias(c) for c in _REG_COLS],
         )
-    zero = F.lit(0).cast("smallint" if small else "long")
     yield 0, state, False
     changed: DataFrame | None = None  # None = round 1, everything "changed"
     for t in range(1, rounds + 1):
@@ -218,35 +217,31 @@ def _hyperball_rounds(adj: DataFrame, rounds: int = ROUNDS):
         msgs = adj.join(side, "dst").select(
             F.col("src").alias("node"), *_REG_COLS
         )
-        # fused round: aggregate the messages alone (|msgs| rows, not
-        # |msgs|+|V|), then ONE left join against the old state yields
-        # the new registers (columnar GREATEST) AND the changed flag —
-        # one checkpoint per round instead of two, and the separate
-        # |V|⋈|V| changed-detection join disappears.
-        mx = msgs.groupBy("node").agg(
-            *[F.max(c).alias(c) for c in _REG_COLS]
+        # union+MAX, NOT a fused join: a "message-only agg + one left
+        # join against the state producing GREATEST registers and the
+        # changed flag together" variant was A/B'd and LOST at both
+        # scales (sf0.1 34.8 s vs 25.4 s, sf10 528.5 s vs 444.8 s,
+        # SCALE_r9_graph.json) — the extra state⋈maxes exchange costs
+        # more than the checkpoint it saves; one wide map-side-combined
+        # aggregate stays the cheapest way to merge sketches.
+        new_state = (
+            msgs.unionByName(state)
+            .groupBy("node")
+            .agg(*[F.max(c).alias(c) for c in _REG_COLS])
+            .transform(truncate_lineage)
         )
         grew = None
         for c in _REG_COLS:
-            cond = F.coalesce(F.col(f"n.{c}"), zero) > F.col(f"o.{c}")
+            cond = F.col(f"n.{c}") > F.col(f"o.{c}")
             grew = cond if grew is None else (grew | cond)
-        comb = (
-            state.alias("o")
-            .join(mx.alias("n"), "node", "left")
-            .select(
-                "node",
-                *[
-                    F.greatest(
-                        F.col(f"o.{c}"), F.coalesce(F.col(f"n.{c}"), zero)
-                    ).alias(c)
-                    for c in _REG_COLS
-                ],
-                grew.alias("grew"),
-            )
+        changed = (
+            new_state.alias("n")
+            .join(state.alias("o"), "node")
+            .filter(grew)
+            .select("node")
             .transform(truncate_lineage)
         )
-        state = comb.select("node", *_REG_COLS)
-        changed = comb.filter("grew").select("node")
+        state = new_state
         yield t, state, changed.isEmpty()
 
 

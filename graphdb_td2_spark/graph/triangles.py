@@ -188,3 +188,84 @@ def ktruss_edge_counts(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("round")
+
+
+CC_SCALE = 1000  # clustering coefficient in per-mille fixed point
+CC_BUCKET = 100  # histogram bucket width (deciles of the coefficient)
+
+
+def clustering_coefficient_histogram(
+    spark: SparkSession, sf_dir: str, min_weight: int = DEFAULT_MIN_WEIGHT
+) -> DataFrame:
+    """Registry entry: ``(cc_bucket, n_nodes, sum_triangles, min_cc_pm,
+    max_cc_pm)`` — distribution of the LOCAL clustering coefficient
+    cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) over the support-thresholded
+    co-occurrence graph, in per-mille fixed point (floor), bucketed into
+    deciles (bucket = cc_pm div 100; cc_pm = 1000 lands in bucket 10;
+    degree-<2 nodes, where cc is undefined, land in bucket −1 with
+    cc_pm = −1). The node-level refinement of ``triangle_stats``'s
+    single global count — the standard small-world / community-structure
+    diagnostic. Ordered by cc_bucket.
+
+    Determinism: T(v) and deg(v) are exact integers; cc_pm is one floor
+    division — no floats anywhere.
+
+    Shape: one materialized edge relation feeds the wedge-close triangle
+    join (the ``triangle_stats`` hot spot, same ``min_weight``/AQE skew
+    levers), corner counts come from a 3× projection union + hash agg,
+    degrees from a 2× union + hash agg, and the histogram is
+    |buckets|-bounded (≤ 12 rows). All shuffles key on the vertex id.
+    """
+    lineitem = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(lineitem, min_weight).transform(truncate_lineage)
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .select(
+            F.col("e1.pa").alias("a"),
+            F.col("e1.pb").alias("b"),
+            F.col("e2.pb").alias("c"),
+        )
+    )
+    corners = (
+        tris.select(F.col("a").alias("p"))
+        .unionAll(tris.select(F.col("b").alias("p")))
+        .unionAll(tris.select(F.col("c").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    degrees = (
+        edges.select(F.col("pa").alias("p"))
+        .unionAll(edges.select(F.col("pb").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    cc_pm = F.when(
+        F.col("deg") >= 2,
+        F.expr(f"(2 * {CC_SCALE} * t) div (deg * (deg - 1))"),
+    ).otherwise(F.lit(-1)).cast("long")
+    per_node = (
+        degrees.join(corners, "p", "left")
+        .select(
+            "deg",
+            F.coalesce("t", F.lit(0)).cast("long").alias("t"),
+        )
+        .select("t", cc_pm.alias("cc_pm"))
+    )
+    bucket = F.when(
+        F.col("cc_pm") < 0, F.lit(-1)
+    ).otherwise(F.expr(f"cc_pm div {CC_BUCKET}")).cast("long")
+    return (
+        per_node.groupBy(bucket.alias("cc_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("t").cast("long").alias("sum_triangles"),
+            F.min("cc_pm").cast("long").alias("min_cc_pm"),
+            F.max("cc_pm").cast("long").alias("max_cc_pm"),
+        )
+        .orderBy("cc_bucket")
+    )

@@ -85,3 +85,42 @@ def test_knn_loo_covers_eval_prefix(spark, sf_dir):
         assert 0 <= r["n_correct_knn"] <= r["n_examples"]
         assert r["acc_1nn"] == r["n_correct_1nn"] / r["n_examples"]
         assert r["acc_knn"] == r["n_correct_knn"] / r["n_examples"]
+
+
+def test_clustering_coefficient_consistency(spark, sf_dir):
+    from graphdb_td2_spark.graph.triangles import (
+        clustering_coefficient_histogram,
+        triangle_stats,
+    )
+
+    rows = clustering_coefficient_histogram(spark, sf_dir).collect()
+    assert rows
+    buckets = [r["cc_bucket"] for r in rows]
+    assert buckets == sorted(buckets)
+    stats = triangle_stats(spark, sf_dir).first()
+    # every node of the thresholded graph lands in exactly one bucket
+    assert sum(r["n_nodes"] for r in rows) == stats["n_nodes"]
+    # each triangle contributes exactly 3 corners
+    assert sum(r["sum_triangles"] for r in rows) == 3 * stats["n_triangles"]
+    for r in rows:
+        if r["cc_bucket"] >= 0:
+            assert 0 <= r["min_cc_pm"] <= r["max_cc_pm"] <= 1000
+            assert r["min_cc_pm"] // 100 == r["cc_bucket"]
+            assert r["max_cc_pm"] // 100 == r["cc_bucket"]
+
+
+def test_collocation_pmi_topk_shape(spark, sf_dir):
+    from graphdb_td2_spark.functions.text import (
+        COLLOC_MIN_COUNT,
+        collocation_pmi_topk,
+    )
+
+    rows = collocation_pmi_topk(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 30
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    ratios = [r["pmi_ratio"] for r in rows]
+    assert ratios == sorted(ratios, reverse=True)
+    for r in rows:
+        assert r["n_ab"] >= COLLOC_MIN_COUNT
+        assert r["n_a"] >= r["n_ab"] and r["n_b"] >= r["n_ab"]
+        assert r["pmi_ratio"] > 0

@@ -76,6 +76,8 @@ TAIL_TOP = [
     "markov_next_event_backtest",
     "seasonal_naive_forecast_error",
     "l_diversity_report",
+    "clustering_coefficient_histogram",
+    "collocation_pmi_topk",
 ]
 
 
