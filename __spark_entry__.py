@@ -226,7 +226,12 @@ from graphdb_td2_spark.streaming import (
     streaming_session_windows,
     streaming_sliding_windows,
 )
-from graphdb_td2_spark.streaming.core import streaming_daily_actives
+from graphdb_td2_spark.streaming.core import (
+    streaming_daily_actives,
+    streaming_topk_products,
+)
+from graphdb_td2_spark.dedup.winnowing import winnowed_duplicate_spans
+from graphdb_td2_spark.functions.sketches import hll_daily_actives_accuracy
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -641,6 +646,14 @@ DEMOTED_TAIL = (
     "collocation_pmi_topk",  # adjacent-token PMI collocations — the
                              # multiword-unit extractor next to the raw
                              # frequency and basket-lift top lists
+    "winnowed_duplicate_spans",  # MOSS winnowing fingerprints — passage-
+                                 # level verbatim-overlap detector next to
+                                 # whole-doc MinHash
+    "hll_daily_actives_accuracy",  # portable 16-register HLL vs exact —
+                                   # the sketch-accuracy audit INSIDE the
+                                   # oracle contract (HyperBall registers)
+    "streaming_topk_products",  # complete-mode stateful leaderboard —
+                                # streaming twin of the batch top-k count
 )
 
 
@@ -885,6 +898,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_sample_top20": betweenness_sample_top20,
         "clustering_coefficient_histogram": clustering_coefficient_histogram,
         "collocation_pmi_topk": text.collocation_pmi_topk,
+        "winnowed_duplicate_spans": winnowed_duplicate_spans,
+        "hll_daily_actives_accuracy": hll_daily_actives_accuracy,
+        "streaming_topk_products": streaming_topk_products,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -4406,13 +4422,18 @@ SELECT node, harmonic_fp, n_reached FROM (
     # forward BFS levels carry exact sigma path counts; the backward
     # dependency pass floors (sigma_v·(SCALE+delta_w)) // sigma_w per
     # edge, so both engines unroll the identical integer recurrence.
-    from graphdb_td2_spark.graph.betweenness import DELTA_SCALE as _BW_SCALE
+    from graphdb_td2_spark.graph.betweenness import (
+        DELTA_CAP as _BW_DCAP,
+        DELTA_SCALE as _BW_SCALE,
+        SIGMA_CAP as _BW_SCAP,
+    )
 
     _bw_fwd = []
     for r in range(1, 5):
         _bw_fwd.append(
             f"""f{r} AS (
-  SELECT l{r - 1}.seed, adj.dst AS node, CAST(SUM(l{r - 1}.sigma) AS BIGINT) AS sigma
+  SELECT l{r - 1}.seed, adj.dst AS node,
+    CAST(LEAST(SUM(l{r - 1}.sigma), {_BW_SCAP}) AS BIGINT) AS sigma
   FROM l{r - 1} JOIN adj ON l{r - 1}.node = adj.src
   GROUP BY l{r - 1}.seed, adj.dst
 ),
@@ -4430,8 +4451,8 @@ vis{r} AS (
         _bw_back.append(
             f"""c{r} AS (
   SELECT d.seed, lv.node,
-    CAST(SUM((lv.sigma * ({_BW_SCALE} + d.delta_fp)) // d.sigma) AS BIGINT)
-      AS dsum
+    CAST(LEAST(SUM(LEAST((lv.sigma * ({_BW_SCALE} + d.delta_fp)) // d.sigma,
+                         {_BW_DCAP})), {_BW_DCAP}) AS BIGINT) AS dsum
   FROM d{r + 1} d
   JOIN adj ON d.node = adj.dst
   JOIN l{r} lv ON lv.seed = d.seed AND lv.node = adj.src
@@ -4557,6 +4578,74 @@ SELECT CAST(row_number() OVER (ORDER BY pmi_ratio DESC, w1 ASC, w2 ASC)
 FROM scored ORDER BY pmi_ratio DESC, w1 ASC, w2 ASC LIMIT {_PMI_K}
 """
 
+    # dedup/winnowing.py — MOSS winnowing fingerprints; min-VALUE per
+    # window (position-free tie rule), constants imported.
+    from graphdb_td2_spark.dedup.winnowing import (
+        CONTAIN_SCALE as _WN_CS,
+        WINNOW_K as _WN_K,
+        WINNOW_W as _WN_W,
+    )
+
+    sqls["winnowed_duplicate_spans"] = f"""
+WITH toks AS (SELECT source, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT source,
+    CASE WHEN len(t) >= {_WN_K}
+      THEN list_transform(range(1, len(t) - {_WN_K - 2}),
+                          i -> array_to_string(t[i:i + {_WN_K - 1}], ' '))
+      ELSE [array_to_string(t, ' ')] END AS s
+  FROM toks
+),
+hs AS (
+  SELECT source,
+    list_transform(s, x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) AS h
+  FROM sh
+),
+fps AS (
+  SELECT DISTINCT source, unnest(
+    list_distinct(
+      CASE WHEN len(h) >= {_WN_W}
+        THEN list_transform(range(1, len(h) - {_WN_W - 2}),
+                            i -> list_min(h[i:i + {_WN_W - 1}]))
+        ELSE [list_min(h)] END)) AS fp
+  FROM hs
+),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_fp FROM fps GROUP BY source),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+    CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared_fp,
+  sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b,
+  CAST(({_WN_CS} * n_shared_fp) // LEAST(sa.n_fp, sb.n_fp) AS BIGINT)
+    AS containment_pm
+FROM shared
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+ORDER BY source_a, source_b
+"""
+
+    # streaming/core.py:streaming_topk_products — the stream maintains
+    # per-product counts; the oracle is the batch count + top-k.
+    from graphdb_td2_spark.streaming.core import STREAM_TOPK as _ST_K
+
+    sqls["streaming_topk_products"] = f"""
+WITH counts AS (
+  SELECT pid AS product_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM (
+    SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS pid
+    FROM events
+  ) WHERE pid IS NOT NULL
+  GROUP BY 1
+)
+SELECT CAST(row_number() OVER (ORDER BY n_events DESC, product_id ASC)
+    AS BIGINT) AS rank,
+  product_id, n_events
+FROM counts ORDER BY n_events DESC, product_id ASC LIMIT {_ST_K}
+"""
+
     # graph/hyperball.py — HyperBall/ANF approximate harmonic centrality.
     # Constants and the rho CASE generator are imported from the Spark
     # module so the two engines cannot drift (ADVICE r8: never hard-code a
@@ -4570,6 +4659,40 @@ FROM scored ORDER BY pmi_ratio DESC, w1 ASC, w2 ASC LIMIT {_PMI_K}
     )
 
     _hb_suffix = "CAST(('0x' || substr(md5(CAST(node AS VARCHAR)), 2, 8)) AS BIGINT)"
+
+    # functions/sketches.py:hll_daily_actives_accuracy — the same
+    # register/rho/estimate pipeline keyed by day instead of vertex
+    # (exploded register form; missing registers contribute 2^RHO_W).
+    _hll_suffix = (
+        "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 2, 8)) AS BIGINT)"
+    )
+    sqls["hll_daily_actives_accuracy"] = f"""
+WITH ev AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id FROM events
+),
+h AS (
+  SELECT day,
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) AS j,
+    CAST({_hb_rho_sql(_hll_suffix)} AS BIGINT) AS rho
+  FROM ev
+),
+regs AS (SELECT day, j, MAX(rho) AS m FROM h GROUP BY day, j),
+est AS (
+  SELECT day, CAST({_HB_NUM} // ({_HB_AD} * S) AS BIGINT) AS est_milli FROM (
+    SELECT day,
+      SUM(CAST(1 AS BIGINT) << ({_HB_RW} - m))
+        + ({_HB_M} - COUNT(*)) * (CAST(1 AS BIGINT) << {_HB_RW}) AS S
+    FROM regs GROUP BY day)
+),
+exact AS (
+  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM ev GROUP BY day
+)
+SELECT e.day AS day, exact_users, est_milli,
+  CAST(abs(est_milli - 1000 * exact_users) // exact_users AS BIGINT) AS err_pm
+FROM exact e JOIN est USING (day)
+ORDER BY day
+"""
 
     def _hb_chain(rounds: int, est_rounds: list[int]) -> str:
         """CTEs ``s0..s{rounds}`` (exploded HLL register state) and

@@ -1,0 +1,130 @@
+"""Winnowing fingerprints (the MOSS document-fingerprint selection)
+[extension] — cross-source duplicated-passage detection.
+
+MinHash (``dedup/minhash.py``) answers "are these two documents similar
+as WHOLE bags of shingles?"; winnowing answers the finer question a
+training-data pipeline asks at passage granularity: "do these corpora
+share verbatim runs of text?" — with the published guarantee that any
+shared run of at least w+k−1 tokens yields at least one shared selected
+fingerprint (Schleimer/Wilkerson/Aiken's local algorithm), at an
+expected density of 2/(w+1).
+
+Selection rule: hash every ORDERED k-token shingle with the engine's
+shared md5 base hash (bit-identical in DuckDB); over every w-length
+window of that hash sequence keep the MINIMUM VALUE. Selecting by
+value (not leftmost-position) makes the per-document fingerprint SET
+well-defined without a positional tie rule, so the whole operator is
+exact integers + set ops — no floats, no randomness.
+
+Scale notes: per-document work is linear in tokens (one md5 per
+shingle, array_min over w-slices); the cross-source comparison
+aggregates (source, fp) DISTINCT pairs — corpus-sized, partial-agged —
+then self-joins on the fingerprint VALUE, whose fan-out is bounded by
+|sources| per fingerprint (≤ |sources|² pairs per fp). Output is
+|sources|²-bounded. At 100 TB the (source, fp) relation is the thing a
+dedup pipeline materializes once and reuses for pairwise containment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.text import tokens_col
+from ..io import read_table
+
+WINNOW_K = 5  # shingle length (tokens)
+WINNOW_W = 4  # winnowing window (shingle hashes)
+CONTAIN_SCALE = 1000  # containment in per-mille fixed point
+
+
+def _winnowed_fps(text: F.Column, k: int = WINNOW_K, w: int = WINNOW_W) -> F.Column:
+    """Distinct winnowed fingerprint values of ``text``: min shingle-hash
+    per w-window; short docs collapse to one whole-doc window."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    shingles = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    hashes = F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
+    nh = F.size(hashes)
+    selected = F.when(
+        nh >= w,
+        F.transform(
+            F.sequence(F.lit(1), nh - (w - 1)),
+            lambda i: F.array_min(F.slice(hashes, i, w)),
+        ),
+    ).otherwise(F.array(F.array_min(hashes)))
+    return F.array_distinct(selected)
+
+
+def winnowed_duplicate_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry entry: ``(source_a, source_b, n_shared_fp, n_fp_a,
+    n_fp_b, containment_pm)`` — for every unordered source pair, how
+    many distinct winnowed fingerprints the two corpora share, and the
+    containment |A∩B| / min(|A|,|B|) in per-mille fixed point (floor).
+    A high containment with a low MinHash similarity is the signature
+    of a small corpus embedded verbatim inside a big one — exactly the
+    case whole-document similarity misses. Ordered by (source_a,
+    source_b)."""
+    docs = read_table(spark, sf_dir, "documents", ["source", "text"])
+    fps = (
+        docs.select("source", F.explode(_winnowed_fps(F.col("text"))).alias("fp"))
+        .distinct()
+    )
+    sizes = fps.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp")
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fp"))
+    )
+    return (
+        shared.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_a"),
+                    F.col("n_fp").alias("n_fp_a"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"),
+                    F.col("n_fp").alias("n_fp_b"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_fp",
+            "n_fp_a",
+            "n_fp_b",
+            F.expr(
+                f"({CONTAIN_SCALE} * n_shared_fp)"
+                " div least(n_fp_a, n_fp_b)"
+            ).alias("containment_pm"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -194,3 +194,74 @@ def mergeable_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(exact_total).cast("long").alias("exact_distinct"),
     )
     return typed.union(total).orderBy("event_type")
+
+
+def hll_daily_actives_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(day, exact_users, est_milli, err_pm)`` — a
+    PORTABLE 16-register HLL distinct-user estimate per day next to the
+    exact count and the realized per-mille error. Unlike
+    ``approx_distinct_users`` (Spark's engine-private HLL++, oracle-
+    exempt by design), this reuses the HyperBall register pipeline —
+    md5 nibble → register, rho of the 32-bit suffix, pure-int64
+    raw-HLL estimate — which is bit-identical in DuckDB, so the SKETCH
+    ITSELF sits inside the cross-engine oracle contract: the accuracy
+    audit of the sketch family, in the contract like
+    ``minhash_accuracy_report`` / ``harmonic_approx_error_report``.
+    Ordered by day.
+
+    Shape: one (day, register) hash agg with map-side-combined MAX (16
+    rows per day, the mergeable sketch state a 100 TB rollup would
+    persist), then a per-day 16-column pivot projection for the
+    estimate and one broadcast-sized join against the exact counts.
+    ``est_milli`` is milli-users; err_pm = |est − 1000·exact| div exact.
+    """
+    from ..graph.hyperball import ALPHA_DEN, EST_NUM, M_REG, RHO_W, _rho_col
+
+    events = read_table(spark, sf_dir, "events", ["ts", "user_id"])
+    day = F.date_trunc("day", F.col("ts"))
+    hx = F.md5(F.col("user_id").cast("string"))
+    j = F.conv(F.substring(hx, 1, 1), 16, 10).cast("long")
+    rho = _rho_col(F.conv(F.substring(hx, 2, 8), 16, 10).cast("long"))
+    regs = (
+        events.select(day.alias("day"), j.alias("j"), rho.alias("rho"))
+        .groupBy("day", "j")
+        .agg(F.max("rho").cast("long").alias("m"))
+    )
+    wide = regs.groupBy("day").agg(
+        *[
+            F.max(F.when(F.col("j") == i, F.col("m")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"m{i}")
+            for i in range(M_REG)
+        ]
+    )
+    s_expr = " + ".join(
+        f"shiftleft(cast(1 as bigint), cast({RHO_W} - m{i} as int))"
+        for i in range(M_REG)
+    )
+    est = wide.select(
+        "day",
+        F.expr(
+            f"cast({EST_NUM} as bigint) div (cast({ALPHA_DEN} as bigint)"
+            f" * ({s_expr}))"
+        )
+        .cast("long")
+        .alias("est_milli"),
+    )
+    exact = events.groupBy(day.alias("day")).agg(
+        F.count_distinct(F.col("user_id")).cast("long").alias("exact_users")
+    )
+    return (
+        exact.join(est, "day")
+        .select(
+            "day",
+            "exact_users",
+            "est_milli",
+            F.expr(
+                "abs(est_milli - 1000 * exact_users) div exact_users"
+            )
+            .cast("long")
+            .alias("err_pm"),
+        )
+        .orderBy("day")
+    )

@@ -27,12 +27,15 @@ the co-purchase graph's effective diameter at every tested SF is ≤ 3,
 see ``graph_neighborhood_function``), which also bounds the recursion
 unrolled in the oracle.
 
-Overflow headroom: the product σ(v)·(DELTA_SCALE + delta_fp(w)) must
-stay under 2^63. σ counts ≤ROUNDS-hop shortest paths and delta_fp ≤
-(reached−1)·DELTA_SCALE; measured at sf0.01 / sf0.1 the worst product
-is ~1e13 (int64 headroom ~6 decimal orders). The bound degrades with
-hub degree roughly as deg^(ROUNDS−1)·|V|·DELTA_SCALE — at 100 TB run
-with a larger seed stride, not a larger ROUNDS.
+Overflow safety: σ and delta_fp SATURATE at ``SIGMA_CAP`` (2^20) and
+``DELTA_CAP`` (2^36) via LEAST in both engines — identical saturation
+is part of the estimator's definition, so cross-engine exactness holds
+even where a cap bites. Measured maxima at sf0.01/sf0.1 are σ ≤ 971
+and delta_fp ≤ ~1e7 — the caps are FAR from active at any tested
+scale; they exist so a 100 TB hub graph wraps nowhere: each product is
+≤ SIGMA_CAP·(DELTA_SCALE + DELTA_CAP) < 2^57, each per-edge term is
+re-capped at DELTA_CAP before the per-node sum, so the sum stays under
+deg·2^36 (< 2^63 for any degree < 2^26).
 
 Scale notes: the forward pass is the harmonic-BFS plan with one extra
 integer column (σ aggregated by map-side-combinable SUM instead of
@@ -52,6 +55,8 @@ from .centrality import N_SEEDS, ROUNDS, TOP_K
 from .walks import copurchase_adjacency
 
 DELTA_SCALE = 1000  # fixed-point dependency units (milli-dependencies)
+SIGMA_CAP = 1 << 20  # saturating path-count bound (inactive at tested SFs)
+DELTA_CAP = 1 << 36  # saturating dependency bound (inactive at tested SFs)
 
 
 def betweenness_fixed_point(
@@ -80,7 +85,11 @@ def betweenness_fixed_point(
             .join(adj, levels[-1]["node"] == adj["src"])
             .select("seed", F.col("dst").alias("node"), "sigma")
             .groupBy("seed", "node")
-            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .agg(
+                F.least(F.sum("sigma"), F.lit(SIGMA_CAP))
+                .cast("long")
+                .alias("sigma")
+            )
             .join(visited, ["seed", "node"], "left_anti")
             .persist()
         )
@@ -113,11 +122,16 @@ def betweenness_fixed_point(
                 "seed",
                 "node",
                 F.expr(
-                    f"(sigma_v * ({DELTA_SCALE} + delta_fp)) div sigma_w"
+                    f"least((sigma_v * ({DELTA_SCALE} + delta_fp))"
+                    f" div sigma_w, {DELTA_CAP})"
                 ).alias("c"),
             )
             .groupBy("seed", "node")
-            .agg(F.sum("c").cast("long").alias("dsum"))
+            .agg(
+                F.least(F.sum("c"), F.lit(DELTA_CAP))
+                .cast("long")
+                .alias("dsum")
+            )
         )
         deltas[r] = (
             levels[r]

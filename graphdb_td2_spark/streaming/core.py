@@ -619,3 +619,58 @@ def streaming_daily_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name).select("day", "active_users").orderBy("day")
+
+
+STREAM_TOPK = 20
+
+
+def stream_product_counts(events: DataFrame) -> DataFrame:
+    """Running per-product event counts on the stream — the unbounded
+    stateful aggregate (complete mode) a live leaderboard maintains.
+    State is |products| rows of (key, count): product-dimension-sized,
+    corpus-size-independent."""
+    return (
+        events.select(
+            F.get_json_object("props", "$.k").cast("long").alias("product_id")
+        )
+        .filter(F.col("product_id").isNotNull())
+        .groupBy("product_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+
+
+def streaming_topk_products(
+    spark: SparkSession, sf_dir: str, k: int = STREAM_TOPK
+) -> DataFrame:
+    """Registry entry: ``(rank, product_id, n_events)`` — the ``k`` most
+    event-active products computed ON THE STREAM (availableNow → memory
+    sink, complete mode), then ranked from the final state — the
+    leaderboard pattern: the stream maintains the mergeable per-key
+    counts (the expensive, corpus-sized part); ranking the
+    dimension-sized state is a post-pass. Hash-equal to the batch
+    count + row_number top-k (ties → lowest product_id). Ordered by
+    rank."""
+    import uuid
+
+    from pyspark.sql import Window
+
+    name = "stream_topk_" + uuid.uuid4().hex[:8]
+    events = events_stream(spark, sf_dir, ts_unit="auto", file_glob="events.parquet")
+    q = (
+        stream_product_counts(events)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    w = Window.orderBy(F.desc("n_events"), F.asc("product_id"))
+    return (
+        spark.table(name)
+        .orderBy(F.desc("n_events"), F.asc("product_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "product_id", "n_events")
+        .orderBy("rank")
+    )

@@ -124,3 +124,80 @@ def test_collocation_pmi_topk_shape(spark, sf_dir):
         assert r["n_ab"] >= COLLOC_MIN_COUNT
         assert r["n_a"] >= r["n_ab"] and r["n_b"] >= r["n_ab"]
         assert r["pmi_ratio"] > 0
+
+
+def test_winnowing_guarantee_on_planted_duplicate(spark, tmp_path):
+    # the published winnowing guarantee: a shared token run of at least
+    # w + k - 1 tokens must yield >= 1 shared fingerprint
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from graphdb_td2_spark.dedup.winnowing import (
+        WINNOW_K,
+        WINNOW_W,
+        winnowed_duplicate_spans,
+    )
+
+    run = " ".join(f"dup{i}" for i in range(WINNOW_W + WINNOW_K - 1))
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": [
+                f"alpha beta {run} gamma delta",
+                f"one two three four {run} five six",
+                "totally unrelated words without any overlap here at all",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["sa", "sb", "sc"],
+            "n_chars": pa.array([1, 1, 1], type=pa.int64()),
+        }
+    )
+    d = tmp_path / "winnow"
+    d.mkdir()
+    pq.write_table(docs, d / "documents.parquet")
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in winnowed_duplicate_spans(spark, str(d)).collect()
+    }
+    assert rows[("sa", "sb")]["n_shared_fp"] >= 1
+    assert ("sa", "sc") not in rows or rows[("sa", "sc")]["n_shared_fp"] == 0
+
+
+def test_hll_daily_actives_tracks_exact(spark, sf_dir):
+    from graphdb_td2_spark.functions.sketches import hll_daily_actives_accuracy
+
+    rows = hll_daily_actives_accuracy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["exact_users"] >= 1
+        assert r["est_milli"] > 0
+        assert r["err_pm"] == abs(r["est_milli"] - 1000 * r["exact_users"]) // r[
+            "exact_users"
+        ]
+    # 16-register raw HLL: ~26% relative stddev; median error must be
+    # well inside a few sigma on real data
+    errs = sorted(r["err_pm"] for r in rows)
+    assert errs[len(errs) // 2] <= 600
+
+
+def test_streaming_topk_matches_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from graphdb_td2_spark.io import read_table
+    from graphdb_td2_spark.streaming.core import streaming_topk_products
+
+    got = [
+        (r["rank"], r["product_id"], r["n_events"])
+        for r in streaming_topk_products(spark, sf_dir).collect()
+    ]
+    ev = read_table(spark, sf_dir, "events", ["props"])
+    batch = (
+        ev.select(F.get_json_object("props", "$.k").cast("long").alias("pid"))
+        .filter(F.col("pid").isNotNull())
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pid"))
+        .limit(20)
+        .collect()
+    )
+    want = [(i + 1, r["pid"], r["n"]) for i, r in enumerate(batch)]
+    assert got == want

@@ -78,6 +78,9 @@ TAIL_TOP = [
     "l_diversity_report",
     "clustering_coefficient_histogram",
     "collocation_pmi_topk",
+    "winnowed_duplicate_spans",
+    "hll_daily_actives_accuracy",
+    "streaming_topk_products",
 ]
 
 
