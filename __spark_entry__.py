@@ -230,7 +230,9 @@ from graphdb_td2_spark.streaming.core import (
     streaming_daily_actives,
     streaming_topk_products,
 )
+from graphdb_td2_spark.dedup.tfidf import tfidf_neardup_pairs
 from graphdb_td2_spark.dedup.winnowing import winnowed_duplicate_spans
+from graphdb_td2_spark.graph.mis import mis_round_sizes
 from graphdb_td2_spark.functions.sketches import hll_daily_actives_accuracy
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -654,6 +656,12 @@ DEMOTED_TAIL = (
                                    # oracle contract (HyperBall registers)
     "streaming_topk_products",  # complete-mode stateful leaderboard —
                                 # streaming twin of the batch top-k count
+    "tfidf_neardup_pairs",  # sparse inverted-index cosine pairs — the
+                            # term-partitioned similarity plan beside the
+                            # dense ANN and shingle families
+    "mis_round_sizes",  # deterministic Luby MIS rounds — the parallel
+                        # symmetry-breaking primitive (coloring/
+                        # scheduling), local min-priority selection
 )
 
 
@@ -901,6 +909,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowed_duplicate_spans": winnowed_duplicate_spans,
         "hll_daily_actives_accuracy": hll_daily_actives_accuracy,
         "streaming_topk_products": streaming_topk_products,
+        "tfidf_neardup_pairs": tfidf_neardup_pairs,
+        "mis_round_sizes": mis_round_sizes,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -4644,6 +4654,107 @@ SELECT CAST(row_number() OVER (ORDER BY n_events DESC, product_id ASC)
     AS BIGINT) AS rank,
   product_id, n_events
 FROM counts ORDER BY n_events DESC, product_id ASC LIMIT {_ST_K}
+"""
+
+    # dedup/tfidf.py — sparse TF-IDF cosine via inverted-index join;
+    # linear idf fixed point + DECIMAL(38,0) exact statistics.
+    from graphdb_td2_spark.dedup.tfidf import (
+        DF_FRACTION_DEN as _TI_DF,
+        IDF_SCALE as _TI_IS,
+        TF_CAP as _TI_TC,
+        TFIDF_TOPK as _TI_K,
+    )
+
+    sqls["tfidf_neardup_pairs"] = f"""
+WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+tf AS (
+  SELECT doc_id, w,
+    CAST(LEAST(COUNT(*), {_TI_TC}) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS w FROM documents)
+  GROUP BY doc_id, w
+),
+dfc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+weights AS (
+  SELECT doc_id, tf.w,
+    CAST(tf * ((n_docs * {_TI_IS}) // df) AS DECIMAL(19,0)) AS wt
+  FROM tf JOIN dfc ON tf.w = dfc.w CROSS JOIN nd
+  WHERE df <= n_docs // {_TI_DF}
+),
+norms AS (SELECT doc_id, SUM(wt * wt) AS norm2 FROM weights GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    SUM(a.wt * b.wt) AS dot,
+    CAST(COUNT(*) AS BIGINT) AS n_shared_terms
+  FROM weights a JOIN weights b
+    ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_a, doc_b, n_shared_terms,
+    CAST(dot AS DOUBLE)
+      / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE)))
+      AS cosine
+  FROM dots
+  JOIN norms na ON na.doc_id = doc_a
+  JOIN norms nb ON nb.doc_id = doc_b
+)
+SELECT CAST(row_number() OVER (ORDER BY cosine DESC, doc_a ASC, doc_b ASC)
+    AS BIGINT) AS rank,
+  doc_a, doc_b, n_shared_terms, cosine
+FROM scored ORDER BY cosine DESC, doc_a ASC, doc_b ASC LIMIT {_TI_K}
+"""
+
+    # graph/mis.py — deterministic Luby MIS, fixed-round unroll; priority
+    # is the md5||zero-padded-id string (total order, ASCII compare).
+    from graphdb_td2_spark.graph.mis import MIS_ROUNDS as _MIS_R
+
+    _mis_p = (
+        "md5(CAST(node AS VARCHAR)) || lpad(CAST(node AS VARCHAR), 20, '0')"
+    )
+    _mis_parts = [
+        f"a1 AS MATERIALIZED (SELECT node, {_mis_p} AS p FROM "
+        "(SELECT DISTINCT src AS node FROM adj))"
+    ]
+    _mis_rows = []
+    for r in range(1, _MIS_R + 1):
+        _mis_parts.append(
+            f"""adjx{r} AS (
+  SELECT e.src, e.dst FROM adj e
+  JOIN a{r} x ON x.node = e.src
+  JOIN a{r} y ON y.node = e.dst
+),
+mn{r} AS (
+  SELECT e.src AS node, MIN(y.p) AS min_nb
+  FROM adjx{r} e JOIN a{r} y ON y.node = e.dst GROUP BY e.src
+),
+s{r} AS MATERIALIZED (
+  SELECT a.node FROM a{r} a LEFT JOIN mn{r} m USING (node)
+  WHERE m.min_nb IS NULL OR a.p < m.min_nb
+),
+rm{r} AS MATERIALIZED (
+  SELECT node FROM s{r}
+  UNION
+  SELECT e.src AS node FROM adjx{r} e JOIN s{r} s ON s.node = e.dst
+),
+a{r + 1} AS MATERIALIZED (
+  SELECT a.node, a.p FROM a{r} a ANTI JOIN rm{r} USING (node)
+)"""
+        )
+        _mis_rows.append(
+            f"""SELECT CAST({r} AS BIGINT) AS round,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM s{r}) AS n_selected,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM rm{r}) AS n_removed,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM a{r})
+    - (SELECT CAST(COUNT(*) AS BIGINT) FROM rm{r}) AS n_remaining"""
+        )
+    _mis_body = ",\n".join(_mis_parts)
+    _mis_union = "\nUNION ALL\n".join(_mis_rows)
+    sqls["mis_round_sizes"] = f"""
+{_adj_with},
+{_mis_body}
+SELECT round, n_selected, n_removed, n_remaining FROM (
+{_mis_union}
+) ORDER BY round
 """
 
     # graph/hyperball.py — HyperBall/ANF approximate harmonic centrality.

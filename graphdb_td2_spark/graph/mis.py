@@ -1,0 +1,109 @@
+"""Deterministic Luby-style maximal-independent-set rounds [extension]
+over the co-purchase graph — the classic symmetry-breaking primitive of
+parallel graph processing (coloring, scheduling, contention-free batch
+selection all reduce to it).
+
+Luby's algorithm draws random priorities each round; a DETERMINISTIC
+variant fixes one priority per vertex — ``p(v) = md5(v) || zero-padded
+v`` (a total order: the md5 breaks neighborhood symmetry, the id suffix
+makes even a hash collision unambiguous; plain ASCII string comparison,
+bit-identical across engines). Per round, an ACTIVE vertex selects
+itself iff its priority precedes every active neighbor's; selected
+vertices and their neighbors deactivate. Every round is a local
+min-aggregate — no sequential dependency inside a round, which is the
+whole point of the algorithm at cluster scale.
+
+Round count is FIXED at ``MIS_ROUNDS`` (the estimator's documented cap,
+like the BFS/Brandes hop caps): the output reports ``n_remaining`` per
+round, so an unconverged residue is visible rather than silently
+absorbed, and the oracle unrolls the identical fixed number of rounds.
+Luby's analysis removes a constant fraction of EDGES per round in
+expectation; on every tested corpus the active set hits zero within 4.
+
+Scale notes: per round — one semi-join restricting the cached adjacency
+to active endpoints, one (src → min neighbor priority) hash agg
+(map-side combined, |V| output), one anti-join to deactivate.
+State is one |V|-bounded frame, lineage-truncated per round. All
+shuffles key on the vertex id.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .checkpointing import truncate_lineage
+from .walks import copurchase_adjacency
+
+MIS_ROUNDS = 6
+
+
+def _priority(node: F.Column) -> F.Column:
+    s = node.cast("string")
+    return F.concat(F.md5(s), F.lpad(s, 20, "0"))
+
+
+def mis_round_sizes(
+    spark: SparkSession, sf_dir: str, rounds: int = MIS_ROUNDS
+) -> DataFrame:
+    """Registry entry: ``(round, n_selected, n_removed, n_remaining)`` —
+    per Luby round: how many vertices joined the independent set, how
+    many vertices deactivated in total (selected + their neighbors),
+    and how many stay active. Ordered by round."""
+    adj = copurchase_adjacency(spark, sf_dir).persist()
+    active = (
+        adj.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", _priority(F.col("node")).alias("p"))
+        .transform(truncate_lineage)
+    )
+    rows = []
+    for r in range(1, rounds + 1):
+        adj_act = (
+            adj.join(
+                active.select(F.col("node").alias("src")), "src", "left_semi"
+            )
+            .join(
+                active.select(F.col("node").alias("dst")), "dst", "left_semi"
+            )
+        )
+        min_nb = (
+            adj_act.join(
+                active.select(
+                    F.col("node").alias("dst"), F.col("p").alias("pd")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("pd").alias("min_nb"))
+        )
+        cand = active.join(min_nb, "node", "left")
+        selected = cand.filter(
+            F.col("min_nb").isNull() | (F.col("p") < F.col("min_nb"))
+        ).select("node")
+        nbrs = adj_act.join(
+            selected.select(F.col("node").alias("dst")), "dst", "left_semi"
+        ).select(F.col("src").alias("node"))
+        removed = selected.unionByName(nbrs).distinct().transform(
+            truncate_lineage
+        )
+        nxt = active.join(removed, "node", "left_anti").transform(
+            truncate_lineage
+        )
+        rows.append(
+            active.agg(F.count(F.lit(1)).alias("n_active"))
+            .crossJoin(selected.agg(F.count(F.lit(1)).alias("n_selected")))
+            .crossJoin(removed.agg(F.count(F.lit(1)).alias("n_removed")))
+            .select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("n_selected").cast("long").alias("n_selected"),
+                F.col("n_removed").cast("long").alias("n_removed"),
+                (F.col("n_active") - F.col("n_removed"))
+                .cast("long")
+                .alias("n_remaining"),
+            )
+        )
+        active = nxt
+    adj.unpersist()
+    return functools.reduce(DataFrame.unionByName, rows).orderBy("round")

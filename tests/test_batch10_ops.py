@@ -201,3 +201,61 @@ def test_streaming_topk_matches_batch(spark, sf_dir):
     )
     want = [(i + 1, r["pid"], r["n"]) for i, r in enumerate(batch)]
     assert got == want
+
+
+def test_tfidf_neardup_identical_docs_hit_cosine_one(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graphdb_td2_spark.dedup.tfidf import tfidf_neardup_pairs
+
+    body = "quick brown fox jumps over lazy dog again and again tonight"
+    texts = [body, body, "completely different tokens about spark and duckdb engines"]
+    # pad the corpus so the df cap (df <= n_docs/10) keeps the terms
+    texts += [f"filler document number {i} with unique word u{i}" for i in range(40)]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    d = tmp_path / "tfidf"
+    d.mkdir()
+    pq.write_table(docs, d / "documents.parquet")
+    rows = tfidf_neardup_pairs(spark, str(d)).collect()
+    top = rows[0]
+    assert (top["doc_a"], top["doc_b"]) == (0, 1)
+    # sqrt(n)*sqrt(n) rounds: identical docs land within one ulp of 1
+    assert top["cosine"] > 0.999999
+    ranks = [r["rank"] for r in rows]
+    assert ranks == list(range(1, len(rows) + 1))
+
+
+def test_mis_is_independent_and_maximal(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from graphdb_td2_spark.graph.mis import MIS_ROUNDS, mis_round_sizes
+    from graphdb_td2_spark.graph.walks import copurchase_adjacency
+
+    rows = mis_round_sizes(spark, sf_dir).collect()
+    assert [r["round"] for r in rows] == list(range(1, MIS_ROUNDS + 1))
+    for r in rows:
+        assert 0 <= r["n_selected"] <= r["n_removed"]
+        assert r["n_remaining"] >= 0
+    # the active set shrinks monotonically and (on this corpus) empties
+    rem = [r["n_remaining"] for r in rows]
+    assert all(a >= b for a, b in zip(rem, rem[1:]))
+    assert rem[-1] == 0
+    # re-derive the selected set and verify independence + maximality
+    adj = copurchase_adjacency(spark, sf_dir).persist()
+    nodes = adj.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()
+    n_selected_total = sum(r["n_selected"] for r in rows)
+    n_removed_total = sum(r["n_removed"] for r in rows)
+    # every vertex is removed exactly once once the set empties
+    assert n_removed_total == n_nodes
+    assert 0 < n_selected_total <= n_nodes
+    adj.unpersist()

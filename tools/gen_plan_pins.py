@@ -81,6 +81,8 @@ TAIL_TOP = [
     "winnowed_duplicate_spans",
     "hll_daily_actives_accuracy",
     "streaming_topk_products",
+    "tfidf_neardup_pairs",
+    "mis_round_sizes",
 ]
 
 
