@@ -109,7 +109,10 @@ from graphdb_td2_spark.graph.walks import product_random_walks, walk_skipgram_pa
 from graphdb_td2_spark.operators.cdc import cdc_customer_state
 from graphdb_td2_spark.dedup.substrings import repeated_ngram_stats
 from graphdb_td2_spark.operators.snapshot import snapshot_diff_stats
-from graphdb_td2_spark.operators.attribution import last_touch_attribution
+from graphdb_td2_spark.operators.attribution import (
+    last_touch_attribution,
+    markov_removal_attribution,
+)
 from graphdb_td2_spark.graph.centrality import (
     degree_distribution,
     harmonic_centrality_top20,
@@ -662,6 +665,10 @@ DEMOTED_TAIL = (
     "mis_round_sizes",  # deterministic Luby MIS rounds — the parallel
                         # symmetry-breaking primitive (coloring/
                         # scheduling), local min-priority selection
+    "markov_removal_attribution",  # Markov-chain removal-effect credit —
+                                   # the third attribution model beside
+                                   # last-touch and U-shape (fixed-unroll
+                                   # integer value iteration)
 )
 
 
@@ -911,6 +918,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_topk_products": streaming_topk_products,
         "tfidf_neardup_pairs": tfidf_neardup_pairs,
         "mis_round_sizes": mis_round_sizes,
+        "markov_removal_attribution": markov_removal_attribution,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -4755,6 +4763,97 @@ a{r + 1} AS MATERIALIZED (
 SELECT round, n_selected, n_removed, n_remaining FROM (
 {_mis_union}
 ) ORDER BY round
+"""
+
+    # operators/attribution.py:markov_removal_attribution — fixed-unroll
+    # integer value iteration over the journey chain, one scenario row
+    # per removed channel (constants + state enum imported).
+    from graphdb_td2_spark.operators.attribution import (
+        _DSTS as _MK_DSTS,
+        _TRANSIENT as _MK_TR,
+        MARKOV_ITERS as _MK_IT,
+        MARKOV_SCALE as _MK_SC,
+    )
+
+    _mk_srcs = ("start",) + _MK_TR
+
+    def _mk_num(s: str) -> str:
+        terms = [f"n_{s}_{t} * p_{t}" for t in _MK_TR]
+        terms.append(f"n_{s}_purchase * {_MK_SC}")
+        return " + ".join(terms)
+
+    def _mk_out(s: str) -> str:
+        return " + ".join(f"n_{s}_{d}" for d in _MK_DSTS)
+
+    _mk_ncols = ", ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN src = '{s}' AND dst = '{d}' THEN n END),"
+        f" 0) AS BIGINT) AS n_{s}_{d}"
+        for s in _mk_srcs
+        for d in _MK_DSTS
+    )
+    _mk_carry = ", ".join(
+        ["removed"] + [f"n_{s}_{d}" for s in _mk_srcs for d in _MK_DSTS]
+    )
+    _mk_p0 = ", ".join(f"CAST(0 AS BIGINT) AS p_{t}" for t in _MK_TR)
+    _mk_iters = [f"it0 AS (SELECT {_mk_carry}, {_mk_p0} FROM widek)"]
+    for _k in range(1, _MK_IT + 1):
+        _mk_pk = ", ".join(
+            f"CAST(COALESCE(({_mk_num(t)}) // NULLIF({_mk_out(t)}, 0), 0)"
+            f" AS BIGINT) AS p_{t}"
+            for t in _MK_TR
+        )
+        _mk_iters.append(
+            f"it{_k} AS MATERIALIZED (SELECT {_mk_carry}, {_mk_pk}"
+            f" FROM it{_k - 1})"
+        )
+    _mk_scen = ", ".join(
+        f"'{x}'" for x in ("none",) + _MK_TR
+    )
+    _mk_body = ",\n".join(_mk_iters)
+    sqls["markov_removal_attribution"] = f"""
+WITH seqd AS (
+  SELECT event_type,
+    lag(event_type) OVER w AS prev_type,
+    lead(event_type) OVER w AS next_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+trans AS (
+  SELECT CASE WHEN prev_type IS NULL OR prev_type = 'purchase'
+              THEN 'start' ELSE prev_type END AS src,
+         event_type AS dst
+  FROM seqd
+  UNION ALL
+  SELECT event_type, 'end' FROM seqd
+  WHERE next_type IS NULL AND event_type <> 'purchase'
+),
+counts AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+           FROM trans GROUP BY 1, 2),
+scen AS (SELECT unnest([{_mk_scen}]) AS removed),
+adj2 AS (
+  SELECT removed, src,
+    CASE WHEN dst = removed THEN 'end' ELSE dst END AS dst, n
+  FROM scen CROSS JOIN counts
+),
+widek AS MATERIALIZED (SELECT removed, {_mk_ncols} FROM adj2 GROUP BY removed),
+{_mk_body},
+scored AS (
+  SELECT removed,
+    CAST(COALESCE(({_mk_num("start")}) // NULLIF({_mk_out("start")}, 0), 0)
+      AS BIGINT) AS p_start
+  FROM it{_MK_IT}
+),
+base AS (SELECT p_start AS base_p_fp FROM scored WHERE removed = 'none'),
+effects AS (
+  SELECT removed AS event_type, base_p_fp, p_start AS removed_p_fp,
+    CAST(GREATEST(base_p_fp - p_start, 0) AS BIGINT) AS removal_effect_fp
+  FROM scored CROSS JOIN base WHERE removed <> 'none'
+)
+SELECT event_type, base_p_fp, removed_p_fp, removal_effect_fp,
+  CAST(COALESCE((1000 * removal_effect_fp)
+    // NULLIF((SELECT SUM(removal_effect_fp) FROM effects), 0), 0)
+    AS BIGINT) AS share_pm
+FROM effects ORDER BY event_type
 """
 
     # graph/hyperball.py — HyperBall/ANF approximate harmonic centrality.

@@ -187,3 +187,187 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_value(F.col("p50n"), 2).alias("p50_latency_s"),
         as_value(F.col("p90n"), 10).alias("p90_latency_s"),
     ).orderBy("first_touch_type")
+
+
+# --- Markov removal-effect attribution ------------------------------------
+
+MARKOV_SCALE = 1_000_000  # absorption probabilities in micro units
+MARKOV_ITERS = 16  # fixed value-iteration unroll (geometric convergence)
+_TRANSIENT = ("click", "error", "signup", "view")  # corpus journey states
+_DSTS = _TRANSIENT + ("purchase", "end")
+
+
+def _journey_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact journey transition counts ``(src, dst, n)``: per user in
+    (ts, event_id) order each event's source is its predecessor's type —
+    or START when there is none or the predecessor converted (a purchase
+    closes the journey, the next event opens a new one); a user's final
+    non-purchase event additionally transitions to END; purchases have
+    no outgoing edges."""
+    ev = read_table(
+        spark, sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]
+    )
+    seq = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    typed = ev.select(
+        "event_type",
+        F.lag("event_type").over(seq).alias("prev_type"),
+        F.lead("event_type").over(seq).alias("next_type"),
+    )
+    src = F.when(
+        F.col("prev_type").isNull() | (F.col("prev_type") == CONVERSION),
+        F.lit("start"),
+    ).otherwise(F.col("prev_type"))
+    forward = typed.select(src.alias("src"), F.col("event_type").alias("dst"))
+    terminal = typed.filter(
+        F.col("next_type").isNull() & (F.col("event_type") != CONVERSION)
+    ).select(F.col("event_type").alias("src"), F.lit("end").alias("dst"))
+    return (
+        forward.unionByName(terminal)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``(event_type, base_p_fp, removed_p_fp,
+    removal_effect_fp, share_pm)`` — Markov-chain (removal-effect)
+    attribution over user journeys, the standard third member next to
+    last-touch and U-shape: model journeys as a first-order chain
+    (START → … → PURCHASE | END), compute the chain's conversion
+    probability by value iteration, then re-compute it with each
+    channel REMOVED (its inbound transitions divert to END); a
+    channel's credit is how much conversion probability disappears
+    without it. ``*_fp`` are micro-probabilities (``MARKOV_SCALE``);
+    ``share_pm`` is the per-mille normalized credit. Ordered by
+    event_type.
+
+    Determinism: transition counts are exact longs; value iteration is
+    a FIXED ``MARKOV_ITERS``-step unroll of
+    ``p(s) ← (Σ_t n(s→t)·p(t) + n(s→PURCHASE)·SCALE) div n_out(s)``
+    — integer floor arithmetic, so both engines walk the identical
+    recurrence (per-step downward bias ≤ 1/SCALE; path mass beyond 16
+    hops is geometrically negligible and equally absent in both).
+
+    Scale notes: the corpus-sized work is ONE lag-window pass (the
+    shared sessionize shuffle) and a |types|²-bounded hash agg; the
+    five scenarios × 16 iterations are narrow integer projections over
+    a FIVE-ROW frame (the state space is a fixed enum, so
+    probabilities ride as columns — no joins, no shuffles). Each
+    iteration is lineage-truncated: without the cut, projection
+    collapse would inline p_{k-1} into every p_k term and the folded
+    expression tree grows 4^16 — the 5-row checkpoint is the cheap
+    antidote. The model fit is a constant-size epilogue to one
+    aggregation, which is the right shape at 100 TB.
+    """
+    from ..graph.checkpointing import truncate_lineage
+
+    counts = _journey_transition_counts(spark, sf_dir)
+    scenarios = spark.createDataFrame(
+        [("none",)] + [(t,) for t in _TRANSIENT], "removed string"
+    )
+    # channel removal: transitions INTO the removed state divert to END
+    adjusted = scenarios.join(F.broadcast(counts)).select(
+        "removed",
+        "src",
+        F.when(F.col("dst") == F.col("removed"), F.lit("end"))
+        .otherwise(F.col("dst"))
+        .alias("dst"),
+        "n",
+    )
+    srcs = ("start",) + _TRANSIENT
+    n_cols = [f"n_{s}_{d}" for s in srcs for d in _DSTS]
+    wide = adjusted.groupBy("removed").agg(
+        *[
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("src") == s) & (F.col("dst") == d), F.col("n")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"n_{s}_{d}")
+            for s in srcs
+            for d in _DSTS
+        ]
+    )
+
+    def num_sql(s: str) -> str:
+        terms = [f"n_{s}_{t} * p_{t}" for t in _TRANSIENT]
+        terms.append(f"n_{s}_purchase * {MARKOV_SCALE}")
+        return " + ".join(terms)
+
+    def out_sql(s: str) -> str:
+        return " + ".join(f"n_{s}_{d}" for d in _DSTS)
+
+    state = wide.select(
+        "removed",
+        *n_cols,
+        *[F.lit(0).cast("long").alias(f"p_{t}") for t in _TRANSIENT],
+    )
+    for _ in range(MARKOV_ITERS):
+        state = state.select(
+            "removed",
+            *n_cols,
+            *[
+                F.coalesce(
+                    F.expr(
+                        f"({num_sql(s)}) div nullif({out_sql(s)}, 0)"
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias(f"p_{s}")
+                for s in _TRANSIENT
+            ],
+        ).transform(truncate_lineage)
+    scored = state.select(
+        "removed",
+        F.coalesce(
+            F.expr(f"({num_sql('start')}) div nullif({out_sql('start')}, 0)"),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("p_start"),
+    )
+    base = scored.filter(F.col("removed") == "none").select(
+        F.col("p_start").alias("base_p_fp")
+    )
+    effects = (
+        scored.filter(F.col("removed") != "none")
+        .select(
+            F.col("removed").alias("event_type"),
+            F.col("p_start").alias("removed_p_fp"),
+        )
+        .crossJoin(F.broadcast(base))
+        .select(
+            "event_type",
+            "base_p_fp",
+            "removed_p_fp",
+            F.greatest(F.col("base_p_fp") - F.col("removed_p_fp"), F.lit(0))
+            .cast("long")
+            .alias("removal_effect_fp"),
+        )
+    )
+    total = effects.agg(
+        F.sum("removal_effect_fp").cast("long").alias("total_effect")
+    )
+    return (
+        effects.crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "base_p_fp",
+            "removed_p_fp",
+            "removal_effect_fp",
+            F.coalesce(
+                F.expr(
+                    "(1000 * removal_effect_fp) div nullif(total_effect, 0)"
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("share_pm"),
+        )
+        .orderBy("event_type")
+    )

@@ -259,3 +259,23 @@ def test_mis_is_independent_and_maximal(spark, sf_dir):
     assert n_removed_total == n_nodes
     assert 0 < n_selected_total <= n_nodes
     adj.unpersist()
+
+
+def test_markov_removal_attribution_accounting(spark, sf_dir):
+    from graphdb_td2_spark.operators.attribution import (
+        MARKOV_SCALE,
+        markov_removal_attribution,
+    )
+
+    rows = markov_removal_attribution(spark, sf_dir).collect()
+    assert [r["event_type"] for r in rows] == ["click", "error", "signup", "view"]
+    base = {r["base_p_fp"] for r in rows}
+    assert len(base) == 1  # same base scenario for every channel
+    b = base.pop()
+    assert 0 < b <= MARKOV_SCALE
+    total_share = sum(r["share_pm"] for r in rows)
+    assert 0 < total_share <= 1000  # floors only lose mass
+    for r in rows:
+        # removing a channel can only lose conversion probability
+        assert 0 <= r["removed_p_fp"] <= b + 1
+        assert r["removal_effect_fp"] == max(b - r["removed_p_fp"], 0)

@@ -83,6 +83,7 @@ TAIL_TOP = [
     "streaming_topk_products",
     "tfidf_neardup_pairs",
     "mis_round_sizes",
+    "markov_removal_attribution",
 ]
 
 
