@@ -48,7 +48,10 @@ from graphdb_td2_spark.graph.hyperball import (
     harmonic_approx_error_report,
     harmonic_centrality_approx_top20,
 )
-from graphdb_td2_spark.graph.betweenness import betweenness_sample_top20
+from graphdb_td2_spark.graph.betweenness import (
+    betweenness_approx_error_report,
+    betweenness_sample_top20,
+)
 from graphdb_td2_spark.graph.kcore import kcore_sizes
 from graphdb_td2_spark.graph.lpa import community_sizes as lpa_community_sizes
 from graphdb_td2_spark.graph.components import component_sizes
@@ -669,6 +672,10 @@ DEMOTED_TAIL = (
                                    # the third attribution model beside
                                    # last-touch and U-shape (fixed-unroll
                                    # integer value iteration)
+    "betweenness_approx_error_report",  # seed-count/error curve for the
+                                        # sampled Brandes estimator (4/8
+                                        # prefixes vs 16-seed reference,
+                                        # one additive pass)
 )
 
 
@@ -919,6 +926,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_neardup_pairs": tfidf_neardup_pairs,
         "mis_round_sizes": mis_round_sizes,
         "markov_removal_attribution": markov_removal_attribution,
+        "betweenness_approx_error_report": betweenness_approx_error_report,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -4500,6 +4508,52 @@ FROM ({_bw_union})
 GROUP BY node ORDER BY betweenness_fp DESC, node ASC LIMIT 20
 """
 
+    # graph/betweenness.py:betweenness_approx_error_report — ONE
+    # REF_SEEDS-seed Brandes pass; the 8/4-seed prefix estimators fall
+    # out of the additive per-seed dependencies (same CTE chain, seed
+    # kept through the union).
+    from graphdb_td2_spark.graph.betweenness import REF_SEEDS as _BW_REF
+
+    _bw_union_seed = "\nUNION ALL\n".join(
+        f"SELECT seed, node, delta_fp FROM d{r}" for r in range(1, 5)
+    )
+    sqls["betweenness_approx_error_report"] = f"""
+{_adj_with},
+seeds AS (SELECT src FROM (SELECT DISTINCT src FROM adj)
+          ORDER BY src LIMIT {_BW_REF}),
+l0 AS (SELECT src AS seed, src AS node, CAST(1 AS BIGINT) AS sigma FROM seeds),
+vis0 AS (SELECT seed, node FROM l0),
+{_bw_fwd_sql},
+{_bw_back_sql},
+tot AS (
+  SELECT node,
+    CAST(SUM(delta_fp) AS BIGINT) AS ref_fp,
+    CAST(SUM(CASE WHEN seed IN
+        (SELECT src FROM seeds ORDER BY src LIMIT 8)
+      THEN delta_fp ELSE 0 END) AS BIGINT) AS fp8,
+    CAST(SUM(CASE WHEN seed IN
+        (SELECT src FROM seeds ORDER BY src LIMIT 4)
+      THEN delta_fp ELSE 0 END) AS BIGINT) AS fp4
+  FROM ({_bw_union_seed}) GROUP BY node
+),
+topref AS (
+  SELECT node, ref_fp, fp8, fp4,
+    row_number() OVER (ORDER BY ref_fp DESC, node ASC) AS rank
+  FROM tot ORDER BY ref_fp DESC, node ASC LIMIT 20
+),
+top8 AS (SELECT node FROM tot ORDER BY fp8 DESC, node ASC LIMIT 20)
+SELECT CAST(rank AS BIGINT) AS rank, node,
+  CAST((ref_fp * 1000) // {_BW_REF} AS BIGINT) AS ref_per_seed_milli,
+  CAST((fp8 * 1000) // 8 AS BIGINT) AS est8_per_seed_milli,
+  CAST(ABS((ref_fp * 1000) // {_BW_REF} - (fp8 * 1000) // 8) AS BIGINT)
+    AS err8_per_seed_milli,
+  CAST((fp4 * 1000) // 4 AS BIGINT) AS est4_per_seed_milli,
+  CAST(ABS((ref_fp * 1000) // {_BW_REF} - (fp4 * 1000) // 4) AS BIGINT)
+    AS err4_per_seed_milli,
+  node IN (SELECT node FROM top8) AS in_est8_topk
+FROM topref ORDER BY rank
+"""
+
     # graph/triangles.py:clustering_coefficient_histogram — per-node cc
     # deciles in per-mille fixed point (constants imported).
     from graphdb_td2_spark.graph.triangles import (
@@ -4670,6 +4724,7 @@ FROM counts ORDER BY n_events DESC, product_id ASC LIMIT {_ST_K}
         DF_FRACTION_DEN as _TI_DF,
         IDF_SCALE as _TI_IS,
         TF_CAP as _TI_TC,
+        TFIDF_DF_CAP as _TI_AC,
         TFIDF_TOPK as _TI_K,
     )
 
@@ -4686,7 +4741,7 @@ weights AS (
   SELECT doc_id, tf.w,
     CAST(tf * ((n_docs * {_TI_IS}) // df) AS DECIMAL(19,0)) AS wt
   FROM tf JOIN dfc ON tf.w = dfc.w CROSS JOIN nd
-  WHERE df <= n_docs // {_TI_DF}
+  WHERE df <= LEAST(n_docs // {_TI_DF}, {_TI_AC})
 ),
 norms AS (SELECT doc_id, SUM(wt * wt) AS norm2 FROM weights GROUP BY doc_id),
 dots AS (
@@ -6704,8 +6759,9 @@ SELECT CAST(date_trunc('month', day) AS TIMESTAMP) AS month,
   CAST(SUM(ABS(cents - forecast)) AS BIGINT) AS sum_abs_err_cents,
   CAST(SUM(ABS(cents - forecast)) AS DOUBLE) / CAST(COUNT(*) AS BIGINT)
     AS mae_cents,
-  CAST(SUM(ABS(cents - forecast)) AS DOUBLE) / CAST(SUM(cents) AS DOUBLE)
-    AS wape
+  CASE WHEN SUM(cents) > 0 THEN
+    CAST(SUM(ABS(cents - forecast)) AS DOUBLE) / CAST(SUM(cents) AS DOUBLE)
+  END AS wape
 FROM scored WHERE forecast IS NOT NULL
 GROUP BY 1 ORDER BY month
 """

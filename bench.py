@@ -190,7 +190,9 @@ def main() -> None:
                 print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
                 break
             samples.append(time.time() - t0)
-        if not samples:
+        if name in errors or len(samples) < n_runs:
+            # an errored query must not feed the headline total with a
+            # median of partial samples (ADVICE-r9)
             continue
         timings[name] = round(statistics.median(samples), 3)
         spread[name] = [round(min(samples), 3), round(max(samples), 3)]

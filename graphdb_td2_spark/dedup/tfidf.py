@@ -12,6 +12,19 @@ stop-like terms from the vector space (they dominate join fan-out and
 carry no discriminative weight), and per-term partial dot products are
 map-side combined before the per-pair sum.
 
+Fan-out bound (round-10 fix): the df prune is
+``df <= least(n_docs div DF_FRACTION_DEN, TFIDF_DF_CAP)``. The relative
+term keeps stop-like words out of small corpora; the ABSOLUTE term is
+what makes the plan 100 TB-safe — without it a term in just under
+N/``DF_FRACTION_DEN`` documents emits ~(N/10)²/2 pairs from the
+term-keyed self-join, quadratic in corpus size. With it, no surviving
+term can emit more than ``TFIDF_DF_CAP²/2`` pairs, so total join output
+is ≤ \\|surviving vocabulary\\| · ``TFIDF_DF_CAP²/2`` — linear in vocab,
+constant per term, at any corpus size (the ``BUCKET_CAP`` discipline
+from ``dedup/minhash.py``). A term dropped by the cap is stop-like by
+definition (it appears in ≥ ``TFIDF_DF_CAP`` documents), exactly the
+mass the idf weight was already driving toward zero.
+
 Cross-engine exactness (the decimal-sufficient-statistics discipline):
 - idf is LINEAR inverse document frequency in fixed point,
   ``idf_fp = (N·IDF_SCALE) div df`` — exact integers; an ``ln``-based
@@ -35,17 +48,19 @@ from ..io import read_table
 IDF_SCALE = 16  # idf fixed-point scale
 TF_CAP = 255  # saturating term frequency
 DF_FRACTION_DEN = 10  # terms in more than N/10 docs leave the vector space
+TFIDF_DF_CAP = 2000  # ABSOLUTE df ceiling: per-term self-join fan-out
+# is bounded at TFIDF_DF_CAP²/2 pairs at any corpus size. Chosen above
+# n_docs/10 at the contract scales (sf0.01: 50, sf0.1: 500) so the
+# relative term binds there and the oracle hashes are unchanged, and
+# below n_docs/10 from ~20k documents up, where it takes over.
 TFIDF_TOPK = 30
 
 
-def tfidf_neardup_pairs(
-    spark: SparkSession, sf_dir: str, k: int = TFIDF_TOPK
-) -> DataFrame:
-    """Registry entry: ``(rank, doc_a, doc_b, n_shared_terms, cosine)``
-    — the ``k`` most TF-IDF-cosine-similar document pairs under the
-    df-capped vocabulary (ties → (doc_a, doc_b) ascending). Ordered by
-    rank."""
-    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+def tfidf_weights(docs: DataFrame, df_cap: int = TFIDF_DF_CAP) -> DataFrame:
+    """``(doc_id, w, wt)`` under the df-capped vocabulary — the sparse
+    document vectors. Exposed so the sf1 cap A/B (``tools/tfidf_cap_ab``)
+    and adversarial fixtures can measure join fan-out on the shipped
+    plan rather than a re-implementation."""
     n_docs = docs.select(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
@@ -64,7 +79,12 @@ def tfidf_neardup_pairs(
     weights = (
         tf.join(df_counts, "w")
         .crossJoin(F.broadcast(n_docs))
-        .filter(F.col("df") <= F.expr(f"n_docs div {DF_FRACTION_DEN}"))
+        .filter(
+            F.col("df")
+            <= F.least(
+                F.expr(f"n_docs div {DF_FRACTION_DEN}"), F.lit(df_cap)
+            )
+        )
         .select(
             "doc_id",
             "w",
@@ -73,11 +93,18 @@ def tfidf_neardup_pairs(
             .alias("wt"),
         )
     )
-    norms = weights.groupBy("doc_id").agg(
-        F.sum(F.col("wt") * F.col("wt")).alias("norm2")
-    )
+    return weights
+
+
+def tfidf_dots(docs: DataFrame, df_cap: int = TFIDF_DF_CAP) -> DataFrame:
+    """``(doc_a, doc_b, dot, n_shared_terms)`` — the term-keyed self-join
+    output whose cardinality the df cap bounds (≤ \\|vocab\\|·cap²/2)."""
+    return _dots_from_weights(tfidf_weights(docs, df_cap=df_cap))
+
+
+def _dots_from_weights(weights: DataFrame) -> DataFrame:
     a, b = weights.alias("a"), weights.alias("b")
-    dots = (
+    return (
         a.join(
             b,
             (F.col("a.w") == F.col("b.w"))
@@ -92,6 +119,18 @@ def tfidf_neardup_pairs(
             F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
         )
     )
+
+
+def tfidf_pairs(docs: DataFrame, k: int = TFIDF_TOPK, df_cap: int = TFIDF_DF_CAP) -> DataFrame:
+    """Core plan over a ``(doc_id, text)`` frame — see module doc for the
+    ``least(n_docs div 10, df_cap)`` vocabulary prune and its fan-out
+    bound. Exposed separately so adversarial fixtures can exercise a
+    small ``df_cap`` (the ``tests/test_lsh_cap.py`` pattern)."""
+    weights = tfidf_weights(docs, df_cap=df_cap)
+    norms = weights.groupBy("doc_id").agg(
+        F.sum(F.col("wt") * F.col("wt")).alias("norm2")
+    )
+    dots = _dots_from_weights(weights)
     scored = (
         dots.join(
             norms.select(
@@ -126,3 +165,14 @@ def tfidf_neardup_pairs(
         .select("rank", "doc_a", "doc_b", "n_shared_terms", "cosine")
         .orderBy("rank")
     )
+
+
+def tfidf_neardup_pairs(
+    spark: SparkSession, sf_dir: str, k: int = TFIDF_TOPK
+) -> DataFrame:
+    """Registry entry: ``(rank, doc_a, doc_b, n_shared_terms, cosine)``
+    — the ``k`` most TF-IDF-cosine-similar document pairs under the
+    df-capped vocabulary (ties → (doc_a, doc_b) ascending). Ordered by
+    rank."""
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_pairs(docs, k=k)

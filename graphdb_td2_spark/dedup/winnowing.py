@@ -37,9 +37,8 @@ WINNOW_W = 4  # winnowing window (shingle hashes)
 CONTAIN_SCALE = 1000  # containment in per-mille fixed point
 
 
-def _winnowed_fps(text: F.Column, k: int = WINNOW_K, w: int = WINNOW_W) -> F.Column:
-    """Distinct winnowed fingerprint values of ``text``: min shingle-hash
-    per w-window; short docs collapse to one whole-doc window."""
+def _shingle_hashes(text: F.Column, k: int = WINNOW_K) -> F.Column:
+    """Ordered k-token shingle hashes of ``text`` — one md5 per shingle."""
     toks = tokens_col(text)
     n = F.size(toks)
     shingles = F.when(
@@ -49,19 +48,40 @@ def _winnowed_fps(text: F.Column, k: int = WINNOW_K, w: int = WINNOW_W) -> F.Col
             lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
-    hashes = F.transform(
+    return F.transform(
         shingles,
         lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
     )
-    nh = F.size(hashes)
+
+
+def winnowed_fp_rows(
+    docs: DataFrame, key: str, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Distinct ``(key, fp)`` winnowed fingerprints: min shingle-hash
+    per w-window; short docs collapse to one whole-doc window.
+
+    The hash array is materialized as its OWN projection before the
+    window-min pass. Folding everything into one expression (the r9
+    shape) inlined the hash-array subtree into every window lambda —
+    Catalyst evaluates a higher-order function's captured subtrees per
+    invocation, so every shingle was md5'd once per OVERLAPPING window
+    (O(tokens·w) hashes per doc, the 221.6 s sf0.1 wall). Two projects
+    survive optimization because CollapseProject refuses to inline a
+    non-cheap alias referenced more than once — each shingle is hashed
+    exactly once (measured A/B in PERF_NOTES_r10)."""
+    hashed = docs.select(key, _shingle_hashes(F.col("text")).alias("hashes"))
+    nh = F.size(F.col("hashes"))
     selected = F.when(
         nh >= w,
         F.transform(
             F.sequence(F.lit(1), nh - (w - 1)),
-            lambda i: F.array_min(F.slice(hashes, i, w)),
+            lambda i: F.array_min(F.slice(F.col("hashes"), i, w)),
         ),
-    ).otherwise(F.array(F.array_min(hashes)))
-    return F.array_distinct(selected)
+    ).otherwise(F.array(F.array_min(F.col("hashes"))))
+    return (
+        hashed.select(key, F.explode(F.array_distinct(selected)).alias("fp"))
+        .distinct()
+    )
 
 
 def winnowed_duplicate_spans(
@@ -76,10 +96,7 @@ def winnowed_duplicate_spans(
     case whole-document similarity misses. Ordered by (source_a,
     source_b)."""
     docs = read_table(spark, sf_dir, "documents", ["source", "text"])
-    fps = (
-        docs.select("source", F.explode(_winnowed_fps(F.col("text"))).alias("fp"))
-        .distinct()
-    )
+    fps = winnowed_fp_rows(docs, "source")
     sizes = fps.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_fp")
     )

@@ -59,18 +59,15 @@ SIGMA_CAP = 1 << 20  # saturating path-count bound (inactive at tested SFs)
 DELTA_CAP = 1 << 36  # saturating dependency bound (inactive at tested SFs)
 
 
-def betweenness_fixed_point(
-    adj: DataFrame,
-    n_seeds: int = N_SEEDS,
-    rounds: int = ROUNDS,
-    k: int = TOP_K,
-) -> DataFrame:
-    """Core estimator over a symmetric ``(src, dst)`` adjacency: the
-    ``k`` highest fixed-point Brandes dependency totals over the
-    ``n_seeds`` lowest-id seeds (ties → lowest node id). Materializes
-    the k-row result eagerly so every per-level cache can be released
-    before returning (the hits_fp unpersist discipline)."""
-    adj = adj.persist()
+def _per_seed_dependencies(
+    adj: DataFrame, n_seeds: int, rounds: int
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Shared Brandes core: the lazy ``(seed, node, delta_fp)`` relation
+    over the ``n_seeds`` lowest-id seeds, plus the list of persisted
+    level/delta frames the caller must unpersist after materializing
+    (the hits_fp discipline). Per-seed dependencies are ADDITIVE, so one
+    pass serves every seed-subset estimator built on a prefix of the
+    lowest-id seed order (see ``betweenness_approx_error_report``)."""
     seeds = (
         adj.select("src").distinct().orderBy("src").limit(n_seeds)
         .select(F.col("src").alias("seed"), F.col("src").alias("node"))
@@ -149,6 +146,22 @@ def betweenness_fixed_point(
         DataFrame.unionByName,
         [deltas[r].select("seed", "node", "delta_fp") for r in range(1, rounds + 1)],
     )
+    return acc, levels + list(deltas.values())
+
+
+def betweenness_fixed_point(
+    adj: DataFrame,
+    n_seeds: int = N_SEEDS,
+    rounds: int = ROUNDS,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Core estimator over a symmetric ``(src, dst)`` adjacency: the
+    ``k`` highest fixed-point Brandes dependency totals over the
+    ``n_seeds`` lowest-id seeds (ties → lowest node id). Materializes
+    the k-row result eagerly so every per-level cache can be released
+    before returning (the hits_fp unpersist discipline)."""
+    adj = adj.persist()
+    acc, pinned = _per_seed_dependencies(adj, n_seeds, rounds)
     out = (
         acc.groupBy("node")
         .agg(
@@ -160,9 +173,7 @@ def betweenness_fixed_point(
         .select("node", "betweenness_fp", "n_seeds_reaching")
     )
     rows = out.collect()
-    for df in levels:
-        df.unpersist()
-    for df in deltas.values():
+    for df in pinned:
         df.unpersist()
     adj.unpersist()
     return adj.sparkSession.createDataFrame(rows, out.schema)
@@ -182,4 +193,79 @@ def betweenness_sample_top20(
     paths reach the node (the estimator's per-node support)."""
     return betweenness_fixed_point(
         copurchase_adjacency(spark, sf_dir), n_seeds, rounds, k
+    )
+
+
+REF_SEEDS = 16  # reference estimator seed count (2× the shipped sample)
+
+
+def betweenness_approx_error_report(
+    spark: SparkSession,
+    sf_dir: str,
+    ref_seeds: int = REF_SEEDS,
+    rounds: int = ROUNDS,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Registry entry: ``(rank, node, ref_per_seed_milli,
+    est8_per_seed_milli, err8_per_seed_milli, est4_per_seed_milli,
+    err4_per_seed_milli, in_est8_topk)`` — quality certificate for the
+    sampled estimator (the ``harmonic_approx_error_report`` /
+    ``ann_recall_report`` pattern): for the ``REF_SEEDS``-seed reference
+    estimator's top-``k`` nodes, the per-seed-normalized dependency under
+    the reference and under the 8- and 4-seed prefixes of the same
+    lowest-id seed order, with absolute errors, plus whether the node
+    would make the 8-seed estimator's own top-``k``.
+
+    Seed-count/error trade-off (the documented knob): per-seed
+    dependencies are additive, so one ``REF_SEEDS``-seed Brandes pass
+    yields every prefix estimator for free — the 4→8→16 error columns
+    ARE the convergence curve, and the wall cost is ~``ref_seeds/8``×
+    the shipped query, not three separate runs. ``*_milli`` values are
+    exact integers: ``(Σ delta_fp · 1000) div n_seeds``.
+    """
+    adj = copurchase_adjacency(spark, sf_dir).persist()
+    acc, pinned = _per_seed_dependencies(adj, ref_seeds, rounds)
+    seed_ids = [
+        r["src"]
+        for r in adj.select("src").distinct().orderBy("src")
+        .limit(ref_seeds).collect()
+    ]
+    s8, s4 = set(seed_ids[:8]), set(seed_ids[:4])
+    totals = acc.groupBy("node").agg(
+        F.sum("delta_fp").cast("long").alias("ref_fp"),
+        F.sum(F.when(F.col("seed").isin(*s8), F.col("delta_fp")).otherwise(0))
+        .cast("long")
+        .alias("fp8"),
+        F.sum(F.when(F.col("seed").isin(*s4), F.col("delta_fp")).otherwise(0))
+        .cast("long")
+        .alias("fp4"),
+    )
+    top_ref = (
+        totals.orderBy(F.desc("ref_fp"), F.asc("node")).limit(k).collect()
+    )
+    top8 = {
+        r["node"]
+        for r in totals.orderBy(F.desc("fp8"), F.asc("node")).limit(k).collect()
+    }
+    for df in pinned:
+        df.unpersist()
+    adj.unpersist()
+
+    def milli(fp: int, n: int) -> int:
+        return (fp * 1000) // n
+
+    rows = []
+    for rank, r in enumerate(top_ref, start=1):
+        ref_m = milli(r["ref_fp"], ref_seeds)
+        e8, e4 = milli(r["fp8"], 8), milli(r["fp4"], 4)
+        rows.append(
+            (rank, r["node"], ref_m, e8, abs(ref_m - e8), e4,
+             abs(ref_m - e4), r["node"] in top8)
+        )
+    return spark.createDataFrame(
+        rows,
+        "rank long, node long, ref_per_seed_milli long,"
+        " est8_per_seed_milli long, err8_per_seed_milli long,"
+        " est4_per_seed_milli long, err4_per_seed_milli long,"
+        " in_est8_topk boolean",
     )

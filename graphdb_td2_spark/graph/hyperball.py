@@ -153,6 +153,15 @@ def _estimates(state: DataFrame) -> DataFrame:
     )
 
 
+def _lake_n_vertices(spark: SparkSession, sf_dir: str) -> int:
+    """|V| of the co-purchase graph from the lake stats sidecar — free
+    after the first build (VERDICT-r9 task 6: the broadcast-crossover
+    dispatch must not cost a ~20 s count job at sf10)."""
+    from ..lake import copurchase_stats
+
+    return copurchase_stats(spark, sf_dir)["n_vertices"]
+
+
 def _round_ready_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The co-purchase adjacency cached SERIALIZED for the R round scans.
 
@@ -167,7 +176,9 @@ def _round_ready_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperball_rounds(adj: DataFrame, rounds: int = ROUNDS):
+def _hyperball_rounds(
+    adj: DataFrame, rounds: int = ROUNDS, n_vertices: int | None = None
+):
     """Shared HyperBall round driver: yields ``(t, state, converged)``
     for t = 0 (self-sketch) through ``rounds`` — or fewer if the sketch
     set reaches its fixed point early (``converged`` marks the first
@@ -191,8 +202,11 @@ def _hyperball_rounds(adj: DataFrame, rounds: int = ROUNDS):
     the equivalence argument."""
     nodes = adj.select(F.col("src").alias("node")).distinct()
     state = _self_sketch(nodes).transform(truncate_lineage)
-    # the checkpoint just materialized, so this count is a block scan
-    small = state.count() <= _BROADCAST_STATE_MAX
+    if n_vertices is None:
+        # no caller-supplied |V| (ad-hoc adjacency): probe with a count
+        # — the checkpoint just materialized, so it's a block scan
+        n_vertices = state.count()
+    small = n_vertices <= _BROADCAST_STATE_MAX
     if small:
         # sub-bar graphs also flip the registers to SMALLINT: it shrank
         # the per-round broadcast ~26% wall at sf0.1 (25.4 s vs 35.2 s
@@ -246,7 +260,7 @@ def _hyperball_rounds(adj: DataFrame, rounds: int = ROUNDS):
 
 
 def hyperball_harmonic(
-    adj: DataFrame, rounds: int = ROUNDS
+    adj: DataFrame, rounds: int = ROUNDS, n_vertices: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Run ``rounds`` HyperBall iterations over the (symmetric) adjacency.
 
@@ -258,7 +272,7 @@ def hyperball_harmonic(
     assert rounds <= 4, "HARMONIC_LCM is lcm(1..4); adjust both together"
     acc: DataFrame | None = None
     est: DataFrame | None = None
-    for t, state, converged in _hyperball_rounds(adj, rounds):
+    for t, state, converged in _hyperball_rounds(adj, rounds, n_vertices):
         est = _estimates(state)
         if t == 0:
             acc = est.select(
@@ -296,7 +310,7 @@ def harmonic_centrality_approx_top20(
     milli-vertices × lcm(1..4) units; ``ball_est_milli`` is the round-4
     ball-size estimate in milli-vertices."""
     adj = _round_ready_adjacency(spark, sf_dir)
-    harmonic, est = hyperball_harmonic(adj)
+    harmonic, est = hyperball_harmonic(adj, n_vertices=_lake_n_vertices(spark, sf_dir))
     # hyperball_harmonic materialized its state eagerly (per-round lineage
     # truncation), so the returned frames no longer reference the adjacency
     # and the cache can be released before the final vertex-sized join.
@@ -321,13 +335,17 @@ def harmonic_approx_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch side reuses the full HyperBall run. Output is 8 rows.
     """
     adj = _round_ready_adjacency(spark, sf_dir)
-    _, est = hyperball_harmonic(adj)
+    _, est = hyperball_harmonic(adj, n_vertices=_lake_n_vertices(spark, sf_dir))
     seeds = (
         adj.select("src").distinct().orderBy("src").limit(N_SEEDS)
         .select(F.col("src").alias("seed"))
     )
-    # exact |B_4(seed)| including the seed itself
+    # exact |B_4(seed)| including the seed itself; every persisted round
+    # frame is tracked and released after the final collect (ADVICE-r9:
+    # the 9 pinned storage blocks otherwise outlive the query)
+    pinned: list[DataFrame] = []
     visited = seeds.select("seed", F.col("seed").alias("node")).persist()
+    pinned.append(visited)
     frontier = visited
     for _ in range(ROUNDS):
         nxt = (
@@ -338,6 +356,7 @@ def harmonic_approx_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist()
         )
         visited = visited.unionByName(nxt).persist()
+        pinned.extend((nxt, visited))
         frontier = nxt
     true_ball = visited.groupBy("seed").agg(
         F.count(F.lit(1)).cast("long").alias("true_ball")
@@ -358,6 +377,8 @@ def harmonic_approx_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = out.collect()
     adj.unpersist()
+    for frame in pinned:
+        frame.unpersist()
     return spark.createDataFrame(
         rows,
         "seed long, true_ball long, est_ball_milli long,"
@@ -382,7 +403,9 @@ def graph_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = _round_ready_adjacency(spark, sf_dir)
     sums = []
     last_t = 0
-    for t, state, converged in _hyperball_rounds(adj, ROUNDS):
+    for t, state, converged in _hyperball_rounds(
+        adj, ROUNDS, n_vertices=_lake_n_vertices(spark, sf_dir)
+    ):
         sums.append(
             _estimates(state).agg(
                 F.sum("est").cast("long").alias("s")

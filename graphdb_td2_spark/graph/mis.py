@@ -29,8 +29,6 @@ shuffles key on the vertex id.
 
 from __future__ import annotations
 
-import functools
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .checkpointing import truncate_lineage
@@ -91,19 +89,25 @@ def mis_round_sizes(
         nxt = active.join(removed, "node", "left_anti").transform(
             truncate_lineage
         )
-        rows.append(
+        # collect the three counts EAGERLY while adj is still cached
+        # (ADVICE-r9: lazy count plans re-derived the adjacency and all
+        # per-round semi-joins after adj.unpersist())
+        cnt = (
             active.agg(F.count(F.lit(1)).alias("n_active"))
             .crossJoin(selected.agg(F.count(F.lit(1)).alias("n_selected")))
             .crossJoin(removed.agg(F.count(F.lit(1)).alias("n_removed")))
-            .select(
-                F.lit(r).cast("long").alias("round"),
-                F.col("n_selected").cast("long").alias("n_selected"),
-                F.col("n_removed").cast("long").alias("n_removed"),
-                (F.col("n_active") - F.col("n_removed"))
-                .cast("long")
-                .alias("n_remaining"),
+            .first()
+        )
+        rows.append(
+            (
+                r,
+                cnt["n_selected"],
+                cnt["n_removed"],
+                cnt["n_active"] - cnt["n_removed"],
             )
         )
         active = nxt
     adj.unpersist()
-    return functools.reduce(DataFrame.unionByName, rows).orderBy("round")
+    return spark.createDataFrame(
+        rows, "round long, n_selected long, n_removed long, n_remaining long"
+    ).orderBy("round")

@@ -334,6 +334,60 @@ def lsh_buckets_bucketed(
     )
 
 
+# (sf_dir, fingerprint) -> stats dict; process-wide (not per-app: the
+# stats are a pure function of the fingerprinted corpus)
+_STATS_CACHE: dict[tuple[str, str], dict] = {}
+
+
+def copurchase_stats(spark: SparkSession, sf_dir: str) -> dict:
+    """``{"n_vertices": .., "n_edges": ..}`` of the co-purchase graph —
+    persisted once per corpus as a fingerprinted sidecar next to the lake
+    tables, so iterative-algorithm dispatch decisions (e.g. HyperBall's
+    broadcast-vs-shuffle switch at ``_BROADCAST_STATE_MAX``) read a FREE
+    number instead of running a vertex-count probe job (~20 s at sf10,
+    PERF_NOTES_r9 §8). Computed at lake-build time (``build_lake``);
+    a cold read outside a built lake pays the one count job and then
+    publishes the sidecar for every later process."""
+    sf = sf_dir.rstrip("/")
+    fp = _fingerprint(spark, sf, "copurchase_stats", ["lineitem"], [], [], 0)
+    cached = _STATS_CACHE.get((sf, fp))
+    if cached is not None:
+        return cached
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    digest = hashlib.md5(sf.encode()).hexdigest()[:8]
+    loc = f"{warehouse}/_lake_stats_{digest}.json"
+    fs, p, jvm = _hadoop(spark, loc)
+    if fs.exists(p):
+        stream = fs.open(p)
+        try:
+            sidecar = json.loads(bytes(stream.readAllBytes()).decode())
+        finally:
+            stream.close()
+        if sidecar.get("fingerprint") == fp:
+            stats = {k: sidecar[k] for k in ("n_vertices", "n_edges")}
+            _STATS_CACHE[(sf, fp)] = stats
+            return stats
+    from .graph.walks import copurchase_adjacency
+
+    row = copurchase_adjacency(spark, sf).agg(
+        F.countDistinct("src").cast("long").alias("n_vertices"),
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+    ).first()
+    stats = {"n_vertices": row["n_vertices"], "n_edges": row["n_edges"]}
+    out = fs.create(p, True)  # tiny idempotent sidecar: last writer wins
+    try:
+        out.write(
+            json.dumps(
+                {"fingerprint": fp, "version": _LAKE_FORMAT_VERSION, **stats},
+                sort_keys=True,
+            ).encode()
+        )
+    finally:
+        out.close()
+    _STATS_CACHE[(sf, fp)] = stats
+    return stats
+
+
 def build_lake(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     """Materialize every lake artifact for a corpus; returns
     {artifact: table name}. Queries call the per-artifact accessors lazily,
@@ -343,6 +397,7 @@ def build_lake(spark: SparkSession, sf_dir: str) -> dict[str, str]:
 
     items_bucketed(spark, sf_dir)
     lsh_buckets_bucketed(spark, sf_dir, N_HASHES, N_BANDS, BUCKET_CAP)
+    copurchase_stats(spark, sf_dir)
     app = spark.sparkContext.applicationId
     sf = sf_dir.rstrip("/")
     return {

@@ -262,6 +262,23 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..graph.checkpointing import truncate_lineage
 
     counts = _journey_transition_counts(spark, sf_dir)
+    # _TRANSIENT hardcodes the journey-state enum; a corpus gaining a new
+    # event type would otherwise silently drop its transitions from n_out
+    # in BOTH engines identically — fail loudly instead (ADVICE-r9). The
+    # collect is |types|²-bounded and doubles as the materialization the
+    # five broadcast scenarios reuse (one corpus pass, not two).
+    counts_rows = counts.collect()
+    unknown = sorted(
+        ({r["src"] for r in counts_rows} - {"start", *_TRANSIENT})
+        | ({r["dst"] for r in counts_rows} - set(_DSTS))
+    )
+    if unknown:
+        raise ValueError(
+            "markov_removal_attribution: journey states "
+            f"{unknown} are not in the modeled enum {_DSTS}; extend "
+            "_TRANSIENT (and the oracle twin) before trusting the fit"
+        )
+    counts = spark.createDataFrame(counts_rows, counts.schema)
     scenarios = spark.createDataFrame(
         [("none",)] + [(t,) for t in _TRANSIENT], "removed string"
     )

@@ -503,9 +503,12 @@ def seasonal_naive_forecast_error(
             (F.col("sum_abs_err_cents").cast("double") / F.col("n_days")).alias(
                 "mae_cents"
             ),
-            (
+            # zero-denominator guard (ADVICE-r9): an all-zero month is
+            # NULL in Spark but inf in DuckDB — make both engines NULL
+            F.when(
+                F.col("sum_actual_cents") > 0,
                 F.col("sum_abs_err_cents").cast("double")
-                / F.col("sum_actual_cents")
+                / F.col("sum_actual_cents"),
             ).alias("wape"),
         )
         .orderBy("month")

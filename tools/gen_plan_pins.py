@@ -84,6 +84,8 @@ TAIL_TOP = [
     "tfidf_neardup_pairs",
     "mis_round_sizes",
     "markov_removal_attribution",
+    # round-10 additions
+    "betweenness_approx_error_report",
 ]
 
 

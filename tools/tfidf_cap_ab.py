@@ -1,0 +1,84 @@
+"""Measured before/after for the round-10 TF-IDF absolute df cap
+(VERDICT r9 task #1): at the synthetic sf1 corpus (50k documents,
+``tools/scale_rehearsal.py`` replica) the relative prune alone keeps
+terms with df up to n_docs/10 = 5000, each emitting up to df²/2 pairs
+from the term-keyed self-join; ``TFIDF_DF_CAP`` = 2000 bounds every
+surviving term at 2M pairs. Records, for cap and no-cap variants:
+
+- n_pairs: rows out of the term-keyed self-join (the ``dots`` frame),
+- wall_sec: end-to-end top-k query wall,
+- n_vocab_kept: surviving vocabulary size.
+
+Usage: python tools/tfidf_cap_ab.py [out_json]  (default
+TFIDF_CAP_AB_r10.json). Requires /tmp/spark_graft_sf1.0 (regenerate via
+tools/scale_rehearsal.py's generate()).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from graphdb_td2_spark.dedup.tfidf import (  # noqa: E402
+    TFIDF_DF_CAP,
+    tfidf_dots,
+    tfidf_pairs,
+    tfidf_weights,
+)
+from graphdb_td2_spark.io import read_table  # noqa: E402
+from graphdb_td2_spark.session import get_spark  # noqa: E402
+from tools.scale_rehearsal import SF1_DIR, generate  # noqa: E402
+
+NO_CAP = 10**9
+
+
+def measure(spark, docs, df_cap: int) -> dict:
+    t0 = time.monotonic()
+    n_pairs = tfidf_dots(docs, df_cap=df_cap).count()
+    pairs_sec = time.monotonic() - t0
+    t0 = time.monotonic()
+    rows = tfidf_pairs(docs, df_cap=df_cap).collect()
+    wall_sec = time.monotonic() - t0
+    n_vocab = (
+        tfidf_weights(docs, df_cap=df_cap).select("w").distinct().count()
+    )
+    return {
+        "df_cap": df_cap if df_cap != NO_CAP else None,
+        "n_pairs": n_pairs,
+        "pairs_count_sec": round(pairs_sec, 2),
+        "topk_wall_sec": round(wall_sec, 2),
+        "n_vocab_kept": n_vocab,
+        "top1": [rows[0]["doc_a"], rows[0]["doc_b"], rows[0]["cosine"]],
+    }
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "TFIDF_CAP_AB_r10.json"
+    if not Path(SF1_DIR).exists():
+        generate()
+    spark = get_spark("tfidf-cap-ab")
+    docs = read_table(spark, SF1_DIR, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+    before = measure(spark, docs, NO_CAP)  # relative-only (pre-r10)
+    after = measure(spark, docs, TFIDF_DF_CAP)  # shipped
+    artifact = {
+        "sf1_dir": SF1_DIR,
+        "n_docs": n_docs,
+        "relative_cap_n_div_10": n_docs // 10,
+        "absolute_cap": TFIDF_DF_CAP,
+        "before_relative_only": before,
+        "after_shipped": after,
+        "pair_reduction": round(
+            1 - after["n_pairs"] / max(before["n_pairs"], 1), 4
+        ),
+    }
+    Path(out_path).write_text(json.dumps(artifact, indent=1) + "\n")
+    print(json.dumps(artifact))
+
+
+if __name__ == "__main__":
+    main()
