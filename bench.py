@@ -42,10 +42,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 import __spark_entry__ as entry_mod  # noqa: E402
 from graphdb_td2_spark.session import get_spark  # noqa: E402
 
-# Headline set: the reference-parity recommendation path, graph build,
-# representative relational/window/JSON analytics, and the Stage-5
-# LLM-pipeline operators.
-HEADLINE = [
+# The r1-r9 headline set, kept verbatim so every legacy query stays
+# individually comparable round-over-round (the JSON also reports their
+# sum as ``legacy26_total``).
+HEADLINE_LEGACY = [
     "recs_product_cooccurrence",
     "recs_customer_cf",
     "recs_customer_brand_fallback",
@@ -72,6 +72,108 @@ HEADLINE = [
     "graph_constraint_checks",
     "multimodal_feature_stats",
     "streaming_event_windows",
+]
+
+# Round-10 widened headline (VERDICT r9 task 4): one tier per engine
+# family so a regression localizes to the subsystem that caused it.
+# Every legacy query keeps its slot; the additions cover the tiers the
+# 26-query set left invisible (iterative graph, the r8/r9 dedup family,
+# IVM serving, trained ANN). ``tier_totals`` in the JSON sums medians
+# per tier.
+TIERS = {
+    "reference_recs": [
+        "recs_product_cooccurrence",
+        "recs_customer_cf",
+        "recs_customer_brand_fallback",
+        "top_cooccurrence_pairs",
+        "graph_vertex_counts",
+        "graph_edge_counts",
+        "graph_constraint_checks",
+    ],
+    "relational": [
+        "pricing_summary",
+        "brand_revenue",
+        "region_sales",
+        "top_customers",
+        "local_supplier_volume",
+        "returnflag_cube",
+        "order_priority_rollup",
+        "value_percentiles",
+        "customer_activity_setops",
+        "sales_grouping_sets",
+    ],
+    "windows_timeseries": [
+        "sessionize",
+        "user_event_deltas",
+        "event_value_ranks",
+        "events_asof_last_order",
+        "event_type_stats",
+        "rolling_active_users",
+        "smoothed_daily_revenue",
+        "seasonal_naive_forecast_error",
+    ],
+    "graph_iterative": [
+        "pagerank_top20",
+        "ppr_top20",
+        "component_sizes",
+        "triangle_stats",
+        "harmonic_centrality_approx_top20",
+        "hits_top20",
+        "lpa_community_sizes",
+        "sssp_top20",
+        "kcore_sizes",
+        "mis_round_sizes",
+        "betweenness_sample_top20",
+    ],
+    "dedup_text": [
+        "token_stats",
+        "exact_dedup_stats",
+        "minhash_lsh_pairs",
+        "simhash_docs",
+        "ngram_jaccard_pairs",
+        "embedding_neardup_pairs",
+        "dedup_clusters",
+        "semantic_dedup_stats",
+        "tfidf_neardup_pairs",
+        "winnowed_duplicate_spans",
+        "clean_corpus_stats",
+        "bpe_merge_table",
+    ],
+    "ann_search": [
+        "ann_topk_bruteforce",
+        "ann_topk_lsh",
+        "ann_topk_ivf",
+        "ann_topk_ivf_trained",
+        "ann_topk_ivfpq",
+        "bm25_doc_topk",
+        "hybrid_search_topk",
+    ],
+    "streaming_ivm": [
+        "streaming_event_windows",
+        "streaming_sliding_windows",
+        "streaming_topk_products",
+        "streaming_minhash_pairs",
+        "ivm_cooccurrence_top20",
+        "ivm_served_recs_customer",
+        "cdc_customer_state",
+    ],
+    "multimodal": [
+        "multimodal_feature_stats",
+        "media_pool_resize",
+    ],
+}
+
+# queries whose single run exceeds the whole rest of a tier: timed ONCE
+# (spread degenerates to [x, x]); everything else keeps median-of-N
+HEAVY_SINGLE_RUN = {
+    "betweenness_sample_top20",
+}
+
+HEADLINE = HEADLINE_LEGACY + [
+    q
+    for tier in TIERS.values()
+    for q in tier
+    if q not in HEADLINE_LEGACY
 ]
 
 
@@ -179,7 +281,8 @@ def main() -> None:
     for name in HEADLINE:
         fn = queries[name]
         samples: list[float] = []
-        for _ in range(n_runs):
+        q_runs = 1 if name in HEAVY_SINGLE_RUN else n_runs
+        for _ in range(q_runs):
             t0 = time.time()
             try:
                 n = len(fn(spark, sf_dir).collect())
@@ -190,7 +293,7 @@ def main() -> None:
                 print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
                 break
             samples.append(time.time() - t0)
-        if name in errors or len(samples) < n_runs:
+        if name in errors or len(samples) < q_runs:
             # an errored query must not feed the headline total with a
             # median of partial samples (ADVICE-r9)
             continue
@@ -223,6 +326,16 @@ def main() -> None:
         "lake_build_sec": lake_build,
         "runs": n_runs,
         "spread": spread,
+        "n_queries": len(timings),
+        "legacy26_total": round(
+            sum(timings.get(q, 0.0) for q in HEADLINE_LEGACY), 3
+        ),
+        "tier_totals": {
+            tier: round(sum(timings.get(q, 0.0) for q in members), 3)
+            for tier, members in TIERS.items()
+        },
+        "tiers": TIERS,
+        "heavy_single_run": sorted(HEAVY_SINGLE_RUN),
         "calibration_sec": [cal_before, cal_after],
         "calibration_ref_sec": cal_ref,
         "calibration_ok": cal_ok,
