@@ -70,3 +70,30 @@ def test_corpus_invariants(spark, sf_dir):
     for r in rows:
         assert r["betweenness_fp"] >= 0
         assert 1 <= r["n_seeds_reaching"] <= 8
+
+
+def test_error_report_prefix_estimators_are_additive(spark, sf_dir):
+    """The report's est8 column must equal an INDEPENDENT 8-seed run of
+    the shipped estimator (per-seed dependencies are additive, so the
+    16-seed pass's 8-seed prefix IS the 8-seed estimator), and the
+    in_est8_topk flag must agree with betweenness_sample_top20's own
+    top-k set."""
+    from graphdb_td2_spark.graph.betweenness import (
+        betweenness_approx_error_report,
+        betweenness_sample_top20,
+    )
+
+    report = {
+        r["node"]: r
+        for r in betweenness_approx_error_report(spark, sf_dir).collect()
+    }
+    own = betweenness_sample_top20(spark, sf_dir).collect()
+    own_topk = {r["node"] for r in own}
+    own_fp = {r["node"]: r["betweenness_fp"] for r in own}
+    checked = 0
+    for node, row in report.items():
+        assert row["in_est8_topk"] == (node in own_topk)
+        if node in own_fp:
+            assert row["est8_per_seed_milli"] == own_fp[node] * 1000 // 8
+            checked += 1
+    assert checked > 0  # the two top-20 sets overlap on this corpus
