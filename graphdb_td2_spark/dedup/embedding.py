@@ -7,9 +7,16 @@ block. Cosine uses the quantized-exact formulation
 (:mod:`graphdb_td2_spark.functions.vectors`) so the DuckDB oracle matches
 bit-for-bit.
 
-Scale notes: the within-block self-join shuffles on the block key; block
-sizes bound the quadratic term. For production-scale ANN blocking see
-:mod:`graphdb_td2_spark.similarity.ann` (sign-LSH buckets).
+Scale notes: the within-block self-join shuffles on the block key, and
+the quadratic term is bounded by the LARGEST BLOCK — which, with a
+fixed label domain, grows linearly with the corpus (measured 12.6× wall
+at 10× rows, SCALE_r10_full.json): this operator is the EXACT
+within-block baseline, correct at any scale but priced O(Σ block²).
+The 100 TB members of the family are the sub-blocked approximate paths —
+:mod:`graphdb_td2_spark.similarity.ann` (sign-LSH buckets, IVF cells)
+and :mod:`graphdb_td2_spark.dedup.semantic` (k-means-cell blocking) —
+which keep per-bucket fan-out constant; a pipeline uses THIS operator on
+a sampled or pre-blocked slice when it needs the exact answer.
 """
 
 from __future__ import annotations

@@ -331,16 +331,33 @@ def recs_backtest_by_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # -- brand fallback: lowest-id products of the customer's brands -----
-    owned_brands = (
+    # Fan-out prune (r10, found by the sf1 disk monitor): the naive
+    # (customer, brand) × all-brand-products join is QUADRATIC in scale
+    # factor — products-per-brand grows with the corpus while the brand
+    # domain stays fixed, so sf1 emitted ~1.2B candidate rows and filled
+    # 77 GB of shuffle spill. The ranking is lowest-product-id-first, so
+    # a product with ≥ n_owned_in_brand + K smaller-id brandmates can
+    # NEVER reach the customer's top-K (at most n_owned of the smaller
+    # ones are owned, leaving ≥ K better non-owned candidates in the
+    # same brand). Keeping per (customer, brand) only the brand's lowest
+    # (n_owned_in_brand + K) ids makes the candidate set
+    # |owned| + K·|customer-brand pairs| — linear — with a provably
+    # identical result (the oracle hash is unchanged at both scales).
+    owned_in_brand = (
         train_owned.join(
             F.broadcast(part),
             train_owned["product_id"] == part["p_partkey"],
         )
-        .select("customer_id", "p_brand")
-        .distinct()
+        .groupBy("customer_id", "p_brand")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_owned_b"))
+    )
+    wbrand = Window.partitionBy("p_brand").orderBy(F.asc("p_partkey"))
+    ranked_parts = part.select(
+        "p_brand", "p_partkey", F.row_number().over(wbrand).alias("brank")
     )
     brand_cand = (
-        owned_brands.join(F.broadcast(part), "p_brand")
+        owned_in_brand.join(F.broadcast(ranked_parts), "p_brand")
+        .filter(F.col("brank") <= F.col("n_owned_b") + BACKTEST_K)
         .select("customer_id", F.col("p_partkey").alias("rec"))
         .join(
             train_owned.select("customer_id", F.col("product_id").alias("rec")),
@@ -427,4 +444,13 @@ def recs_backtest_by_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
-    return out.orderBy("strategy")
+    out = out.orderBy("strategy")
+    # materialize the 5-row result eagerly so the three persisted frames
+    # (train_owned / test_new / ratings) can be released — a long session
+    # running the whole registry must not accumulate pinned corpus-sized
+    # blocks per query (the hyperball/mis unpersist discipline; the r10
+    # full-registry scale runner OOM'd on exactly this accumulation)
+    collected = out.collect()
+    for df in (train_owned, test_new, ratings):
+        df.unpersist()
+    return spark.createDataFrame(collected, out.schema)
