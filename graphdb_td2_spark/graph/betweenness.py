@@ -52,6 +52,7 @@ import functools
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .centrality import N_SEEDS, ROUNDS, TOP_K
+from .checkpointing import truncate_lineage
 from .walks import copurchase_adjacency
 
 DELTA_SCALE = 1000  # fixed-point dependency units (milli-dependencies)
@@ -239,7 +240,14 @@ def betweenness_approx_error_report(
         F.sum(F.when(F.col("seed").isin(*s4), F.col("delta_fp")).otherwise(0))
         .cast("long")
         .alias("fp4"),
-    )
+    ).transform(truncate_lineage)
+    # the eager checkpoint cut totals loose from the 4-level×16-delta
+    # plan tree, so every per-level cache releases BEFORE the two top-k
+    # scans (the r10 sweep OOM'd building the un-truncated plan string
+    # for the second aggregation in a long session)
+    for df in pinned:
+        df.unpersist()
+    adj.unpersist()
     top_ref = (
         totals.orderBy(F.desc("ref_fp"), F.asc("node")).limit(k).collect()
     )
@@ -247,9 +255,6 @@ def betweenness_approx_error_report(
         r["node"]
         for r in totals.orderBy(F.desc("fp8"), F.asc("node")).limit(k).collect()
     }
-    for df in pinned:
-        df.unpersist()
-    adj.unpersist()
 
     def milli(fp: int, n: int) -> int:
         return (fp * 1000) // n
