@@ -99,8 +99,10 @@ from graphdb_td2_spark.similarity import (
 )
 from graphdb_td2_spark.similarity.pq import (
     ann_topk_ivfpq,
+    ann_topk_ivfpq_refined,
     pq_adc_topk,
     pq_recall_report,
+    pq_refine_gain_report,
 )
 from graphdb_td2_spark.operators.transitions import (
     event_transition_matrix,
@@ -676,6 +678,11 @@ DEMOTED_TAIL = (
                                         # sampled Brandes estimator (4/8
                                         # prefixes vs 16-seed reference,
                                         # one additive pass)
+    "ann_topk_ivfpq_refined",  # IVF-PQ + exact rerank of the ADC
+                               # shortlist — the production two-stage
+                               # serving pattern (R point reads/query)
+    "pq_refine_gain_report",  # recall@k of ADC vs ADC+refine against
+                              # brute-force truth — what the rerank buys
 )
 
 
@@ -927,6 +934,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis_round_sizes": mis_round_sizes,
         "markov_removal_attribution": markov_removal_attribution,
         "betweenness_approx_error_report": betweenness_approx_error_report,
+        "ann_topk_ivfpq_refined": ann_topk_ivfpq_refined,
+        "pq_refine_gain_report": pq_refine_gain_report,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -4069,6 +4078,84 @@ SELECT query_id, rank, vec_id, adc_dist FROM (
     ) AS BIGINT) AS rank
   FROM scored
 ) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+    # similarity/pq.py:ann_topk_ivfpq_refined — ADC shortlist of REFINE_R
+    # from the probed cell, exact quantized-cosine rerank, top-5.
+    from graphdb_td2_spark.similarity.pq import REFINE_R as _PQ_RR
+
+    _ivfpq_refine_ctes = f""",
+shortlist AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC
+      ) AS rank
+    FROM scored
+  ) WHERE rank <= {_PQ_RR}
+),
+queries_r AS (SELECT vec_id AS query_id, qe AS query_qe FROM q
+              WHERE vec_id < 5),
+rescored AS (
+  SELECT s.query_id, s.vec_id,
+    {_cosine_sql("query_qe", "qe")} AS cosine
+  FROM shortlist s
+  JOIN q ON q.vec_id = s.vec_id
+  JOIN queries_r ON queries_r.query_id = s.query_id
+),
+refined AS (
+  SELECT query_id, vec_id, cosine,
+    CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+    ) AS BIGINT) AS rank
+  FROM rescored
+)"""
+    sqls["ann_topk_ivfpq_refined"] = _ivfpq_with + _ivfpq_refine_ctes + """
+SELECT query_id, rank, vec_id, cosine FROM refined
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+    # similarity/pq.py:pq_refine_gain_report — recall@5 of ADC vs
+    # ADC+refine against brute-force truth, one row.
+    sqls["pq_refine_gain_report"] = _ivfpq_with + _ivfpq_refine_ctes + f""",
+queries_g AS (SELECT vec_id AS query_id, qe AS query_qe FROM q
+              WHERE vec_id < 5),
+scored_g AS (
+  SELECT query_id, q.vec_id, {_cosine_sql("query_qe", "qe")} AS cosine
+  FROM q CROSS JOIN queries_g WHERE q.vec_id <> query_id
+),
+truth_g AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM scored_g
+  ) WHERE rank <= 5
+),
+approx_g AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY adc_dist ASC, vec_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+),
+refined_g AS (SELECT query_id, vec_id FROM refined WHERE rank <= 5),
+counts_g AS (
+  SELECT
+    (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) FROM truth_g)
+      AS n_queries,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth_g) AS n_truth,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth_g t JOIN approx_g a
+       ON t.query_id = a.query_id AND t.vec_id = a.vec_id) AS n_hits_adc,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth_g t JOIN refined_g r
+       ON t.query_id = r.query_id AND t.vec_id = r.vec_id) AS n_hits_refined
+)
+SELECT n_queries, CAST(n_truth // n_queries AS BIGINT) AS k,
+  n_hits_adc, n_hits_refined,
+  CAST(n_hits_adc AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall_adc,
+  CAST(n_hits_refined AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall_refined
+FROM counts_g
 """
 
     # similarity/pq.py:pq_recall_report — IVF-PQ top-5 vs brute-force

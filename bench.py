@@ -145,6 +145,7 @@ TIERS = {
         "ann_topk_ivf",
         "ann_topk_ivf_trained",
         "ann_topk_ivfpq",
+        "ann_topk_ivfpq_refined",
         "bm25_doc_topk",
         "hybrid_search_topk",
     ],

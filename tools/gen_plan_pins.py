@@ -86,6 +86,8 @@ TAIL_TOP = [
     "markov_removal_attribution",
     # round-10 additions
     "betweenness_approx_error_report",
+    "ann_topk_ivfpq_refined",
+    "pq_refine_gain_report",
 ]
 
 
