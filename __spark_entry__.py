@@ -683,6 +683,9 @@ DEMOTED_TAIL = (
                                # serving pattern (R point reads/query)
     "pq_refine_gain_report",  # recall@k of ADC vs ADC+refine against
                               # brute-force truth — what the rerank buys
+    "t_closeness_report",  # ordered-band EMD per QI group vs global —
+                           # the skewness attack l-diversity misses
+                           # (k-anon → l-div → t-closeness family)
 )
 
 
@@ -936,6 +939,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_approx_error_report": betweenness_approx_error_report,
         "ann_topk_ivfpq_refined": ann_topk_ivfpq_refined,
         "pq_refine_gain_report": pq_refine_gain_report,
+        "t_closeness_report": governance.t_closeness_report,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -6822,6 +6826,87 @@ SELECT 'segment', CAST(COUNT(*) AS BIGINT), CAST(MIN(l) AS BIGINT),
 FROM g_segment
 ORDER BY quasi_identifier
 """
+
+    # functions/governance.py:t_closeness_report — 1-D EMD between each
+    # QI group's acctbal-band distribution and the global one, exact
+    # integer fixed point over the bounded group×band lattice.
+    from graphdb_td2_spark.functions.governance import (
+        T_CLOSENESS_FP as _TC_T,
+        T_SCALE as _TC_S,
+    )
+
+    _tc_qis = [
+        ("nation", "CAST(c_nationkey AS VARCHAR)"),
+        ("segment", "c_mktsegment"),
+        (
+            "nation+segment",
+            "CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment",
+        ),
+    ]
+    _tc_parts = [
+        """c_tc AS (
+  SELECT c_nationkey, c_mktsegment,
+    CAST(FLOOR(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) / 100000)
+      AS BIGINT) AS band
+  FROM customer
+),
+glob_tc AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS gn
+            FROM c_tc GROUP BY band),
+gcdf_tc AS (
+  SELECT band, CAST(SUM(gn) OVER (ORDER BY band
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_all
+  FROM glob_tc
+),
+tot_tc AS (SELECT CAST(SUM(gn) AS BIGINT) AS n_all,
+                  CAST(COUNT(*) AS BIGINT) AS n_bands FROM glob_tc)"""
+    ]
+    _tc_rows = []
+    for _i, (_qn, _gx) in enumerate(_tc_qis):
+        _tc_parts.append(
+            f"""gb{_i} AS (
+  SELECT {_gx} AS g, band, CAST(COUNT(*) AS BIGINT) AS n
+  FROM c_tc GROUP BY 1, 2
+),
+grp{_i} AS (SELECT g, CAST(SUM(n) AS BIGINT) AS n_g FROM gb{_i} GROUP BY g),
+lat{_i} AS (
+  SELECT grp.g, b.band, grp.n_g, CAST(COALESCE(gb.n, 0) AS BIGINT) AS n
+  FROM grp{_i} grp
+  CROSS JOIN (SELECT band FROM gcdf_tc) b
+  LEFT JOIN gb{_i} gb ON gb.g = grp.g AND gb.band = b.band
+),
+cdf{_i} AS (
+  SELECT g, band, n_g,
+    CAST(SUM(n) OVER (PARTITION BY g ORDER BY band
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_g
+  FROM lat{_i}
+),
+pg{_i} AS (
+  SELECT g, n_g,
+    CAST(CAST(SUM(ABS(CAST(cum_g AS HUGEINT) * n_all
+                      - CAST(cum_all AS HUGEINT) * n_g)) * {_TC_S} AS HUGEINT)
+      // (CAST(n_g AS HUGEINT) * n_all * GREATEST(n_bands - 1, 1))
+      AS BIGINT) AS t_fp
+  FROM cdf{_i} JOIN gcdf_tc USING (band) CROSS JOIN tot_tc
+  GROUP BY g, n_g, n_all, n_bands
+)"""
+        )
+        _tc_rows.append(
+            f"""SELECT '{_qn}' AS quasi_identifier,
+  CAST(COUNT(*) AS BIGINT) AS n_groups,
+  CAST(MAX(t_fp) AS BIGINT) AS max_t_fp,
+  CAST(SUM(CASE WHEN t_fp > {_TC_T} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_weak_groups,
+  CAST(SUM(CASE WHEN t_fp > {_TC_T} THEN n_g ELSE 0 END) AS BIGINT)
+    AS n_exposed_rows
+FROM pg{_i}"""
+        )
+    sqls["t_closeness_report"] = (
+        "WITH "
+        + ",\n".join(_tc_parts)
+        + "\nSELECT * FROM (\n"
+        + "\nUNION ALL\n".join(_tc_rows)
+        + "\n) ORDER BY quasi_identifier\n"
+    )
 
     # operators/timeseries.py:seasonal_naive_forecast_error — dense day
     # axis, lag-7 forecast, monthly exact-cents error rollup.

@@ -220,3 +220,128 @@ def l_diversity_report(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("quasi_identifier")
+
+
+T_CLOSENESS_FP = 200_000  # groups with EMD > 0.2 (micro units) leak
+T_SCALE = 1_000_000
+
+
+def t_closeness_report(
+    spark: SparkSession, sf_dir: str, t_max_fp: int = T_CLOSENESS_FP
+) -> DataFrame:
+    """Registry entry: ``(quasi_identifier, n_groups, max_t_fp,
+    n_weak_groups, n_exposed_rows)`` — t-closeness audit over the same
+    quasi-identifier sets as :func:`k_anonymity_report`, sensitive
+    attribute = the shared acctbal band. t is the 1-D earth mover's
+    distance between a group's band distribution and the GLOBAL one
+    (unit ground distance between adjacent bands, normalized by B−1 so
+    t ∈ [0, 1]) — the skewness attack l-diversity misses: a group can
+    hold ``l`` distinct values yet sit almost entirely in the tail.
+    Completes the privacy family k-anonymity → l-diversity →
+    t-closeness. Ordered by quasi_identifier.
+
+    Cross-engine exactness: 1-D EMD over ordered bands is
+    Σ_i |CDF_group(i) − CDF_global(i)|; with integer counts that is
+
+        t_fp = (Σ_i |cum_g(i)·N − CUM(i)·n_g|) · T_SCALE
+                 div (n_g · N · (B−1))
+
+    — one floor division over an exact integer sum (DECIMAL(38,0)
+    accumulators, the tfidf discipline, so the products are exact far
+    beyond int64 corpora).
+
+    Scale: one (QI, band) hash agg per QI set (partial-agged,
+    corpus-sized scan) — everything after is over the bounded
+    |groups| × |bands| lattice (domain-bounded, never corpus-sized);
+    the global CDF window runs on the ~100-row band axis.
+    """
+    from pyspark.sql import Window
+
+    customer = read_table(
+        spark,
+        sf_dir,
+        "customer",
+        ["c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"],
+    )
+    band = F.floor(
+        (F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long"))
+        / F.lit(100000)
+    ).cast("long")
+    qis = {
+        "nation": [F.col("c_nationkey").cast("string")],
+        "segment": [F.col("c_mktsegment")],
+        "nation+segment": [
+            F.col("c_nationkey").cast("string"),
+            F.col("c_mktsegment"),
+        ],
+    }
+    glob = customer.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).cast("long").alias("gn")
+    )
+    w_glob = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    glob_cdf = glob.select(
+        "band", F.sum("gn").over(w_glob).cast("long").alias("cum_all")
+    )
+    totals = glob.agg(
+        F.sum("gn").cast("long").alias("n_all"),
+        F.count(F.lit(1)).cast("long").alias("n_bands"),
+    )
+    out = None
+    for name, cols in qis.items():
+        gb = customer.groupBy(
+            F.concat_ws("|", *cols).alias("g"), band.alias("band")
+        ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+        grp = gb.groupBy("g").agg(F.sum("n").cast("long").alias("n_g"))
+        lattice = (
+            grp.crossJoin(F.broadcast(glob_cdf.select("band")))
+            .join(gb, ["g", "band"], "left")
+            .select("g", "band", "n_g", F.coalesce("n", F.lit(0)).alias("n"))
+        )
+        w_g = Window.partitionBy("g").orderBy("band").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cdfs = lattice.select(
+            "g",
+            "band",
+            "n_g",
+            F.sum("n").over(w_g).cast("long").alias("cum_g"),
+        ).join(F.broadcast(glob_cdf), "band").crossJoin(F.broadcast(totals))
+        per_group = (
+            cdfs.select(
+                "g",
+                "n_g",
+                "n_all",
+                "n_bands",
+                F.abs(
+                    F.col("cum_g").cast("decimal(38,0)") * F.col("n_all")
+                    - F.col("cum_all").cast("decimal(38,0)") * F.col("n_g")
+                ).alias("diff"),
+            )
+            .groupBy("g", "n_g", "n_all", "n_bands")
+            .agg(F.sum("diff").alias("sdiff"))
+            .select(
+                "g",
+                "n_g",
+                F.expr(
+                    f"cast((sdiff * {T_SCALE}) div (cast(n_g as decimal(38,0))"
+                    " * n_all * greatest(n_bands - 1, 1)) as bigint)"
+                ).alias("t_fp"),
+            )
+        )
+        row = per_group.agg(
+            F.lit(name).alias("quasi_identifier"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.max("t_fp").cast("long").alias("max_t_fp"),
+            F.sum((F.col("t_fp") > t_max_fp).cast("long"))
+            .cast("long")
+            .alias("n_weak_groups"),
+            F.sum(
+                F.when(F.col("t_fp") > t_max_fp, F.col("n_g")).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_exposed_rows"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("quasi_identifier")

@@ -88,6 +88,7 @@ TAIL_TOP = [
     "betweenness_approx_error_report",
     "ann_topk_ivfpq_refined",
     "pq_refine_gain_report",
+    "t_closeness_report",
 ]
 
 
