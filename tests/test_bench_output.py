@@ -1,0 +1,94 @@
+"""Pin the bench compact-stdout-line contract (VERDICT r10 task 1).
+
+The driver keeps only the last 2000 chars of bench stdout; r10's single
+~6.5 KB JSON line came back ``parsed: null``. ``bench.build_outputs``
+now splits a compact last-line summary from a full per-query file —
+these tests pin (a) the byte budget under worst-case timings and
+(b) the null-not-zero semantics for totals with missing members
+(ADVICE r10: ``timings.get(q, 0.0)`` made a failing query look like a
+speedup).
+"""
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import bench  # noqa: E402
+
+
+def _fake_run(timings):
+    spread = {q: [round(v * 0.9, 3), round(v * 1.1, 3)] for q, v in timings.items()}
+    return bench.build_outputs(
+        timings=timings,
+        spread=spread,
+        errors={},
+        sf=0.1,
+        lake_build=11.123,
+        n_runs=3,
+        cal_before=0.512,
+        cal_after=0.498,
+        cal_ref=0.479,
+        cal_ok=True,
+    )
+
+
+def test_compact_line_fits_driver_tail_worst_case():
+    # worst case: every headline query timed, every value max-width
+    timings = {q: 99999.999 for q in bench.HEADLINE}
+    compact, full = _fake_run(timings)
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= bench.COMPACT_LINE_BUDGET, len(line)
+    # the compact line still satisfies the driver contract shape
+    assert compact["metric"] == "headline_query_wall_clock_total"
+    assert compact["unit"] == "sec"
+    assert set(compact["queries"]) == set(bench.HEADLINE_LEGACY)
+    # full file keeps the complete per-query map + spreads
+    assert set(full["queries"]) == set(bench.HEADLINE)
+    assert set(full["spread"]) == set(bench.HEADLINE)
+
+
+def test_compact_line_fits_with_errors_and_missing():
+    # every query in one tier errored: totals must be null, names listed
+    dead_tier = "graph_iterative"
+    dead = set(bench.TIERS[dead_tier])
+    timings = {q: 99999.999 for q in bench.HEADLINE if q not in dead}
+    spread = {q: [v, v] for q, v in timings.items()}
+    compact, full = bench.build_outputs(
+        timings=timings,
+        spread=spread,
+        errors={q: "RuntimeError: boom" for q in sorted(dead)},
+        sf=0.1,
+        lake_build=None,
+        n_runs=3,
+        cal_before=0.9,
+        cal_after=0.9,
+        cal_ref=0.479,
+        cal_ok=False,
+    )
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= bench.COMPACT_LINE_BUDGET, len(line)
+    assert compact["tier_totals"][dead_tier] is None
+    assert full["tier_missing"][dead_tier] == bench.TIERS[dead_tier]
+    assert compact["error_queries"] == sorted(dead)
+    # untouched tiers still sum normally
+    assert compact["tier_totals"]["multimodal"] is not None
+
+
+def test_legacy_total_null_when_member_missing():
+    timings = {q: 1.0 for q in bench.HEADLINE}
+    del timings["sessionize"]  # a legacy-26 member
+    compact, _ = _fake_run(timings)
+    assert compact["legacy26_total"] is None
+    assert compact["legacy26_missing"] == ["sessionize"]
+    assert compact["tier_totals"]["windows_timeseries"] is None
+
+
+def test_full_output_roundtrips_json():
+    timings = {q: 1.234 for q in bench.HEADLINE}
+    compact, full = _fake_run(timings)
+    assert json.loads(json.dumps(full))["legacy26_total"] == round(
+        1.234 * len(bench.HEADLINE_LEGACY), 3
+    )
+    assert compact["legacy26_total"] == full["legacy26_total"]
