@@ -3423,8 +3423,14 @@ WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_shingles + sb.n_shingles - n_common A
 ORDER BY doc_id_a, doc_id_b
 """
 
+    # block cap mirrors dedup/embedding.py EMB_BLOCK_CAP: first 1000
+    # members per label by vec_id participate (no-op at sf<=0.1 where the
+    # largest block is 218; bounds the self-join at any scale)
     sqls["embedding_neardup_pairs"] = f"""
-WITH q AS (SELECT vec_id, label, {_QE} AS qe FROM embeddings),
+WITH q AS (
+  SELECT vec_id, label, {_QE} AS qe FROM embeddings
+  QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) <= 1000
+),
 scored AS (
   SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.label AS label,
          {_cosine_sql("a.qe", "b.qe")} AS cosine

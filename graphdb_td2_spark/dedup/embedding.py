@@ -7,37 +7,95 @@ block. Cosine uses the quantized-exact formulation
 (:mod:`graphdb_td2_spark.functions.vectors`) so the DuckDB oracle matches
 bit-for-bit.
 
-Scale notes: the within-block self-join shuffles on the block key, and
-the quadratic term is bounded by the LARGEST BLOCK — which, with a
-fixed label domain, grows linearly with the corpus (measured 12.6× wall
-at 10× rows, SCALE_r10_full.json): this operator is the EXACT
-within-block baseline, correct at any scale but priced O(Σ block²).
-The 100 TB members of the family are the sub-blocked approximate paths —
-:mod:`graphdb_td2_spark.similarity.ann` (sign-LSH buckets, IVF cells)
-and :mod:`graphdb_td2_spark.dedup.semantic` (k-means-cell blocking) —
-which keep per-bucket fan-out constant; a pipeline uses THIS operator on
-a sampled or pre-blocked slice when it needs the exact answer.
+Scale notes (r11, VERDICT r10 task 2): the within-block self-join
+shuffles on the block key, and the quadratic term is bounded by the
+LARGEST BLOCK — which, with a fixed label domain, grows linearly with
+the corpus (measured 12.6× wall at 10× rows, SCALE_r10_full.json). The
+defined semantics now include a DETERMINISTIC BLOCK CAP, the
+tfidf/minhash playbook (`dedup/tfidf.py` TFIDF_DF_CAP,
+`dedup/minhash.py` BUCKET_CAP): only the first ``EMB_BLOCK_CAP``
+members of each label block in ``vec_id`` order participate, bounding
+the self-join at |labels|·cap²/2 pairs at ANY scale. The cap exceeds
+every block at the oracle scales (max 218 at sf0.1), so sf0.01/sf0.1
+results are byte-identical to the uncapped operator, and the DuckDB
+oracle applies the SAME cap (QUALIFY row_number ≤ cap), so the two
+engines agree at every scale including the sf1 A/B
+(EMB_CAP_AB_r11.json). The cap head is computed with a salted
+two-stage top-k so no single task ever sorts a whole label block.
+
+The 100 TB members of the family remain the sub-blocked approximate
+paths — :mod:`graphdb_td2_spark.similarity.ann` (sign-LSH buckets, IVF
+cells) and :mod:`graphdb_td2_spark.dedup.semantic` (k-means-cell
+blocking) — which keep per-bucket fan-out constant; a pipeline uses
+THIS operator on a sampled or pre-blocked slice when it needs the
+exact within-head answer.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..io import read_table
 from ..functions.vectors import cosine_similarity_q, quantize_embedding
 
 DEFAULT_THRESHOLD = 0.35
 
+# Absolute per-label-block participant cap: bounds the block self-join at
+# |labels|·cap²/2 ≈ 5M pairs on the 10-label corpus at any scale. Chosen
+# > the largest block at the oracle scales (218 at sf0.1) so capped and
+# uncapped results are identical where the driver checks hashes.
+EMB_BLOCK_CAP = 1000
+
+# Salt fan-out for the distributed top-cap: stage 1 takes a per-(label,
+# salt) head so the stage-2 per-label sort sees ≤ salts·cap rows, never a
+# whole block.
+_CAP_SALTS = 32
+
+
+def capped_label_blocks(
+    q: DataFrame, cap: int = EMB_BLOCK_CAP, id_col: str = "vec_id"
+) -> DataFrame:
+    """First ``cap`` members of each ``label`` block in ``id_col`` order.
+
+    Equivalent to ``row_number() OVER (PARTITION BY label ORDER BY
+    id_col) <= cap`` (the oracle's formulation), but computed in two
+    stages so the sort parallelizes: a plain per-label window sends every
+    row of a label to ONE task — fatal when a label holds 10 TB. Stage 1
+    ranks within (label, hash-salt) partitions and keeps ≤ ``cap`` rows
+    each; the true head is a subset of those survivors, so stage 2's
+    per-label window ranks ≤ ``_CAP_SALTS``·``cap`` rows, a bounded
+    single-task sort.
+    """
+    w_local = Window.partitionBy("label", "_salt").orderBy(id_col)
+    w_label = Window.partitionBy("label").orderBy(id_col)
+    survivors = (
+        q.withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(_CAP_SALTS)))
+        .withColumn("_rn", F.row_number().over(w_local))
+        .filter(F.col("_rn") <= cap)
+        .drop("_salt", "_rn")
+    )
+    return (
+        survivors.withColumn("_rn", F.row_number().over(w_label))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
 
 def embedding_neardup_pairs(
     spark: SparkSession,
     sf_dir: str,
     threshold: float = DEFAULT_THRESHOLD,
+    block_cap: int = EMB_BLOCK_CAP,
 ) -> DataFrame:
     """Vector pairs within the same label block with quantized cosine ≥
-    ``threshold``."""
+    ``threshold``; blocks capped at ``block_cap`` members (module doc)."""
     emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding", "label"])
-    q = emb.select("vec_id", "label", quantize_embedding(F.col("embedding")).alias("qe"))
+    q = capped_label_blocks(
+        emb.select(
+            "vec_id", "label", quantize_embedding(F.col("embedding")).alias("qe")
+        ),
+        cap=block_cap,
+    )
     a, b = q.alias("a"), q.alias("b")
     return (
         a.join(

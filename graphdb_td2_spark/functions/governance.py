@@ -233,10 +233,18 @@ def t_closeness_report(
     n_weak_groups, n_exposed_rows)`` — t-closeness audit over the same
     quasi-identifier sets as :func:`k_anonymity_report`, sensitive
     attribute = the shared acctbal band. t is the 1-D earth mover's
-    distance between a group's band distribution and the GLOBAL one
-    (unit ground distance between adjacent bands, normalized by B−1 so
-    t ∈ [0, 1]) — the skewness attack l-diversity misses: a group can
-    hold ``l`` distinct values yet sit almost entirely in the tail.
+    distance between a group's band distribution and the GLOBAL one —
+    the skewness attack l-diversity misses: a group can hold ``l``
+    distinct values yet sit almost entirely in the tail.
+
+    Ground distance is BAND RANK, not band value (ADVICE r10): the CDF
+    runs over the globally PRESENT bands in order, normalized by
+    (B−1) where B = count of present bands, so two bands separated by
+    a gap in the band domain are one unit apart, same as adjacent
+    bands. On this corpus the band domain is contiguous, where rank
+    and value distance coincide; the rank metric is the
+    cross-engine-stable choice (both engines enumerate the same
+    present-band lattice) and is pinned by the Python-reference test.
     Completes the privacy family k-anonymity → l-diversity →
     t-closeness. Ordered by quasi_identifier.
 

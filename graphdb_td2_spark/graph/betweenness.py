@@ -223,7 +223,20 @@ def betweenness_approx_error_report(
     ARE the convergence curve, and the wall cost is ~``ref_seeds/8``×
     the shipped query, not three separate runs. ``*_milli`` values are
     exact integers: ``(Σ delta_fp · 1000) div n_seeds``.
+
+    The ``est8``/``est4`` columns are the HALF and QUARTER prefixes of
+    the seed order — sized ``ref_seeds//2`` / ``ref_seeds//4``, so a
+    non-default ``ref_seeds`` keeps prefix size and divisor consistent
+    (ADVICE r10: the hardcoded 8/4 divided a partial prefix sum by 8
+    when ``ref_seeds < 8``); the column NAMES stay fixed for schema
+    stability and read as the 16-seed default's 8/4.
     """
+    if ref_seeds < 4:
+        raise ValueError(
+            f"ref_seeds must be >= 4 (got {ref_seeds}): the report's"
+            " half/quarter prefix estimators need at least one seed each"
+        )
+    n_half, n_quarter = ref_seeds // 2, ref_seeds // 4
     adj = copurchase_adjacency(spark, sf_dir).persist()
     acc, pinned = _per_seed_dependencies(adj, ref_seeds, rounds)
     seed_ids = [
@@ -231,7 +244,7 @@ def betweenness_approx_error_report(
         for r in adj.select("src").distinct().orderBy("src")
         .limit(ref_seeds).collect()
     ]
-    s8, s4 = set(seed_ids[:8]), set(seed_ids[:4])
+    s8, s4 = set(seed_ids[:n_half]), set(seed_ids[:n_quarter])
     totals = acc.groupBy("node").agg(
         F.sum("delta_fp").cast("long").alias("ref_fp"),
         F.sum(F.when(F.col("seed").isin(*s8), F.col("delta_fp")).otherwise(0))
@@ -262,7 +275,7 @@ def betweenness_approx_error_report(
     rows = []
     for rank, r in enumerate(top_ref, start=1):
         ref_m = milli(r["ref_fp"], ref_seeds)
-        e8, e4 = milli(r["fp8"], 8), milli(r["fp4"], 4)
+        e8, e4 = milli(r["fp8"], n_half), milli(r["fp4"], n_quarter)
         rows.append(
             (rank, r["node"], ref_m, e8, abs(ref_m - e8), e4,
              abs(ref_m - e4), r["node"] in top8)

@@ -223,9 +223,21 @@ def ann_topk_ivfpq(
     list's codes, and the raw vectors are still never read at query
     time. At 100 TB the codes table is partitioned by ``cell``, so the
     probe prunes physical partitions AND scans ~1/64th the bytes of an
-    uncompressed IVF list."""
-    scored, _ = _ivfpq_scored(spark, sf_dir, n_queries, k_sub)
-    return _adc_rank(scored, k)
+    uncompressed IVF list.
+
+    Session lifetime: the result (k·|queries| rows, ≤ a few hundred) is
+    materialized eagerly and the corpus-sized persisted frame released
+    before returning — a lazily returned frame would pin it for the
+    caller's lifetime (ADVICE r10; the recs_backtest_by_strategy
+    pattern)."""
+    scored, corpus = _ivfpq_scored(spark, sf_dir, n_queries, k_sub)
+    try:
+        rows = _adc_rank(scored, k).collect()
+    finally:
+        corpus.unpersist()
+    return spark.createDataFrame(
+        rows, "query_id long, rank long, vec_id long, adc_dist long"
+    ).orderBy("query_id", "rank")
 
 
 REFINE_R = 20  # ADC shortlist size the exact rerank touches per query
@@ -257,30 +269,39 @@ def ann_topk_ivfpq_refined(
     Determinism: the shortlist is the exact-integer ADC ranking (ties →
     lowest vec_id); the rerank is the shared quantized-cosine expression
     (one IEEE double per pair, bit-identical in DuckDB); final ties →
-    lowest vec_id."""
+    lowest vec_id.
+
+    Session lifetime: eager materialization + corpus unpersist before
+    return, same rationale as ``ann_topk_ivfpq`` (ADVICE r10)."""
     scored, corpus = _ivfpq_scored(spark, sf_dir, n_queries, k_sub)
-    shortlist = _adc_rank(scored, refine_r).select("query_id", "vec_id")
-    queries = corpus.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("qe").alias("query_qe")
-    )
-    rescored = (
-        shortlist.join(corpus, "vec_id")
-        .join(F.broadcast(queries), "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            cosine_similarity_q(F.col("query_qe"), F.col("qe")).alias("cosine"),
+    try:
+        shortlist = _adc_rank(scored, refine_r).select("query_id", "vec_id")
+        queries = corpus.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("qe").alias("query_qe")
         )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("vec_id")
-    )
-    return (
-        rescored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "cosine")
-        .orderBy("query_id", "rank")
-    )
+        rescored = (
+            shortlist.join(corpus, "vec_id")
+            .join(F.broadcast(queries), "query_id")
+            .select(
+                "query_id",
+                "vec_id",
+                cosine_similarity_q(F.col("query_qe"), F.col("qe")).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("vec_id")
+        )
+        rows = (
+            rescored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "cosine")
+            .collect()
+        )
+    finally:
+        corpus.unpersist()
+    return spark.createDataFrame(
+        rows, "query_id long, rank long, vec_id long, cosine double"
+    ).orderBy("query_id", "rank")
 
 
 def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -97,3 +97,35 @@ def test_error_report_prefix_estimators_are_additive(spark, sf_dir):
             assert row["est8_per_seed_milli"] == own_fp[node] * 1000 // 8
             checked += 1
     assert checked > 0  # the two top-20 sets overlap on this corpus
+
+
+def test_error_report_nondefault_ref_seeds(spark, sf_dir):
+    """ADVICE r10: prefix sizes/divisors must derive from ref_seeds —
+    with ref_seeds=8 the est8/est4 columns are the 4- and 2-seed prefix
+    estimators (half/quarter), and ref_seeds<4 is rejected."""
+    import pytest
+
+    from graphdb_td2_spark.graph.betweenness import (
+        betweenness_approx_error_report,
+    )
+
+    with pytest.raises(ValueError):
+        betweenness_approx_error_report(spark, sf_dir, ref_seeds=3)
+
+    r8 = betweenness_approx_error_report(spark, sf_dir, ref_seeds=8).collect()
+    r16 = {
+        r["node"]: r
+        for r in betweenness_approx_error_report(spark, sf_dir).collect()
+    }
+    # the 8-seed report's reference column IS the 16-seed report's est8
+    # (same seed order, same per-seed normalization) wherever both rank
+    # the node
+    checked = 0
+    for row in r8:
+        if row["node"] in r16:
+            assert (
+                row["ref_per_seed_milli"]
+                == r16[row["node"]]["est8_per_seed_milli"]
+            )
+            checked += 1
+    assert checked > 0

@@ -62,3 +62,21 @@ def test_gain_report_bounds(spark, sf_dir):
         assert 0.0 <= row[col] <= 1.0
     assert row["n_hits_adc"] <= row["n_queries"] * row["k"]
     assert row["n_hits_refined"] <= row["n_queries"] * row["k"]
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_ivfpq_entries_release_persisted_corpus(spark, sf_dir):
+    """ADVICE r10: _ivfpq_scored persists a corpus-sized frame; every
+    registry consumer must materialize eagerly and release it before
+    returning, or each invocation pins another corpus for the session's
+    lifetime (the r10 full-registry OOM mechanism)."""
+    from graphdb_td2_spark.similarity.pq import ann_topk_ivfpq
+
+    before = _n_persistent(spark)
+    ann_topk_ivfpq(spark, sf_dir).collect()
+    ann_topk_ivfpq_refined(spark, sf_dir).collect()
+    pq_refine_gain_report(spark, sf_dir).collect()
+    assert _n_persistent(spark) == before
