@@ -92,11 +92,39 @@ TAIL_TOP = [
 ]
 
 
+def _nontrivial(plan: str) -> bool:
+    """Pin-worthy = the plan has a join of any kind or ≥2 exchanges;
+    pure single-scan aggregations are skipped (r10 VERDICT task 6 — a
+    one-shuffle groupBy has nothing to regress that the oracle sweep
+    would not catch first)."""
+    if re.search(r"\w*Join|CartesianProduct", plan):
+        return True
+    return len(re.findall(r"\bExchange\b", plan)) >= 2
+
+
 def main() -> int:
     spark = get_spark("gen-plan-pins", cpus=8, shuffle_partitions=8)
     pins: dict[str, dict] = {}
-    names = list(entry_mod.queries())[:HEAD] + TAIL_TOP
     fns = entry_mod.queries()
+    explicit = list(dict.fromkeys(list(fns)[:HEAD] + TAIL_TOP))
+    # r11: auto-discover the rest of the registry — every entry whose
+    # plan shape is non-trivial gets a pin, so a plan regression in the
+    # demoted tail fails pytest instead of waiting for the round audit
+    auto: list[str] = []
+    skipped: list[str] = []
+    for name in fns:
+        if name in explicit:
+            continue
+        try:
+            df = fns[name](spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:
+            print(f"# {name}: SKIP (compile error: {exc})")
+            skipped.append(name)
+            continue
+        (auto if _nontrivial(plan) else skipped).append(name)
+    print(f"# auto-pinned {len(auto)}, skipped {len(skipped)}: {skipped}")
+    names = explicit + auto
     for name in names:
         # some queries compile differently cold vs warm (session-cached
         # graph/adjacency state): pin the MAX of both compiles so the
