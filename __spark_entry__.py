@@ -85,6 +85,7 @@ from graphdb_td2_spark.functions.sampling import (
 )
 from graphdb_td2_spark.dedup import (
     dedup_clusters,
+    dedup_token_savings,
     embedding_neardup_pairs,
     exact_dedup_stats,
     minhash_lsh_pairs,
@@ -190,6 +191,7 @@ from graphdb_td2_spark.recs.batch import batch_recommendations_stats
 from graphdb_td2_spark.similarity.ann import (
     KNN_K,
     KNN_N_EVAL,
+    ann_nprobe_tradeoff_report,
     ann_recall_report,
     ivf_cell_balance,
     knn_loo_label_accuracy,
@@ -533,6 +535,8 @@ DEMOTED_TAIL = (
                             # family, stump-style argmax)
     "ann_recall_report",  # recall@k of IVF vs brute-force ground truth —
                           # the ANN accuracy/cost accounting
+    "ann_nprobe_tradeoff_report",  # IVF nprobe curve (r11): candidates
+                                   # scanned + recall@k per probe depth
     "order_size_histogram",  # basket-size distribution — itemset-family
                              # calibration histogram
     "repurchase_cycle_topk",  # shortest median repurchase interval —
@@ -686,6 +690,9 @@ DEMOTED_TAIL = (
     "t_closeness_report",  # ordered-band EMD per QI group vs global —
                            # the skewness attack l-diversity misses
                            # (k-anon → l-div → t-closeness family)
+    # round-11 additions
+    "dedup_token_savings",  # per-source dedup ROI: tokens removed by
+                            # exact dedup (re-crawl vs re-weight signal)
 )
 
 
@@ -876,6 +883,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quality_report": embedding_quality_report,
         "revenue_changepoint": revenue_changepoint,
         "ann_recall_report": ann_recall_report,
+        "ann_nprobe_tradeoff_report": ann_nprobe_tradeoff_report,
         "order_size_histogram": order_size_histogram,
         "repurchase_cycle_topk": repurchase_cycle_topk,
         "ivf_cell_balance": ivf_cell_balance,
@@ -940,6 +948,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivfpq_refined": ann_topk_ivfpq_refined,
         "pq_refine_gain_report": pq_refine_gain_report,
         "t_closeness_report": governance.t_closeness_report,
+        "dedup_token_savings": dedup_token_savings,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -2730,6 +2739,32 @@ SELECT source, COUNT(*) AS n_docs,
 FROM documents GROUP BY source ORDER BY source
 """
 
+    # dedup/exact.py:dedup_token_savings — per-source dedup ROI; copies
+    # of a digest share one token count, so MIN carries the common value
+    sqls["dedup_token_savings"] = f"""
+WITH t AS (
+  SELECT source,
+    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS digest,
+    CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+g AS (
+  SELECT source, digest, COUNT(*) AS n_copies, MIN(n_tokens) AS tok
+  FROM t GROUP BY source, digest
+)
+SELECT source,
+  CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS BIGINT) AS n_unique_texts,
+  CAST(SUM(n_copies * tok) AS BIGINT) AS tokens_total,
+  CAST(SUM(tok) AS BIGINT) AS tokens_unique,
+  CAST(SUM(n_copies * tok) - SUM(tok) AS BIGINT) AS tokens_saved,
+  CASE WHEN SUM(n_copies * tok) > 0 THEN
+    CAST(SUM(n_copies * tok) - SUM(tok) AS DOUBLE)
+      / CAST(SUM(n_copies * tok) AS DOUBLE)
+  END AS savings_ratio
+FROM g GROUP BY source ORDER BY source
+"""
+
     sqls["minhash_lsh_pairs"] = f"""
 WITH sigs AS ({_minhash_sig_sql()}),
 raw_buckets AS ({_band_buckets_sql()}),
@@ -3507,6 +3542,78 @@ SELECT query_id, rank, vec_id, cosine FROM (
     CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
   FROM scored
 ) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+    # similarity/ann.py:ann_nprobe_tradeoff_report — the nprobe curve
+    # over the same id-centroid quantizer as ann_topk_ivf; candidate
+    # sets nest by construction, so recall is monotone in nprobe
+    sqls["ann_nprobe_tradeoff_report"] = f"""
+WITH q AS (SELECT vec_id, {_QE} AS qe FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, qe AS cent_qe FROM q WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, qe, cent_id AS cell FROM (
+    SELECT q.vec_id, q.qe, cent.cent_id,
+      row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY {_cosine_sql("cent.cent_qe", "q.qe")} DESC, cent.cent_id ASC
+      ) AS rn
+    FROM q CROSS JOIN cent
+  ) WHERE rn = 1
+),
+queries AS (SELECT vec_id AS query_id, qe AS query_qe FROM q WHERE vec_id < 5),
+qcells AS (
+  SELECT query_id, query_qe, cent_id AS cell, rn AS cent_rank FROM (
+    SELECT queries.query_id, queries.query_qe, cent.cent_id,
+      row_number() OVER (
+        PARTITION BY queries.query_id
+        ORDER BY {_cosine_sql("cent.cent_qe", "queries.query_qe")} DESC,
+                 cent.cent_id ASC
+      ) AS rn
+    FROM queries CROSS JOIN cent
+  ) WHERE rn <= 4
+),
+cand AS (
+  SELECT query_id, assigned.vec_id AS vec_id, cent_rank,
+         {_cosine_sql("query_qe", "assigned.qe")} AS cosine
+  FROM assigned JOIN qcells USING (cell)
+  WHERE assigned.vec_id <> query_id
+),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, q.vec_id,
+      row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY {_cosine_sql("query_qe", "q.qe")} DESC, q.vec_id ASC
+      ) AS r
+    FROM q CROSS JOIN queries WHERE q.vec_id <> query_id
+  ) WHERE r <= 5
+),
+probes AS (SELECT * FROM (VALUES (1), (2), (4)) AS t(nprobe)),
+counts AS (
+  SELECT nprobe, COUNT(cand.vec_id) AS n_candidates
+  FROM probes LEFT JOIN cand ON cand.cent_rank <= probes.nprobe
+  GROUP BY nprobe
+),
+ranked AS (
+  SELECT probes.nprobe, cand.query_id, cand.vec_id,
+    row_number() OVER (
+      PARTITION BY probes.nprobe, cand.query_id
+      ORDER BY cand.cosine DESC, cand.vec_id ASC
+    ) AS r
+  FROM probes JOIN cand ON cand.cent_rank <= probes.nprobe
+),
+hits AS (
+  SELECT nprobe, COUNT(*) AS n_hits
+  FROM ranked JOIN truth
+    ON ranked.query_id = truth.query_id AND ranked.vec_id = truth.vec_id
+  WHERE ranked.r <= 5 GROUP BY nprobe
+)
+SELECT CAST(counts.nprobe AS BIGINT) AS nprobe,
+  CAST(n_candidates AS BIGINT) AS n_candidates,
+  CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+  CAST(COALESCE(n_hits, 0) AS DOUBLE)
+    / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE) AS recall
+FROM counts LEFT JOIN hits USING (nprobe) ORDER BY nprobe
 """
 
     sqls["ann_topk_ivf_trained"] = _ivf_trained_sql()

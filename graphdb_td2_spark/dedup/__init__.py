@@ -3,7 +3,7 @@
 embedding-cosine near-dup."""
 
 from .clusters import dedup_clusters, duplicate_clusters
-from .exact import exact_dedup_stats
+from .exact import dedup_token_savings, exact_dedup_stats
 from .minhash import minhash_lsh_pairs, minhash_signatures
 from .ngram import ngram_jaccard_pairs
 from .simhash import simhash_docs
@@ -12,6 +12,7 @@ from .embedding import embedding_neardup_pairs
 __all__ = [
     "dedup_clusters",
     "duplicate_clusters",
+    "dedup_token_savings",
     "exact_dedup_stats",
     "minhash_lsh_pairs",
     "minhash_signatures",

@@ -488,3 +488,97 @@ def knn_loo_label_accuracy(
         )
         .orderBy("label")
     )
+
+
+PROBE_CURVE = (1, 2, 4)
+
+
+def ann_nprobe_tradeoff_report(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = DEFAULT_K,
+    n_queries: int = DEFAULT_N_QUERIES,
+    n_cells: int = N_CELLS,
+    probes: tuple[int, ...] = PROBE_CURVE,
+) -> DataFrame:
+    """Registry entry: ``(nprobe, n_candidates, n_hits, recall)`` — the
+    IVF nprobe tuning curve (the accuracy-vs-cost knob every IVF
+    deployment publishes: FAISS's nprobe sweep). For each ``nprobe`` in
+    ``probes``, the number of candidate vectors the probe scans and the
+    recall@k of its top-k against the brute-force ground truth, over the
+    same deterministic id-centroid quantizer as ``ann_topk_ivf`` so the
+    DuckDB oracle reproduces the index exactly.
+
+    One pass builds everything: the query→centroid ranking is computed
+    once to ``max(probes)`` and each curve point filters
+    ``cent_rank <= nprobe`` — the nprobe=p candidate set is by
+    construction a superset of p'<p, so recall is monotone in nprobe and
+    the report certifies it. Candidate counts exclude the query itself,
+    matching the search path.
+
+    Session lifetime: the candidate frame is persisted for the |probes|
+    passes and unpersisted before returning; the result is |probes| rows,
+    materialized eagerly (the ``ann_topk_ivfpq`` discipline).
+
+    Scale notes: candidates ≈ |queries|·(nprobe/n_cells)·|corpus| — the
+    whole report costs about one ``nprobe = Σprobes`` search, not
+    |probes| separate index scans.
+    """
+    queries, corpus = _queries_and_corpus(spark, sf_dir, n_queries)
+    centroids = corpus.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cent_id"), F.col("qe").alias("cent_qe")
+    )
+    assigned = _assign_cells(corpus, centroids)
+    max_probe = max(probes)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cent_cos"), F.asc("cent_id")
+    )
+    qcells = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "cent_cos",
+            cosine_similarity_q(F.col("cent_qe"), F.col("query_qe")),
+        )
+        .withColumn("cent_rank", F.row_number().over(w))
+        .filter(F.col("cent_rank") <= max_probe)
+        .select("query_id", "query_qe", F.col("cent_id").alias("cell"), "cent_rank")
+    )
+    cand = (
+        assigned.join(F.broadcast(qcells), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "cent_rank",
+            cosine_similarity_q(F.col("query_qe"), F.col("qe")).alias("cosine"),
+        )
+        .persist()
+    )
+    try:
+        truth = ann_topk_bruteforce(spark, sf_dir, k, n_queries).select(
+            "query_id", F.col("vec_id").alias("t_vec")
+        )
+        n_truth = truth.count()
+        rows = []
+        for p in sorted(probes):
+            sub = cand.filter(F.col("cent_rank") <= p)
+            n_cand = sub.count()
+            topk = _topk(sub.select("query_id", "vec_id", "cosine"), k)
+            n_hits = truth.join(
+                topk,
+                (truth["query_id"] == topk["query_id"])
+                & (truth["t_vec"] == topk["vec_id"]),
+            ).count()
+            rows.append(
+                (
+                    p,
+                    n_cand,
+                    n_hits,
+                    float(n_hits) / float(n_truth) if n_truth else None,
+                )
+            )
+    finally:
+        cand.unpersist()
+    return spark.createDataFrame(
+        rows, "nprobe long, n_candidates long, n_hits long, recall double"
+    ).orderBy("nprobe")
