@@ -138,6 +138,7 @@ TIERS = {
         "winnowed_duplicate_spans",
         "clean_corpus_stats",
         "bpe_merge_table",
+        "dedup_token_savings",
     ],
     "ann_search": [
         "ann_topk_bruteforce",
@@ -146,6 +147,7 @@ TIERS = {
         "ann_topk_ivf_trained",
         "ann_topk_ivfpq",
         "ann_topk_ivfpq_refined",
+        "ann_nprobe_tradeoff_report",
         "bm25_doc_topk",
         "hybrid_search_topk",
     ],
