@@ -117,8 +117,7 @@ def pq_adc_topk(
     ``adc_dist`` is the exact-integer ADC squared L2 (sum of M codeword
     distances), so smaller is closer and the ranking is deterministic
     (ties → lowest vec_id)."""
-    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
-    corpus = emb.select("vec_id", quantize_embedding(F.col("embedding")).alias("qe"))
+    corpus = _cached_corpus(spark, sf_dir)
     codebook = pq_codebook(corpus, k_sub)
     codes = pq_encode(corpus, codebook)
 
@@ -154,6 +153,30 @@ def _adc_rank(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+# Session-scoped quantized-corpus cache, the shared-lake-artifact idiom
+# (`dedup/minhash.py` _BUCKET_CACHE, `graph/queries.py` cached_graph): at
+# 100 TB the quantized vector table is a lake artifact materialized once,
+# and every PQ consumer (ivfpq, refined, recall/gain reports) serves from
+# it. One persisted corpus-sized frame per (session, sf_dir) — BOUNDED,
+# unlike the pre-r11 per-call persist that accumulated one pin per
+# invocation (ADVICE r10), and amortized, unlike a per-call
+# persist/unpersist that re-quantizes the corpus on every query (the r11
+# bench measured that at +3.5 s/call on ann_topk_ivfpq alone).
+_CORPUS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cached_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    df = _CORPUS_CACHE.get(key)
+    if df is None:
+        emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+        df = emb.select(
+            "vec_id", quantize_embedding(F.col("embedding")).alias("qe")
+        ).persist()
+        _CORPUS_CACHE[key] = df
+    return df
+
+
 def _ivfpq_scored(
     spark: SparkSession,
     sf_dir: str,
@@ -162,14 +185,12 @@ def _ivfpq_scored(
 ) -> tuple[DataFrame, DataFrame]:
     """Shared IVF-PQ candidate chain: returns ``(scored, corpus)`` where
     ``scored`` is the per-(query, candidate) ADC distance over the probed
-    cell and ``corpus`` the persisted quantized vectors (for refine-stage
-    consumers)."""
+    cell and ``corpus`` the SESSION-CACHED quantized vectors (shared by
+    every PQ consumer; see ``_cached_corpus`` — callers must NOT
+    unpersist it)."""
     from .ann import N_CELLS, _assign_cells
 
-    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
-    corpus = emb.select(
-        "vec_id", quantize_embedding(F.col("embedding")).alias("qe")
-    ).persist()
+    corpus = _cached_corpus(spark, sf_dir)
     centroids = corpus.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("cent_id"), F.col("qe").alias("cent_qe")
     )
@@ -225,16 +246,13 @@ def ann_topk_ivfpq(
     probe prunes physical partitions AND scans ~1/64th the bytes of an
     uncompressed IVF list.
 
-    Session lifetime: the result (k·|queries| rows, ≤ a few hundred) is
-    materialized eagerly and the corpus-sized persisted frame released
-    before returning — a lazily returned frame would pin it for the
-    caller's lifetime (ADVICE r10; the recs_backtest_by_strategy
-    pattern)."""
-    scored, corpus = _ivfpq_scored(spark, sf_dir, n_queries, k_sub)
-    try:
-        rows = _adc_rank(scored, k).collect()
-    finally:
-        corpus.unpersist()
+    Session lifetime (ADVICE r10): the result (k·|queries| rows, ≤ a few
+    hundred) is materialized eagerly so the returned frame pins nothing;
+    the corpus persist lives in the BOUNDED session cache
+    (``_cached_corpus``) shared by every PQ consumer, not accumulated
+    per call."""
+    scored, _corpus = _ivfpq_scored(spark, sf_dir, n_queries, k_sub)
+    rows = _adc_rank(scored, k).collect()
     return spark.createDataFrame(
         rows, "query_id long, rank long, vec_id long, adc_dist long"
     ).orderBy("query_id", "rank")
@@ -271,34 +289,31 @@ def ann_topk_ivfpq_refined(
     (one IEEE double per pair, bit-identical in DuckDB); final ties →
     lowest vec_id.
 
-    Session lifetime: eager materialization + corpus unpersist before
-    return, same rationale as ``ann_topk_ivfpq`` (ADVICE r10)."""
+    Session lifetime: eager materialization over the bounded session
+    corpus cache, same rationale as ``ann_topk_ivfpq`` (ADVICE r10)."""
     scored, corpus = _ivfpq_scored(spark, sf_dir, n_queries, k_sub)
-    try:
-        shortlist = _adc_rank(scored, refine_r).select("query_id", "vec_id")
-        queries = corpus.filter(F.col("vec_id") < n_queries).select(
-            F.col("vec_id").alias("query_id"), F.col("qe").alias("query_qe")
+    shortlist = _adc_rank(scored, refine_r).select("query_id", "vec_id")
+    queries = corpus.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("qe").alias("query_qe")
+    )
+    rescored = (
+        shortlist.join(corpus, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity_q(F.col("query_qe"), F.col("qe")).alias("cosine"),
         )
-        rescored = (
-            shortlist.join(corpus, "vec_id")
-            .join(F.broadcast(queries), "query_id")
-            .select(
-                "query_id",
-                "vec_id",
-                cosine_similarity_q(F.col("query_qe"), F.col("qe")).alias("cosine"),
-            )
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("cosine"), F.asc("vec_id")
-        )
-        rows = (
-            rescored.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "rank", "vec_id", "cosine")
-            .collect()
-        )
-    finally:
-        corpus.unpersist()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    rows = (
+        rescored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+        .collect()
+    )
     return spark.createDataFrame(
         rows, "query_id long, rank long, vec_id long, cosine double"
     ).orderBy("query_id", "rank")

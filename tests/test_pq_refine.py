@@ -68,15 +68,19 @@ def _n_persistent(spark) -> int:
     return spark.sparkContext._jsc.getPersistentRDDs().size()
 
 
-def test_ivfpq_entries_release_persisted_corpus(spark, sf_dir):
-    """ADVICE r10: _ivfpq_scored persists a corpus-sized frame; every
-    registry consumer must materialize eagerly and release it before
-    returning, or each invocation pins another corpus for the session's
-    lifetime (the r10 full-registry OOM mechanism)."""
+def test_ivfpq_entries_bounded_persist(spark, sf_dir):
+    """ADVICE r10: the per-call corpus persist accumulated one pin per
+    invocation (the r10 full-registry OOM mechanism). The r11 shape is a
+    BOUNDED session cache (`_cached_corpus`): the first PQ call may add
+    exactly one persisted frame per (session, sf_dir); repeated calls
+    across every consumer add ZERO."""
     from graphdb_td2_spark.similarity.pq import ann_topk_ivfpq
 
     before = _n_persistent(spark)
+    ann_topk_ivfpq(spark, sf_dir).collect()  # may warm the cache
+    warm = _n_persistent(spark)
+    assert warm <= before + 1
     ann_topk_ivfpq(spark, sf_dir).collect()
     ann_topk_ivfpq_refined(spark, sf_dir).collect()
     pq_refine_gain_report(spark, sf_dir).collect()
-    assert _n_persistent(spark) == before
+    assert _n_persistent(spark) == warm
