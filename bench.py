@@ -244,6 +244,34 @@ def main() -> None:
     spark.range(1).count()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Shuffle-shaped probe (r11 §9 postmortem): the pure-Python CPU
+    # calibration read near-reference on a day JVM shuffle loops ran
+    # ~40% slow, so the gate passed a bench it should have flagged. This
+    # fixed Spark job — 50M rows, one 32-way hash repartition, one
+    # 1000-key aggregate — is timed min-of-3 and REPORTED
+    # (spark_probe_sec) alongside the CPU probes; once a quiet-box
+    # reference value is committed it becomes a second gate. min-of-3
+    # for the same reason as calibrate(): noise only adds.
+    spark_probe = None
+    try:
+        from pyspark.sql import functions as F
+
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            (
+                spark.range(50_000_000)
+                .repartition(32, "id")
+                .groupBy(F.pmod(F.col("id"), F.lit(1000)).alias("k"))
+                .count()
+                .count()
+            )
+            samples.append(time.time() - t0)
+        spark_probe = round(min(samples), 3)
+        print(f"# spark shuffle probe: {spark_probe}s", file=sys.stderr)
+    except Exception as exc:  # informational — never lose the bench to it
+        print(f"# spark shuffle probe FAILED: {exc}", file=sys.stderr)
+
     # Lake build = the ETL phase (the reference builds its Neo4j adjacency
     # in ETL against an 1800 s budget, then serves queries against a 60 s
     # budget — BASELINE.md). The bucketed adjacency/signature tables are
@@ -330,6 +358,7 @@ def main() -> None:
         cal_after=cal_after,
         cal_ref=cal_ref,
         cal_ok=cal_ok,
+        spark_probe=spark_probe,
     )
     full_path = Path(
         os.environ.get(
@@ -383,6 +412,7 @@ def build_outputs(
     cal_after: float,
     cal_ref,
     cal_ok: bool,
+    spark_probe=None,
 ) -> tuple:
     """Build (compact_stdout_line_dict, full_file_dict).
 
@@ -412,13 +442,26 @@ def build_outputs(
         "calibration_sec": [cal_before, cal_after],
         "calibration_ref_sec": cal_ref,
         "calibration_ok": cal_ok,
+        "spark_probe_sec": spark_probe,
     }
+    # Name lists on the compact line are CAPPED: a catastrophic run (many
+    # errors) must degrade to "+N more", never blow the byte budget and
+    # lose the artifact to the size assertion. Full lists live in the file.
+    def _capped(names: list, cap: int = 8) -> list:
+        if len(names) <= cap:
+            return names
+        return names[:cap] + [f"+{len(names) - cap} more"]
+
     if errors:
         # names only on stdout; messages live in the full file
-        compact["error_queries"] = sorted(errors)
+        compact["error_queries"] = _capped(sorted(errors))
     if legacy_missing:
-        compact["legacy26_missing"] = legacy_missing
+        compact["legacy26_missing"] = _capped(legacy_missing)
     full = dict(compact)
+    if errors:
+        full["error_queries"] = sorted(errors)
+    if legacy_missing:
+        full["legacy26_missing"] = legacy_missing
     full["queries"] = timings
     full["spread"] = spread
     full["tiers"] = TIERS

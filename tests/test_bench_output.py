@@ -71,7 +71,9 @@ def test_compact_line_fits_with_errors_and_missing():
     assert len(line) <= bench.COMPACT_LINE_BUDGET, len(line)
     assert compact["tier_totals"][dead_tier] is None
     assert full["tier_missing"][dead_tier] == bench.TIERS[dead_tier]
-    assert compact["error_queries"] == sorted(dead)
+    # compact list is capped at 8 names + "+N more"; full is complete
+    assert compact["error_queries"][:8] == sorted(dead)[:8]
+    assert full["error_queries"] == sorted(dead)
     # untouched tiers still sum normally
     assert compact["tier_totals"]["multimodal"] is not None
 
@@ -92,3 +94,26 @@ def test_full_output_roundtrips_json():
         1.234 * len(bench.HEADLINE_LEGACY), 3
     )
     assert compact["legacy26_total"] == full["legacy26_total"]
+
+
+def test_compact_line_survives_catastrophic_run():
+    """Every query errored: the compact line must cap its name lists
+    (\"+N more\") and stay under budget instead of tripping the size
+    assertion and losing the artifact."""
+    compact, full = bench.build_outputs(
+        timings={},
+        spread={},
+        errors={q: "RuntimeError: boom" for q in bench.HEADLINE},
+        sf=0.1,
+        lake_build=None,
+        n_runs=3,
+        cal_before=0.9,
+        cal_after=0.9,
+        cal_ref=0.479,
+        cal_ok=False,
+    )
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= bench.COMPACT_LINE_BUDGET, len(line)
+    assert compact["error_queries"][-1].startswith("+")
+    assert len(full["error_queries"]) == len(bench.HEADLINE)  # uncapped
+    assert compact["legacy26_total"] is None
