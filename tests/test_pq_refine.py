@@ -51,8 +51,9 @@ def test_refined_topk_is_exact_rerank_of_shortlist(spark, sf_dir):
         )[: len(rows)]
         got = [r["vec_id"] for r in sorted(rows, key=lambda r: r["rank"])]
         assert got == expected
-
-    corpus.unpersist()
+    # NOTE: corpus is the SHARED session cache (_cached_corpus) — do not
+    # unpersist it here; that would silently strip the persist out from
+    # under every later PQ call in this session.
 
 
 def test_gain_report_bounds(spark, sf_dir):
