@@ -3458,13 +3458,17 @@ WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_shingles + sb.n_shingles - n_common A
 ORDER BY doc_id_a, doc_id_b
 """
 
-    # block cap mirrors dedup/embedding.py EMB_BLOCK_CAP: first 1000
-    # members per label by vec_id participate (no-op at sf<=0.1 where the
-    # largest block is 218; bounds the self-join at any scale)
+    # block cap interpolated from dedup/embedding.py EMB_BLOCK_CAP so the
+    # two engines cannot diverge if the constant is tuned (ADVICE r11):
+    # first EMB_BLOCK_CAP members per label by vec_id participate (no-op
+    # at sf<=0.1 where the largest block is 218; bounds the self-join at
+    # any scale)
+    from graphdb_td2_spark.dedup.embedding import EMB_BLOCK_CAP
+
     sqls["embedding_neardup_pairs"] = f"""
 WITH q AS (
   SELECT vec_id, label, {_QE} AS qe FROM embeddings
-  QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) <= 1000
+  QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) <= {EMB_BLOCK_CAP}
 ),
 scored AS (
   SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.label AS label,

@@ -42,18 +42,34 @@ EVENT_REL_TYPES = {
 STREAM_STATE_PARTITIONS = 8
 
 
+#: awaitTermination bound for the finite registry replays (seconds).
+FINITE_STREAM_TIMEOUT = 300
+
+
 def _start_finite(spark: SparkSession, writer) -> None:
     """Start ``writer`` as an availableNow stream with
     ``STREAM_STATE_PARTITIONS`` state partitions and await termination.
     The shuffle-partition conf is read once at stream START (cloned into
     the query's IncrementalExecution), so the narrowed setting cannot
-    leak into the batch plans built after the restore."""
+    leak into the batch plans built after the restore.
+
+    A replay that outlives ``FINITE_STREAM_TIMEOUT`` raises instead of
+    returning (ADVICE r11): ``awaitTermination(timeout)`` returns False
+    on timeout with the query still running, and the caller would read a
+    partially-populated memory sink as if it were complete."""
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
     spark.conf.set(key, str(STREAM_STATE_PARTITIONS))
     try:
         q = writer.trigger(availableNow=True).start()
-        q.awaitTermination(300)
+        finished = q.awaitTermination(FINITE_STREAM_TIMEOUT)
+        if not finished:
+            q.stop()
+            raise TimeoutError(
+                f"finite stream replay still running after "
+                f"{FINITE_STREAM_TIMEOUT}s — refusing to serve a "
+                f"partially-populated sink (query: {q.name or q.id})"
+            )
     finally:
         spark.conf.set(key, prev)
 
@@ -74,11 +90,36 @@ def _events_read_schema(ts_unit: str) -> T.StructType:
     return T.StructType(fields)
 
 
-# (appId, source_dir, glob) -> detected unit. The footer probe is a
-# batch read job paid ONCE per corpus per session, not once per stream
-# start — at 8 finite-stream registry entries × 3 bench runs each, the
-# repeated probes were ~0.3 s/query of pure re-detection (r11 task 5).
-_TS_UNIT_CACHE: dict[tuple[str, str, str], str] = {}
+# (appId, source_dir, glob, staleness-token) -> detected unit. The footer
+# probe is a batch read job paid ONCE per corpus per session, not once per
+# stream start — at 8 finite-stream registry entries × 3 bench runs each,
+# the repeated probes were ~0.3 s/query of pure re-detection (r11 task 5).
+# The key carries a cheap (name, size, mtime) token over the matched files
+# (ADVICE r11): _detect_ts_unit exists precisely because the corpus
+# encoding has changed under the engine before, so a corpus regenerated
+# mid-session must re-probe instead of serving a stale unit that would
+# silently distort the time axis 1000×. On a real cluster this token is
+# the catalog's table version/snapshot id.
+_TS_UNIT_CACHE: dict[tuple, str] = {}
+
+
+def _source_staleness_token(source_dir: str, file_glob: str) -> tuple:
+    """(name, size, mtime_ns) per matched file — driver-side metadata
+    only, no data read; any rewrite of the source files changes it."""
+    import fnmatch
+    import os
+
+    try:
+        entries = []
+        with os.scandir(source_dir) as it:
+            for e in it:
+                if fnmatch.fnmatch(e.name, file_glob):
+                    st = e.stat()
+                    entries.append((e.name, st.st_size, st.st_mtime_ns))
+        return tuple(sorted(entries))
+    except OSError:
+        # unreadable dir: fall through to the uncached probe's own error
+        return ("<unreadable>",)
 
 
 def _detect_ts_unit(spark: SparkSession, source_dir: str, file_glob: str) -> str:
@@ -87,7 +128,12 @@ def _detect_ts_unit(spark: SparkSession, source_dir: str, file_glob: str) -> str
     encoding has changed under the engine before (TIMESTAMP(NANOS) →
     tz-naive timestamp[us]); a hard-coded unit silently compresses or
     stretches the time axis 1000×, so the unit must come from the data."""
-    key = (spark.sparkContext.applicationId, source_dir, file_glob)
+    key = (
+        spark.sparkContext.applicationId,
+        source_dir,
+        file_glob,
+        _source_staleness_token(source_dir, file_glob),
+    )
     cached = _TS_UNIT_CACHE.get(key)
     if cached is not None:
         return cached

@@ -31,6 +31,12 @@ def _fake_run(timings):
         cal_after=0.498,
         cal_ref=0.479,
         cal_ok=True,
+        # max-width probe fields: the builder sets EVERY compact field, so
+        # the worst-case budget test must exercise them all (ADVICE r11)
+        spark_probe=99999.999,
+        probe_ref=99999.999,
+        probe_ok=False,
+        full_name="BENCH_local_r99.json",
     )
 
 
@@ -44,9 +50,52 @@ def test_compact_line_fits_driver_tail_worst_case():
     assert compact["metric"] == "headline_query_wall_clock_total"
     assert compact["unit"] == "sec"
     assert set(compact["queries"]) == set(bench.HEADLINE_LEGACY)
+    # every field main() emits is set by the builder (ADVICE r11): the
+    # probe gate fields and the full-file pointer are on the tested line
+    assert compact["spark_probe_sec"] == 99999.999
+    assert compact["spark_probe_ref_sec"] == 99999.999
+    assert compact["spark_probe_ok"] is False
+    assert compact["full"] == "BENCH_local_r99.json"
+    # fit_compact_line passes the already-within-budget line through intact
+    assert bench.fit_compact_line(compact) == line
     # full file keeps the complete per-query map + spreads
     assert set(full["queries"]) == set(bench.HEADLINE)
     assert set(full["spread"]) == set(bench.HEADLINE)
+
+
+def test_spark_probe_gate_decision():
+    """Pin the JVM-probe gate (VERDICT r11 task 1) without a JVM."""
+    # informational modes never block: no reference, or probe failed
+    assert bench.probe_within_tolerance(None, None)
+    assert bench.probe_within_tolerance(5.0, None)
+    assert bench.probe_within_tolerance(None, 5.0)
+    # within ±25% passes, outside refuses — both directions
+    assert bench.probe_within_tolerance(6.2, 5.0)  # +24%
+    assert not bench.probe_within_tolerance(6.3, 5.0)  # +26%
+    assert bench.probe_within_tolerance(3.8, 5.0)  # -24%
+    assert not bench.probe_within_tolerance(3.7, 5.0)  # -26%
+    # the r11 drift class (+30-45%, PERF_NOTES_r11 §9) is caught
+    assert not bench.probe_within_tolerance(5.0 * 1.30, 5.0)
+    assert not bench.probe_within_tolerance(5.0 * 1.45, 5.0)
+
+
+def test_fit_compact_line_degrades_instead_of_raising():
+    """An over-budget compact line drops optional fields in the fixed
+    order and never raises (ADVICE r11: the artifact must survive its
+    own size guard)."""
+    timings = {q: 99999.999 for q in bench.HEADLINE}
+    compact, _ = _fake_run(timings)
+    # blow the budget with a field the fitter is allowed to drop
+    compact["tier_totals"] = {f"tier_{i}": 99999.999 for i in range(200)}
+    line = bench.fit_compact_line(compact)
+    assert len(line) <= bench.COMPACT_LINE_BUDGET
+    out = json.loads(line)
+    assert "tier_totals" not in out
+    assert "tier_totals" in out["dropped_over_budget"]
+    # essentials survive the degradation
+    assert out["metric"] == "headline_query_wall_clock_total"
+    assert out["value"] == compact["value"]
+    assert "queries" in out  # dropped only as the last resort
 
 
 def test_compact_line_fits_with_errors_and_missing():
