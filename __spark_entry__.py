@@ -104,6 +104,7 @@ from graphdb_td2_spark.similarity.pq import (
     pq_adc_topk,
     pq_recall_report,
     pq_refine_gain_report,
+    pq_trained_recall_report,
 )
 from graphdb_td2_spark.operators.transitions import (
     event_transition_matrix,
@@ -693,6 +694,10 @@ DEMOTED_TAIL = (
     # round-11 additions
     "dedup_token_savings",  # per-source dedup ROI: tokens removed by
                             # exact dedup (re-crawl vs re-weight signal)
+    # round-12 additions
+    "pq_trained_recall_report",  # trained (per-subspace Lloyd) vs
+                                 # id-codebook ADC recall@5 side by side
+                                 # — what training the PQ codebooks buys
 )
 
 
@@ -949,6 +954,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_refine_gain_report": pq_refine_gain_report,
         "t_closeness_report": governance.t_closeness_report,
         "dedup_token_savings": dedup_token_savings,
+        "pq_trained_recall_report": pq_trained_recall_report,
     }
     assert set(tail) == set(DEMOTED_TAIL)
     return {**head, **tail}
@@ -4085,6 +4091,131 @@ SELECT query_id, rank, vec_id, adc_dist FROM (
   FROM scored
 ) WHERE rank <= 5 ORDER BY query_id, rank
 """
+
+    # similarity/pq.py:pq_trained_recall_report — per-subspace Lloyd
+    # training unrolled (the _kmeans_assigned_prefix pattern applied per
+    # (m, code)): md5 order-statistics init with dense code ids, exact
+    # integer assignment/mean per iteration, then recall@5 of the
+    # id-codebook and trained-codebook full-scan ADC rankings against
+    # the brute-force cosine truth, side by side.
+    def _pq_sq(cb: str) -> str:
+        return (
+            "list_sum(list_transform(range(1, 17), "
+            f"i -> (s.sub[i] - {cb}.cw[i]) * (s.sub[i] - {cb}.cw[i])))"
+        )
+
+    def _pq_trained_sql(
+        k_sub: int = 8, n_iter: int = 2, n_queries: int = 5, k: int = 5
+    ) -> str:
+        def assign(cb_cte: str, keep_sub: bool) -> str:
+            cols = "vec_id, m, code" + (", sub" if keep_sub else "")
+            return f"""
+  SELECT {cols} FROM (
+    SELECT s.vec_id, s.m, cb.code_id AS code, s.sub,
+      row_number() OVER (
+        PARTITION BY s.vec_id, s.m ORDER BY {_pq_sq('cb')} ASC, cb.code_id ASC
+      ) AS rn
+    FROM sub s JOIN {cb_cte} cb ON s.m = cb.m
+  ) WHERE rn = 1"""
+
+        parts = [f"""
+WITH q AS MATERIALIZED (SELECT vec_id, {_QE} AS qe FROM embeddings),
+sub AS MATERIALIZED (
+  SELECT vec_id, m, list_transform(range(1, 17), i -> qe[m * 16 + i]) AS sub
+  FROM q CROSS JOIN (SELECT unnest(range(0, 4)) AS m)
+),
+cb AS MATERIALIZED (SELECT m, vec_id AS code_id, sub AS cw FROM sub WHERE vec_id < {k_sub}),
+init AS MATERIALIZED (
+  SELECT vec_id,
+    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code_id
+  FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k_sub}
+),
+tcb0 AS MATERIALIZED (
+  SELECT s.m, init.code_id, s.sub AS cw FROM sub s JOIN init USING (vec_id)
+)"""]
+        for i in range(1, n_iter + 1):
+            p = i - 1
+            parts.append(f""",
+ta{p} AS MATERIALIZED ({assign(f"tcb{p}", True)}
+),
+tu{i} AS MATERIALIZED (
+  SELECT m, code, list(v ORDER BY pos) AS cw FROM (
+    SELECT m, code, i AS pos, CAST(SUM(sub[i]) AS BIGINT) // COUNT(*) AS v
+    FROM ta{p} CROSS JOIN range(1, 17) t(i)
+    GROUP BY m, code, i
+  ) GROUP BY m, code
+),
+tcb{i} AS MATERIALIZED (
+  SELECT cb.m, cb.code_id, COALESCE(u.cw, cb.cw) AS cw
+  FROM tcb{p} cb LEFT JOIN tu{i} u ON cb.m = u.m AND cb.code_id = u.code
+)""")
+        parts.append(f""",
+codes_id AS MATERIALIZED ({assign("cb", False)}
+),
+codes_tr AS MATERIALIZED ({assign(f"tcb{n_iter}", False)}
+),
+lut_id AS (
+  SELECT s.vec_id AS query_id, s.m, cb.code_id AS code, {_pq_sq('cb')} AS dist
+  FROM sub s JOIN cb ON s.m = cb.m WHERE s.vec_id < {n_queries}
+),
+lut_tr AS (
+  SELECT s.vec_id AS query_id, s.m, cb.code_id AS code, {_pq_sq('cb')} AS dist
+  FROM sub s JOIN tcb{n_iter} cb ON s.m = cb.m WHERE s.vec_id < {n_queries}
+),
+topk_id AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC) AS rank
+    FROM (
+      SELECT query_id, c.vec_id, CAST(SUM(dist) AS BIGINT) AS adc_dist
+      FROM codes_id c JOIN lut_id l ON c.m = l.m AND c.code = l.code
+      WHERE c.vec_id <> query_id GROUP BY query_id, c.vec_id
+    )
+  ) WHERE rank <= {k}
+),
+topk_tr AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC) AS rank
+    FROM (
+      SELECT query_id, c.vec_id, CAST(SUM(dist) AS BIGINT) AS adc_dist
+      FROM codes_tr c JOIN lut_tr l ON c.m = l.m AND c.code = l.code
+      WHERE c.vec_id <> query_id GROUP BY query_id, c.vec_id
+    )
+  ) WHERE rank <= {k}
+),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM (
+      SELECT qq.vec_id AS query_id, q.vec_id,
+             {_cosine_sql("qq.qe", "q.qe")} AS cosine
+      FROM q CROSS JOIN (SELECT vec_id, qe FROM q WHERE vec_id < {n_queries}) qq
+      WHERE q.vec_id <> qq.vec_id
+    )
+  ) WHERE rank <= {k}
+),
+counts AS (
+  SELECT
+    (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) FROM truth) AS n_queries,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t JOIN topk_id a
+       ON t.query_id = a.query_id AND t.vec_id = a.vec_id) AS n_hits_id,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t JOIN topk_tr a
+       ON t.query_id = a.query_id AND t.vec_id = a.vec_id) AS n_hits_trained
+)
+SELECT n_queries, CAST(n_truth // n_queries AS BIGINT) AS k,
+  n_hits_id, n_hits_trained,
+  CAST(n_hits_id AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall_id,
+  CAST(n_hits_trained AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall_trained,
+  CAST(n_hits_trained AS DOUBLE) / CAST(n_truth AS DOUBLE)
+    - CAST(n_hits_id AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall_delta
+FROM counts
+""")
+        return "".join(parts)
+
+    sqls["pq_trained_recall_report"] = _pq_trained_sql()
 
     # operators/attribution.py:last_touch_attribution — conditional
     # carry-forward (last IGNORE NULLS) + interval cutoff

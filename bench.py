@@ -148,6 +148,7 @@ TIERS = {
         "ann_topk_ivfpq",
         "ann_topk_ivfpq_refined",
         "ann_nprobe_tradeoff_report",
+        "pq_trained_recall_report",
         "bm25_doc_topk",
         "hybrid_search_topk",
     ],

@@ -123,15 +123,20 @@ def pq_adc_topk(
 
 
 def _adc_scored(
-    corpus: DataFrame, codebook: DataFrame, n_queries: int
+    corpus: DataFrame,
+    codebook: DataFrame,
+    n_queries: int,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Per-(query, candidate) exact-integer ADC distance under any
     ``(m, code_id, sub)`` codebook — the scoring chain shared by the
-    id-codebook entry and the trained-codebook report."""
+    id-codebook entry and the trained-codebook report. ``queries``
+    overrides the default lowest-id query set (fixture tests)."""
     codes = pq_encode(corpus, codebook)
-    queries = corpus.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("qe").alias("query_qe")
-    )
+    if queries is None:
+        queries = corpus.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("qe").alias("query_qe")
+        )
     lut = (
         _subvectors(queries, "query_qe", ["query_id"])
         .join(F.broadcast(codebook.withColumnRenamed("sub", "cw")), "m")
