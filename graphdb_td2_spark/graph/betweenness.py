@@ -61,14 +61,30 @@ DELTA_CAP = 1 << 36  # saturating dependency bound (inactive at tested SFs)
 
 
 def _per_seed_dependencies(
-    adj: DataFrame, n_seeds: int, rounds: int
+    adj: DataFrame,
+    n_seeds: int,
+    rounds: int,
+    broadcast_state: bool = True,
 ) -> tuple[DataFrame, list[DataFrame]]:
     """Shared Brandes core: the lazy ``(seed, node, delta_fp)`` relation
     over the ``n_seeds`` lowest-id seeds, plus the list of persisted
     level/delta frames the caller must unpersist after materializing
     (the hits_fp discipline). Per-seed dependencies are ADDITIVE, so one
     pass serves every seed-subset estimator built on a prefix of the
-    lowest-id seed order (see ``betweenness_approx_error_report``)."""
+    lowest-id seed order (see ``betweenness_approx_error_report``).
+
+    ``broadcast_state`` (default): every per-round frame (frontier,
+    visited set, per-level delta) is ≤ ``n_seeds``·|V| rows, while the
+    adjacency is |E| ≥ degree·|V| rows — so the rounds broadcast the
+    SMALL state side and leave the cached adjacency in place. Without
+    the hint each of the 2·rounds-1 joins re-exchanged the adjacency
+    (Spark cannot know an intermediate aggregate is small at plan time,
+    and the r12 A/B measured the hint at ~2.3x on the sf0.1 entry).
+    For a graph where ``n_seeds``·|V| itself exceeds broadcast capacity
+    (billion-vertex at high seed counts) pass False to keep every join
+    on the co-partitioned shuffle path — the estimator is identical
+    either way (integer math, order-independent)."""
+    bc = F.broadcast if broadcast_state else (lambda df: df)
     seeds = (
         adj.select("src").distinct().orderBy("src").limit(n_seeds)
         .select(F.col("src").alias("seed"), F.col("src").alias("node"))
@@ -78,9 +94,10 @@ def _per_seed_dependencies(
     levels = [seeds.withColumn("sigma", F.lit(1).cast("long")).persist()]
     visited = levels[0].select("seed", "node").persist()
     for _ in range(1, rounds + 1):
+        frontier = levels[-1]
         nxt = (
-            levels[-1]
-            .join(adj, levels[-1]["node"] == adj["src"])
+            bc(frontier)
+            .join(adj, frontier["node"] == adj["src"])
             .select("seed", F.col("dst").alias("node"), "sigma")
             .groupBy("seed", "node")
             .agg(
@@ -88,7 +105,7 @@ def _per_seed_dependencies(
                 .cast("long")
                 .alias("sigma")
             )
-            .join(visited, ["seed", "node"], "left_anti")
+            .join(bc(visited), ["seed", "node"], "left_anti")
             .persist()
         )
         levels.append(nxt)
@@ -103,7 +120,8 @@ def _per_seed_dependencies(
     for r in range(rounds - 1, 0, -1):
         child = deltas[r + 1]
         contrib = (
-            child.join(adj, child["node"] == adj["dst"])
+            bc(child)
+            .join(adj, child["node"] == adj["dst"])
             .select(
                 "seed",
                 F.col("src").alias("node"),
@@ -111,8 +129,10 @@ def _per_seed_dependencies(
                 "delta_fp",
             )
             .join(
-                levels[r].select(
-                    "seed", "node", F.col("sigma").alias("sigma_v")
+                bc(
+                    levels[r].select(
+                        "seed", "node", F.col("sigma").alias("sigma_v")
+                    )
                 ),
                 ["seed", "node"],
             )
@@ -133,7 +153,7 @@ def _per_seed_dependencies(
         )
         deltas[r] = (
             levels[r]
-            .join(contrib, ["seed", "node"], "left")
+            .join(bc(contrib), ["seed", "node"], "left")
             .select(
                 "seed",
                 "node",
