@@ -1554,12 +1554,20 @@ def _semantic_dedup_sql(
     n_cells: int = 8, n_iter: int = 4, threshold: float = 0.35
 ) -> str:
     """SemDeDup oracle: the shared k-means prefix, then the one-pass
-    within-cell prune — b is dropped iff some a < b in b's cell has
-    quantized cosine ≥ threshold (mirrors dedup/semantic.py exactly)."""
+    capped-panel prune — b is dropped iff some a < b among the
+    ``SEM_CELL_CAP`` lowest-id members of b's cell has quantized cosine
+    ≥ threshold (mirrors dedup/semantic.py exactly; cap interpolated
+    from the module constant so the engines cannot diverge)."""
+    from graphdb_td2_spark.dedup.semantic import SEM_CELL_CAP
+
     return _kmeans_assigned_prefix(n_cells, n_iter) + f""",
+panel AS MATERIALIZED (
+  SELECT cell, vec_id, qe FROM assigned
+  QUALIFY row_number() OVER (PARTITION BY cell ORDER BY vec_id) <= {SEM_CELL_CAP}
+),
 dropped AS MATERIALIZED (
   SELECT DISTINCT b.cell, b.vec_id
-  FROM assigned a JOIN assigned b
+  FROM panel a JOIN assigned b
     ON a.cell = b.cell AND a.vec_id < b.vec_id
   WHERE {_cosine_sql("a.qe", "b.qe")} >= {threshold}
 )

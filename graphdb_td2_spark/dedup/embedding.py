@@ -53,21 +53,26 @@ _CAP_SALTS = 32
 
 
 def capped_label_blocks(
-    q: DataFrame, cap: int = EMB_BLOCK_CAP, id_col: str = "vec_id"
+    q: DataFrame,
+    cap: int = EMB_BLOCK_CAP,
+    id_col: str = "vec_id",
+    block_col: str = "label",
 ) -> DataFrame:
-    """First ``cap`` members of each ``label`` block in ``id_col`` order.
+    """First ``cap`` members of each ``block_col`` block in ``id_col``
+    order (default the corpus ``label``; the semantic-dedup cell cap
+    passes ``cell``).
 
-    Equivalent to ``row_number() OVER (PARTITION BY label ORDER BY
+    Equivalent to ``row_number() OVER (PARTITION BY block ORDER BY
     id_col) <= cap`` (the oracle's formulation), but computed in two
-    stages so the sort parallelizes: a plain per-label window sends every
-    row of a label to ONE task — fatal when a label holds 10 TB. Stage 1
-    ranks within (label, hash-salt) partitions and keeps ≤ ``cap`` rows
+    stages so the sort parallelizes: a plain per-block window sends every
+    row of a block to ONE task — fatal when a block holds 10 TB. Stage 1
+    ranks within (block, hash-salt) partitions and keeps ≤ ``cap`` rows
     each; the true head is a subset of those survivors, so stage 2's
-    per-label window ranks ≤ ``_CAP_SALTS``·``cap`` rows, a bounded
+    per-block window ranks ≤ ``_CAP_SALTS``·``cap`` rows, a bounded
     single-task sort.
     """
-    w_local = Window.partitionBy("label", "_salt").orderBy(id_col)
-    w_label = Window.partitionBy("label").orderBy(id_col)
+    w_local = Window.partitionBy(block_col, "_salt").orderBy(id_col)
+    w_label = Window.partitionBy(block_col).orderBy(id_col)
     survivors = (
         q.withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(_CAP_SALTS)))
         .withColumn("_rn", F.row_number().over(w_local))

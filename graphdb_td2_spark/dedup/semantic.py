@@ -47,6 +47,24 @@ from ..similarity.ann import KMEANS_ITER, N_CELLS, _assign_cells, train_ivf_cent
 # two operators are directly comparable on the corpus.
 SEM_THRESHOLD = 0.35
 
+# Candidate-panel cap for the within-cell prune (r12, the EMB_BLOCK_CAP
+# playbook): with n_cells FIXED, cell membership grows linearly with the
+# corpus and the within-cell join emitted O(Σ cell²) comparisons —
+# n²/n_cells, the closed-form quadratic (at sf10's 200k vectors that is
+# ~2.5G cosines; at 100 TB it is unrunnable). The defined semantics now
+# compare each vector only against the ``SEM_CELL_CAP`` LOWEST-id
+# members of its cell (the a-side panel), so total comparisons are
+# ≤ n·cap at ANY scale — linear by construction — while every vector
+# remains drop-ELIGIBLE (only the witness panel is capped). Chosen > the
+# largest cell at the oracle scales (max 270 at sf0.1), so sf0.01/sf0.1
+# results are byte-identical to the uncapped prune
+# (tests/test_semantic_dedup.py pins both the no-op and the boundary
+# semantics); the DuckDB oracle applies the SAME cap (QUALIFY
+# row_number ≤ cap); SCALE_r12_dedup.json carries the measured capped
+# sf10 point. The no-approximation scale path remains growing n_cells
+# with the corpus (FAISS-style), which keeps panels ≡ cells.
+SEM_CELL_CAP = 1000
+
 
 def semantic_cells(
     spark: SparkSession,
@@ -64,13 +82,26 @@ def semantic_cells(
     return _assign_cells(corpus, centroids)
 
 
-def semantic_dropped(assigned: DataFrame, threshold: float = SEM_THRESHOLD) -> DataFrame:
+def semantic_dropped(
+    assigned: DataFrame,
+    threshold: float = SEM_THRESHOLD,
+    cell_cap: int = SEM_CELL_CAP,
+) -> DataFrame:
     """(cell, vec_id) of vectors dropped by the one-pass SemDeDup policy:
-    vec b is dropped iff some a < b in the same cell has cos(a, b) ≥ τ.
+    vec b is dropped iff some a < b among the ``cell_cap`` lowest-id
+    members of b's cell has cos(a, b) ≥ τ (the candidate panel; see
+    ``SEM_CELL_CAP`` — a no-op at every oracle scale).
 
     A left-semi join keeps the output linear in the number of dropped
-    vectors (the pair set itself is never materialized past the join)."""
-    a = assigned.select(
+    vectors (the pair set itself is never materialized past the join);
+    the panel head is the salted two-stage top-k, so no task ever sorts
+    a whole cell."""
+    from .embedding import capped_label_blocks
+
+    panel = capped_label_blocks(
+        assigned, cap=cell_cap, id_col="vec_id", block_col="cell"
+    )
+    a = panel.select(
         F.col("cell").alias("a_cell"),
         F.col("vec_id").alias("a_id"),
         F.col("qe").alias("a_qe"),
@@ -96,28 +127,42 @@ def semantic_dedup_stats(
     n_cells: int = N_CELLS,
     n_iter: int = KMEANS_ITER,
     threshold: float = SEM_THRESHOLD,
+    cell_cap: int = SEM_CELL_CAP,
 ) -> DataFrame:
     """Registry entry: per-cell SemDeDup summary — cluster size, vectors
-    dropped by the one-pass prune, vectors kept.
+    dropped by the one-pass capped-panel prune, vectors kept.
 
-    Columns: cell, n_vecs, n_dropped, n_kept (all BIGINT; exact)."""
-    assigned = semantic_cells(spark, sf_dir, n_cells, n_iter)
-    dropped = (
-        semantic_dropped(assigned, threshold)
-        .groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n_dropped"))
-    )
-    return (
-        assigned.groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n_vecs"))
-        .join(dropped, "cell", "left")
-        .select(
-            F.col("cell").cast("long").alias("cell"),
-            F.col("n_vecs").cast("long").alias("n_vecs"),
-            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long").alias("n_dropped"),
-            (F.col("n_vecs") - F.coalesce(F.col("n_dropped"), F.lit(0)))
-            .cast("long")
-            .alias("n_kept"),
+    Columns: cell, n_vecs, n_dropped, n_kept (all BIGINT; exact).
+
+    The assignment feeds THREE plan legs (panel side, b side, n_vecs
+    aggregate); it is persisted for the single collect and released
+    before returning — the k-means argmax scan ran 3x otherwise (r12),
+    and eager materialization of the ≤ n_cells result rows means the
+    returned frame pins nothing (the pq/ann discipline)."""
+    assigned = semantic_cells(spark, sf_dir, n_cells, n_iter).persist()
+    try:
+        dropped = (
+            semantic_dropped(assigned, threshold, cell_cap)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_dropped"))
         )
-        .orderBy("cell")
-    )
+        out = (
+            assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_vecs"))
+            .join(dropped, "cell", "left")
+            .select(
+                F.col("cell").cast("long").alias("cell"),
+                F.col("n_vecs").cast("long").alias("n_vecs"),
+                F.coalesce(F.col("n_dropped"), F.lit(0))
+                .cast("long")
+                .alias("n_dropped"),
+                (F.col("n_vecs") - F.coalesce(F.col("n_dropped"), F.lit(0)))
+                .cast("long")
+                .alias("n_kept"),
+            )
+            .orderBy("cell")
+        )
+        rows = out.collect()
+    finally:
+        assigned.unpersist()
+    return spark.createDataFrame(rows, out.schema).orderBy("cell")

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.text import tokens_col
+from ..functions.text import bind_once, tokens_col
 from ..io import read_table
 
 WINNOW_K = 5  # shingle length (tokens)
@@ -38,18 +38,24 @@ CONTAIN_SCALE = 1000  # containment in per-mille fixed point
 
 
 def _shingle_hashes(text: F.Column, k: int = WINNOW_K) -> F.Column:
-    """Ordered k-token shingle hashes of ``text`` — one md5 per shingle."""
-    toks = tokens_col(text)
-    n = F.size(toks)
-    shingles = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    """Ordered k-token shingle hashes of ``text`` — one md5 per shingle.
+    The token array is bound once per row (``bind_once``): embedding the
+    tokenize in the per-window lambda re-ran the regex split per window
+    position, O(tokens²) per document (r12; the r10 hash-once fix caught
+    the duplicated HASHING here but not the duplicated SPLIT)."""
+
+    def body(toks: F.Column) -> F.Column:
+        n = F.size(toks)
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+
     return F.transform(
-        shingles,
+        bind_once(tokens_col(text), body),
         lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
     )
 

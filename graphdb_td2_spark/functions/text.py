@@ -40,6 +40,21 @@ def tokens_col(text: Column) -> Column:
     return F.split(F.trim(F.lower(text)), r"\s+")
 
 
+def bind_once(expr: Column, body) -> Column:
+    """Evaluate ``expr`` ONCE per row and pass the bound value to
+    ``body`` (a single-element ``transform`` lambda binding).
+
+    Embedding a non-trivial expression (e.g. a regex tokenize) inside a
+    per-element higher-order-function lambda re-evaluates it once per
+    element — the window builders here were re-running the split once
+    per window POSITION, O(tokens²) regex work per document (the r10
+    winnowing hash-once bug class; r12 thread-stack sample of the sf10
+    shingle stage). A lambda variable is bound to the element VALUE, so
+    routing the expression through a one-element array guarantees single
+    evaluation regardless of how the optimizer inlines projections."""
+    return F.transform(F.array(expr), body)[0]
+
+
 def bpe_ish_token_count(text: Column) -> Column:
     """BPE-ish subword count: alphanumeric runs are split into ≤4-char
     chunks, everything else is one token per char — approximated as
@@ -177,14 +192,16 @@ def top_bigrams_per_source(
     from pyspark.sql import Window
 
     docs = read_table(spark, sf_dir, "documents", ["source", "text"])
-    toks = tokens_col(F.col("text"))
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = bind_once(
+        tokens_col(F.col("text")),
+        lambda toks: F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     counts = (
         docs.select("source", F.explode(bigrams).alias("bigram"))
         .groupBy("source", "bigram")
@@ -288,13 +305,16 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeated-token fraction."""
     docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
     toks = tokens_col(F.col("text"))
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = bind_once(
+        toks,
+        lambda t: F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
     tok_stats = (
         docs.select("doc_id", F.explode(toks).alias("g"))
@@ -677,16 +697,19 @@ def collocation_pmi_topk(
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("n_w"))
     )
-    pairs_arr = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"),
-                F.element_at(toks, i + 1).alias("w2"),
+    pairs_arr = bind_once(
+        toks,
+        lambda t: F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.struct(
+                    F.element_at(t, i).alias("w1"),
+                    F.element_at(t, i + 1).alias("w2"),
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>")),
+    )
     bi_all = (
         docs.select(F.explode(pairs_arr).alias("p"))
         .select("p.w1", "p.w2")

@@ -43,17 +43,39 @@ QUERIES = ["semantic_dedup_stats", "ngram_jaccard_pairs"]
 
 def _probe(name: str, sf_dir: str) -> int:
     """Child mode: run one query in this process's own session, print one
-    JSON line {"sec": ..., "rows": ...}."""
+    JSON line {"sec": ..., "rows": ..., "spark_probe_sec": ...,
+    "spark_probe_ok": ...}. The JVM shuffle probe runs in the SAME
+    session immediately before the timed query, so a host-drift episode
+    (the r12 first attempt measured 97% kernel time and 10-25x walls)
+    marks the measurement instead of silently poisoning the artifact."""
+    import bench
     from graphdb_td2_spark.session import get_spark
 
     import __spark_entry__ as entry_mod
 
+    probe_ref = None
+    if bench.CALIBRATION_REF.exists():
+        probe_ref = json.loads(bench.CALIBRATION_REF.read_text()).get(
+            "spark_probe_ref_sec"
+        )
     spark = get_spark("scale-r12-probe")
     spark.range(1).count()
+    spark_probe = bench.run_spark_probe(spark)
     fn = entry_mod.queries()[name]
     t0 = time.time()
     rows = len(fn(spark, sf_dir).collect())
-    print(json.dumps({"sec": round(time.time() - t0, 3), "rows": rows}))
+    print(
+        json.dumps(
+            {
+                "sec": round(time.time() - t0, 3),
+                "rows": rows,
+                "spark_probe_sec": spark_probe,
+                "spark_probe_ok": bench.probe_within_tolerance(
+                    spark_probe, probe_ref
+                ),
+            }
+        )
+    )
     spark.stop()
     return 0
 
@@ -98,8 +120,14 @@ def main() -> int:
         ratios[name] = r
         if r is not None and r > FLAG_RATIO_100X:
             flagged.append(name)
+    all_quiet = all(
+        rec.get("spark_probe_ok", False)
+        for scale in results.values()
+        for rec in scale.values()
+    )
     out = {
         "metric": "dedup_tier_scale_rehearsal_r12",
+        "all_probes_quiet": all_quiet,
         "note": (
             "dedup-tier walls at sf0.1 vs sf10 (100x rows; FK-preserving "
             "explode replica with per-copy word rotation; one fresh "
