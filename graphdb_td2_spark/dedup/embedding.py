@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..io import read_table
-from ..functions.vectors import cosine_similarity_q, quantize_embedding
+from ..functions.vectors import cosine_from_norms, inv_norm_q, quantize_embedding
 
 DEFAULT_THRESHOLD = 0.35
 
@@ -100,7 +100,9 @@ def embedding_neardup_pairs(
             "vec_id", "label", quantize_embedding(F.col("embedding")).alias("qe")
         ),
         cap=block_cap,
-    )
+    ).withColumn("n", inv_norm_q(F.col("qe")))
+    # norms ride the block rows so the per-pair expression is dot-only
+    # (one interpreted HOF per pair, not three — vectors.py inv_norm_q)
     a, b = q.alias("a"), q.alias("b")
     return (
         a.join(
@@ -112,7 +114,9 @@ def embedding_neardup_pairs(
             F.col("a.vec_id").alias("vec_id_a"),
             F.col("b.vec_id").alias("vec_id_b"),
             F.col("a.label").alias("label"),
-            cosine_similarity_q(F.col("a.qe"), F.col("b.qe")).alias("cosine"),
+            cosine_from_norms(
+                F.col("a.qe"), F.col("b.qe"), F.col("a.n"), F.col("b.n")
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..io import read_table
-from ..functions.vectors import cosine_similarity_q, quantize_embedding
+from ..functions.vectors import cosine_from_norms, inv_norm_q, quantize_embedding
 from ..similarity.ann import KMEANS_ITER, N_CELLS, _assign_cells, train_ivf_centroids
 
 # Same near-dup bar as the label-blocked variant (dedup/embedding.py), so the
@@ -95,7 +95,10 @@ def semantic_dropped(
     A left-semi join keeps the output linear in the number of dropped
     vectors (the pair set itself is never materialized past the join);
     the panel head is the salted two-stage top-k, so no task ever sorts
-    a whole cell."""
+    a whole cell; vector norms are precomputed per SIDE so the per-pair
+    predicate evaluates one interpreted HOF (the dot), not three
+    (``functions/vectors.py:inv_norm_q`` — the r12 sf10 wall was this
+    join's predicate eval)."""
     from .embedding import capped_label_blocks
 
     panel = capped_label_blocks(
@@ -105,16 +108,25 @@ def semantic_dropped(
         F.col("cell").alias("a_cell"),
         F.col("vec_id").alias("a_id"),
         F.col("qe").alias("a_qe"),
+        inv_norm_q(F.col("qe")).alias("a_n"),
     )
     b = assigned.select(
-        F.col("cell"), F.col("vec_id").alias("b_id"), F.col("qe").alias("b_qe")
+        F.col("cell"),
+        F.col("vec_id").alias("b_id"),
+        F.col("qe").alias("b_qe"),
+        inv_norm_q(F.col("qe")).alias("b_n"),
     )
     return (
         b.join(
             a,
             (F.col("a_cell") == F.col("cell"))
             & (F.col("a_id") < F.col("b_id"))
-            & (cosine_similarity_q(F.col("a_qe"), F.col("b_qe")) >= F.lit(threshold)),
+            & (
+                cosine_from_norms(
+                    F.col("a_qe"), F.col("b_qe"), F.col("a_n"), F.col("b_n")
+                )
+                >= F.lit(threshold)
+            ),
             "left_semi",
         )
         .select(F.col("cell"), F.col("b_id").alias("vec_id"))

@@ -21,6 +21,9 @@ from pyspark.sql import Column, functions as F
 
 _Q = 1_000_000  # quantization scale: 6 fractional digits
 
+#: Corpus embedding dimension (schemas.py CORPUS["embeddings"]).
+EMB_DIM = 64
+
 
 def quantize_embedding(emb: Column) -> Column:
     """array<float> → array<long> with exact ``floor(x * 1e6)`` components."""
@@ -38,6 +41,26 @@ def dot_q(a: Column, b: Column) -> Column:
 
 def sqnorm_q(a: Column) -> Column:
     return _lsum(F.transform(a, lambda x: x * x))
+
+
+def inv_norm_q(a: Column) -> Column:
+    """``sqrt(sqnorm)`` as a double — the per-VECTOR half of the cosine.
+
+    Per-pair cosine evaluates three higher-order aggregates (dot + two
+    norms), and HOF eval is interpreted (never whole-stage-codegen'd) —
+    so on pair-quadratic paths the norms must be computed once per
+    vector and carried as a column, leaving only the dot per pair
+    (``cosine_from_norms``; an r12 A/B measured a 64-term GetArrayItem
+    unroll SLOWER than the HOF, so fewer-evals, not codegen, is the
+    lever). Bit-identity: sqrt and the final divide are single IEEE
+    ops, so precomputing changes no bits."""
+    return F.sqrt(sqnorm_q(a).cast("double"))
+
+
+def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine given the two precomputed ``inv_norm_q`` columns — exactly
+    ``cosine_similarity_q``'s bits with 1/3 of its per-pair HOF work."""
+    return dot_q(a, b).cast("double") / (na * nb)
 
 
 def cosine_similarity_q(a: Column, b: Column) -> Column:
