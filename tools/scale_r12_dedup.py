@@ -96,20 +96,29 @@ def main() -> int:
 
     env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="64g")
     results: dict[str, dict] = {"sf0.1": {}, "sf10": {}}
+    # a point whose in-session shuffle probe is outside tolerance is
+    # re-measured up to MAX_TRIES times (the box oscillates on shared
+    # hosts — r12 saw probes 1.8-4.3 within 12 minutes); the first quiet
+    # measurement wins, else the last attempt ships flagged
+    MAX_TRIES = 3
     for name in QUERIES:
         for label, sf_dir in (("sf0.1", SF01_DIR), ("sf10", SF10_DIR)):
-            p = subprocess.run(
-                [sys.executable, __file__, "--probe", name, sf_dir],
-                capture_output=True,
-                text=True,
-                env=env,
-            )
-            try:
-                rec = json.loads(p.stdout.strip().splitlines()[-1])
-            except Exception:
-                rec = {"error": (p.stderr or p.stdout)[-300:]}
-            results[label][name] = rec
-            print(f"# {label} {name}: {rec}", file=sys.stderr)
+            for attempt in range(MAX_TRIES):
+                p = subprocess.run(
+                    [sys.executable, __file__, "--probe", name, sf_dir],
+                    capture_output=True,
+                    text=True,
+                    env=env,
+                )
+                try:
+                    rec = json.loads(p.stdout.strip().splitlines()[-1])
+                except Exception:
+                    rec = {"error": (p.stderr or p.stdout)[-300:]}
+                rec["attempt"] = attempt + 1
+                results[label][name] = rec
+                print(f"# {label} {name}: {rec}", file=sys.stderr)
+                if rec.get("spark_probe_ok"):
+                    break
 
     ratios = {}
     flagged = []
