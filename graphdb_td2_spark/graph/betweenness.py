@@ -37,12 +37,13 @@ scale; they exist so a 100 TB hub graph wraps nowhere: each product is
 re-capped at DELTA_CAP before the per-node sum, so the sum stays under
 deg·2^36 (< 2^63 for any degree < 2^26).
 
-Scale notes: the forward pass is the harmonic-BFS plan with one extra
-integer column (σ aggregated by map-side-combinable SUM instead of
-DISTINCT); the backward pass is one equi-join per level between the
-cached level frames and the adjacency — (seeds × frontier)-sized state,
-never corpus-sized, all keyed shuffles on (seed, node). Levels are
-persisted and reused by the backward pass, then unpersisted.
+Scale notes: the forward pass is the harmonic-BFS plan with per-seed σ
+LANE columns (the HyperBall wide-column pattern — node-keyed state, one
+map-side-combinable SUM per lane instead of (seed, node) rows); the
+backward pass is one equi-join per level between the cached level
+frames and the adjacency — |V|-bounded state, never corpus-sized, all
+keyed shuffles on node. Levels are persisted and reused by the backward
+pass, then unpersisted.
 """
 
 from __future__ import annotations
@@ -74,100 +75,193 @@ def _per_seed_dependencies(
     lowest-id seed order (see ``betweenness_approx_error_report``).
 
     ``broadcast_state`` (default): every per-round frame (frontier,
-    visited set, per-level delta) is ≤ ``n_seeds``·|V| rows, while the
-    adjacency is |E| ≥ degree·|V| rows — so the rounds broadcast the
-    SMALL state side and leave the cached adjacency in place. Without
-    the hint each of the 2·rounds-1 joins re-exchanged the adjacency
-    (Spark cannot know an intermediate aggregate is small at plan time,
-    and the r12 A/B measured the hint at ~2.3x on the sf0.1 entry).
-    For a graph where ``n_seeds``·|V| itself exceeds broadcast capacity
-    (billion-vertex at high seed counts) pass False to keep every join
+    visited set, per-level delta) is ≤ |V| rows, while the adjacency is
+    |E| ≥ degree·|V| rows — so the rounds broadcast the SMALL state side
+    and leave the cached adjacency in place. Without the hint each of
+    the 2·rounds-1 joins re-exchanged the adjacency (Spark cannot know
+    an intermediate aggregate is small at plan time, and the r12 A/B
+    measured the hint at ~2.3x on the sf0.1 entry). For a graph where
+    |V| itself exceeds broadcast capacity pass False to keep every join
     on the co-partitioned shuffle path — the estimator is identical
-    either way (integer math, order-independent)."""
-    bc = F.broadcast if broadcast_state else (lambda df: df)
-    seeds = (
-        adj.select("src").distinct().orderBy("src").limit(n_seeds)
-        .select(F.col("src").alias("seed"), F.col("src").alias("node"))
-    )
+    either way (integer math, order-independent).
 
-    # forward: BFS levels with shortest-path counts sigma
-    levels = [seeds.withColumn("sigma", F.lit(1).cast("long")).persist()]
-    visited = levels[0].select("seed", "node").persist()
+    Seed-lane packing (r12, the HyperBall wide-column pattern): state is
+    keyed by ``node`` with one sigma/delta LONG column per seed lane
+    (NULL = lane inactive at this level), not by ``(seed, node)`` rows.
+    Seeds' frontiers overlap heavily on a diameter-≤3 graph, so packing
+    cuts per-round join traffic by up to ``n_seeds``× while every lane
+    expression stays whole-stage-codegen integer arithmetic (no HOFs).
+    Every capped expression is NULL-GUARDED explicitly because Spark's
+    ``least`` SKIPS nulls (least(NULL, cap) = cap, which would credit
+    inactive lanes). The packed relation is unpivoted back to the
+    ``(seed, node, delta_fp)`` interface with one ``stack`` per level —
+    row-for-row identical to the unpacked formulation (lanes are
+    independent; integer sums are order-free)."""
+    bc = F.broadcast if broadcast_state else (lambda df: df)
+    spark = adj.sparkSession
+    seed_ids = [
+        r["src"]
+        for r in adj.select("src").distinct().orderBy("src")
+        .limit(n_seeds).collect()
+    ]  # bounded: n_seeds ≤ 16 everywhere in the registry
+    lanes = range(len(seed_ids))
+    s = [f"s{i}" for i in lanes]
+
+    # forward: BFS levels with per-lane shortest-path counts sigma
+    l0 = spark.createDataFrame(
+        [
+            tuple([sid] + [1 if j == i else None for j in lanes])
+            for i, sid in enumerate(seed_ids)
+        ],
+        "node long, " + ", ".join(f"{c} long" for c in s),
+    )
+    levels = [l0.persist()]
+    visited = l0.select(
+        "node", *[F.col(c).isNotNull().alias(f"v{i}") for i, c in enumerate(s)]
+    ).transform(truncate_lineage, eager=False)
+    pinned = [levels[0]]
     for _ in range(1, rounds + 1):
         frontier = levels[-1]
-        nxt = (
+        summed = (
             bc(frontier)
             .join(adj, frontier["node"] == adj["src"])
-            .select("seed", F.col("dst").alias("node"), "sigma")
-            .groupBy("seed", "node")
-            .agg(
-                F.least(F.sum("sigma"), F.lit(SIGMA_CAP))
-                .cast("long")
-                .alias("sigma")
+            .select(F.col("dst").alias("node"), *s)
+            .groupBy("node")
+            .agg(*[F.sum(c).alias(c) for c in s])
+        )
+        nxt = (
+            summed.join(bc(visited), "node", "left")
+            .select(
+                "node",
+                *[
+                    F.when(
+                        F.col(c).isNotNull()
+                        & ~F.coalesce(F.col(f"v{i}"), F.lit(False)),
+                        F.least(F.col(c), F.lit(SIGMA_CAP)),
+                    )
+                    .cast("long")
+                    .alias(c)
+                    for i, c in enumerate(s)
+                ],
             )
-            .join(bc(visited), ["seed", "node"], "left_anti")
+            .where(F.coalesce(*s).isNotNull())
             .persist()
         )
         levels.append(nxt)
-        visited = visited.unionByName(nxt.select("seed", "node")).persist()
+        pinned.append(nxt)
+        # visited enters the next round's plan twice (lane gate + its own
+        # rebuild), so truncate its lineage per round — the PageRank loop
+        # discipline; without it the plan tree doubles every round and
+        # 16-lane analysis alone OOMs the driver (measured at sf0.001)
+        visited = (
+            visited.join(nxt.select("node", *s), "node", "full")
+            .select(
+                "node",
+                *[
+                    (
+                        F.coalesce(F.col(f"v{i}"), F.lit(False))
+                        | F.col(c).isNotNull()
+                    ).alias(f"v{i}")
+                    for i, c in enumerate(s)
+                ],
+            )
+            .transform(truncate_lineage, eager=False)
+        )
 
     # backward: dependency accumulation from the deepest level inward
     deltas: dict[int, DataFrame] = {
-        rounds: levels[rounds].withColumn(
-            "delta_fp", F.lit(0).cast("long")
+        rounds: levels[rounds].select(
+            "node",
+            *s,
+            *[
+                F.when(F.col(c).isNotNull(), F.lit(0))
+                .cast("long")
+                .alias(f"d{i}")
+                for i, c in enumerate(s)
+            ],
         )
     }
     for r in range(rounds - 1, 0, -1):
         child = deltas[r + 1]
-        contrib = (
+        edge = (
             bc(child)
             .join(adj, child["node"] == adj["dst"])
             .select(
-                "seed",
                 F.col("src").alias("node"),
-                F.col("sigma").alias("sigma_w"),
-                "delta_fp",
+                *[F.col(c).alias(f"w{i}") for i, c in enumerate(s)],
+                *[f"d{i}" for i in lanes],
             )
-            .join(
-                bc(
-                    levels[r].select(
-                        "seed", "node", F.col("sigma").alias("sigma_v")
-                    )
-                ),
-                ["seed", "node"],
-            )
+        )
+        parents = levels[r].select(
+            "node", *[F.col(c).alias(f"p{i}") for i, c in enumerate(s)]
+        )
+        contrib = (
+            edge.join(bc(parents), "node")
             .select(
-                "seed",
                 "node",
-                F.expr(
-                    f"least((sigma_v * ({DELTA_SCALE} + delta_fp))"
-                    f" div sigma_w, {DELTA_CAP})"
-                ).alias("c"),
+                *[
+                    F.when(
+                        F.col(f"p{i}").isNotNull()
+                        & F.col(f"w{i}").isNotNull(),
+                        F.least(
+                            F.expr(
+                                f"(p{i} * ({DELTA_SCALE} + d{i})) div w{i}"
+                            ),
+                            F.lit(DELTA_CAP),
+                        ),
+                    )
+                    .cast("long")
+                    .alias(f"c{i}")
+                    for i in lanes
+                ],
             )
-            .groupBy("seed", "node")
-            .agg(
-                F.least(F.sum("c"), F.lit(DELTA_CAP))
-                .cast("long")
-                .alias("dsum")
-            )
+            .groupBy("node")
+            .agg(*[F.sum(f"c{i}").alias(f"c{i}") for i in lanes])
         )
         deltas[r] = (
             levels[r]
-            .join(bc(contrib), ["seed", "node"], "left")
+            .join(bc(contrib), "node", "left")
             .select(
-                "seed",
                 "node",
-                "sigma",
-                F.coalesce("dsum", F.lit(0)).cast("long").alias("delta_fp"),
+                *s,
+                *[
+                    F.when(
+                        F.col(c).isNotNull(),
+                        F.when(F.col(f"c{i}").isNull(), F.lit(0)).otherwise(
+                            F.least(F.col(f"c{i}"), F.lit(DELTA_CAP))
+                        ),
+                    )
+                    .cast("long")
+                    .alias(f"d{i}")
+                    for i, c in enumerate(s)
+                ],
             )
             .persist()
         )
+        pinned.append(deltas[r])
 
+    # unpivot lanes back to the (seed, node, delta_fp) interface;
+    # NULL delta = lane not at this level (a real 0 survives the filter)
+    stack_args = ", ".join(
+        f"CAST({sid} AS BIGINT), d{i}" for i, sid in enumerate(seed_ids)
+    )
     acc = functools.reduce(
         DataFrame.unionByName,
-        [deltas[r].select("seed", "node", "delta_fp") for r in range(1, rounds + 1)],
+        [
+            deltas[r]
+            .select(
+                "node",
+                F.expr(
+                    f"stack({len(seed_ids)}, {stack_args})"
+                    " AS (seed, delta_fp)"
+                ),
+            )
+            .where(F.col("delta_fp").isNotNull())
+            .select("seed", "node", "delta_fp")
+            for r in range(1, rounds + 1)
+        ],
     )
-    return acc, levels + list(deltas.values())
+    return acc, pinned
 
 
 def betweenness_fixed_point(

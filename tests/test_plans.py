@@ -193,7 +193,13 @@ def test_cms_probe_is_broadcast(spark):
 def test_semantic_dedup_within_cell_equi_join(spark):
     import re
 
-    plan = _plan(spark, "semantic_dedup_stats")
+    # the registry entry is eager since r12 (the ≤n_cells-row stats frame
+    # is collected once and re-wrapped, so ITS plan is a local scan) —
+    # pin the internal lazy computation the collect executes instead
+    from graphdb_td2_spark.dedup.semantic import semantic_cells, semantic_dropped
+
+    dropped = semantic_dropped(semantic_cells(spark, SF_DIR))
+    plan = dropped._jdf.queryExecution().executedPlan().toString()
     # the quadratic term must be blocked: an equi self-join on the trained
     # cell id, compiled as a LEFT SEMI (dropped-set probe), never an
     # all-pairs product. The ONLY nested-loop join allowed is the broadcast
