@@ -34,33 +34,47 @@ DEFAULT_MAX_ITER = 50
 
 
 def connected_components(
-    vertices: DataFrame, edges: DataFrame, max_iter: int = DEFAULT_MAX_ITER
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_iter: int = DEFAULT_MAX_ITER,
+    broadcast_state: bool = True,
 ) -> DataFrame:
     """``(id, component)`` — component = min vertex id reachable (any total
-    order over ids works; string ids use their lexicographic order)."""
+    order over ids works; string ids use their lexicographic order).
+
+    ``broadcast_state`` (default): the vertex-sized label frame
+    broadcasts into the persisted edge join and the min-combined
+    messages broadcast into the label merge (the betweenness/sssp
+    state-side discipline) — the only per-round shuffle is the message
+    combine, and the persisted merged frame serves BOTH the new labels
+    and the convergence probe without recomputation. Pass
+    False above broadcast capacity; MIN over ids is order-free, so the
+    labels are identical either way."""
     und = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .persist()
     )
+    bc = F.broadcast if broadcast_state else (lambda df: df)
     labels = vertices.select("id", F.col("id").alias("component")).transform(truncate_lineage)
     for _ in range(max_iter):
-        neighbor_min = (
-            und.join(labels, und.src == labels.id)
+        msgs = (
+            und.join(bc(labels), und.src == labels.id)
             .select(F.col("dst").alias("id"), "component")
-            .union(labels)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(F.min("component").alias("msg"))
+        )
+        merged = labels.join(bc(msgs), "id", "left").persist()
+        # least() skips NULLs: isolated vertices (msg NULL) keep their label
+        new_labels = merged.select(
+            "id", F.least("msg", "component").alias("component")
         ).transform(truncate_lineage)
         changed = (
-            labels.alias("old")
-            .join(neighbor_min.alias("new"), "id")
-            .filter(F.col("old.component") != F.col("new.component"))
-            .limit(1)
-            .count()
+            merged.filter(F.col("msg") < F.col("component")).limit(1).count()
         )
-        labels = neighbor_min
+        merged.unpersist()
+        labels = new_labels
         if changed == 0:
             break
     und.unpersist()

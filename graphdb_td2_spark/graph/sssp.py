@@ -10,12 +10,18 @@ the identical recurrence the identical number of times, so the unrolled
 chained-CTE DuckDB twin matches bit-exactly. Distances are exact BIGINTs
 (integer weights), so the full value hash is checked, not just rows.
 
-Scale notes: one shuffle per round on a vertex-sized frame; messages are
-emitted only from the *improved* frontier of the previous round (for
-weighted relaxation a settled vertex can improve again, so the frontier
-is "distance changed", not "newly reached" — still a fraction of the
-vertex set after the first rounds). ``localCheckpoint`` per round keeps
-Catalyst re-analysis linear (see graph/pagerank.py).
+Scale notes: messages are emitted only from the *improved* frontier of
+the previous round (for weighted relaxation a settled vertex can improve
+again, so the frontier is "distance changed", not "newly reached" —
+still a fraction of the vertex set after the first rounds). On graphs
+under the broadcast bar the per-round plan is exchange-free on the big
+relations: the frontier broadcasts into the persisted edge join and the
+min-combined messages broadcast into the distance merge (the
+betweenness/pagerank state-side discipline — the only shuffle left per
+round is the message combine, bounded by edges-out-of-frontier). Above
+the bar every join falls back to the co-partitioned path with identical
+results (MIN over BIGINTs is order-free). ``localCheckpoint`` per round
+keeps Catalyst re-analysis linear (see graph/pagerank.py).
 """
 
 from __future__ import annotations
@@ -54,10 +60,12 @@ def sssp_distances(
     """``(id, distance)`` — minimum edge-weight sum over paths of at most
     ``rounds`` undirected hops from ``seed``; NULL when unreached."""
     und = _undirected_min_edges(edges_w)
-    if n_vertices is not None and n_vertices <= 5_000_000:
+    small = n_vertices is not None and n_vertices <= 5_000_000
+    if small:
         parts = max(1, int(n_vertices // 250_000) + 1)
         und = und.repartition(parts, "src")
         vertices = vertices.repartition(parts)
+    bc = F.broadcast if small else (lambda df: df)
     und = und.persist()
     dist = vertices.select(
         "id",
@@ -65,28 +73,31 @@ def sssp_distances(
     ).transform(truncate_lineage)
     frontier = dist.filter(F.col("distance").isNotNull()).transform(truncate_lineage)
     for _ in range(rounds):
-        relaxed = (
-            und.join(frontier, und.src == F.col("id"))
+        # min-combined messages out of the frontier (the ONE per-round
+        # shuffle), then an exchange-free merge: least() skips NULLs, so
+        # least(msg, old) IS min-with-unreached-as-infinity — exactly the
+        # relaxation the union+groupBy formulation computed
+        msgs = (
+            und.join(bc(frontier), und.src == F.col("id"))
             .select(
                 F.col("dst").alias("id"),
-                (F.col("distance") + F.col("w")).alias("distance"),
+                (F.col("distance") + F.col("w")).alias("msg"),
             )
-            .union(dist.select("id", "distance"))
             .groupBy("id")
-            .agg(F.min("distance").alias("distance"))
+            .agg(F.min("msg").alias("msg"))
+        )
+        merged = dist.join(bc(msgs), "id", "left").persist()
+        relaxed = merged.select(
+            "id", F.least("msg", "distance").alias("distance")
         ).transform(truncate_lineage)
         frontier = (
-            relaxed.alias("new")
-            .join(dist.alias("old"), "id")
-            .filter(
-                F.col("new.distance").isNotNull()
-                & (
-                    F.col("old.distance").isNull()
-                    | (F.col("new.distance") < F.col("old.distance"))
-                )
+            merged.filter(
+                F.col("msg").isNotNull()
+                & (F.col("distance").isNull() | (F.col("msg") < F.col("distance")))
             )
-            .select("id", F.col("new.distance").alias("distance"))
+            .select("id", F.col("msg").alias("distance"))
         ).transform(truncate_lineage)
+        merged.unpersist()
         dist = relaxed
     und.unpersist()
     return dist
