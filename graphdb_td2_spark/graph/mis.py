@@ -23,8 +23,14 @@ expectation; on every tested corpus the active set hits zero within 4.
 Scale notes: per round — one semi-join restricting the cached adjacency
 to active endpoints, one (src → min neighbor priority) hash agg
 (map-side combined, |V| output), one anti-join to deactivate.
-State is one |V|-bounded frame, lineage-truncated per round. All
-shuffles key on the vertex id.
+State is one |V|-bounded frame, lineage-truncated per round; every
+state side (active / selected / removed, all |V|-bounded) broadcasts
+into its join so the cached adjacency is never re-exchanged (the
+betweenness/sssp discipline — pass ``broadcast_state=False`` above
+broadcast capacity for the co-partitioned fallback, identical results).
+``selected`` is persisted for its three per-round uses (neighbor
+expansion, removal union, count) so the min-priority aggregate runs
+once per round, not three times.
 """
 
 from __future__ import annotations
@@ -43,12 +49,16 @@ def _priority(node: F.Column) -> F.Column:
 
 
 def mis_round_sizes(
-    spark: SparkSession, sf_dir: str, rounds: int = MIS_ROUNDS
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = MIS_ROUNDS,
+    broadcast_state: bool = True,
 ) -> DataFrame:
     """Registry entry: ``(round, n_selected, n_removed, n_remaining)`` —
     per Luby round: how many vertices joined the independent set, how
     many vertices deactivated in total (selected + their neighbors),
     and how many stay active. Ordered by round."""
+    bc = F.broadcast if broadcast_state else (lambda df: df)
     adj = copurchase_adjacency(spark, sf_dir).persist()
     active = (
         adj.select(F.col("src").alias("node"))
@@ -60,33 +70,45 @@ def mis_round_sizes(
     for r in range(1, rounds + 1):
         adj_act = (
             adj.join(
-                active.select(F.col("node").alias("src")), "src", "left_semi"
+                bc(active.select(F.col("node").alias("src"))),
+                "src",
+                "left_semi",
             )
             .join(
-                active.select(F.col("node").alias("dst")), "dst", "left_semi"
+                bc(active.select(F.col("node").alias("dst"))),
+                "dst",
+                "left_semi",
             )
         )
         min_nb = (
             adj_act.join(
-                active.select(
-                    F.col("node").alias("dst"), F.col("p").alias("pd")
+                bc(
+                    active.select(
+                        F.col("node").alias("dst"), F.col("p").alias("pd")
+                    )
                 ),
                 "dst",
             )
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("pd").alias("min_nb"))
         )
-        cand = active.join(min_nb, "node", "left")
-        selected = cand.filter(
-            F.col("min_nb").isNull() | (F.col("p") < F.col("min_nb"))
-        ).select("node")
+        cand = active.join(bc(min_nb), "node", "left")
+        selected = (
+            cand.filter(
+                F.col("min_nb").isNull() | (F.col("p") < F.col("min_nb"))
+            )
+            .select("node")
+            .persist()
+        )
         nbrs = adj_act.join(
-            selected.select(F.col("node").alias("dst")), "dst", "left_semi"
+            bc(selected.select(F.col("node").alias("dst"))),
+            "dst",
+            "left_semi",
         ).select(F.col("src").alias("node"))
         removed = selected.unionByName(nbrs).distinct().transform(
             truncate_lineage
         )
-        nxt = active.join(removed, "node", "left_anti").transform(
+        nxt = active.join(bc(removed), "node", "left_anti").transform(
             truncate_lineage
         )
         # collect the three counts EAGERLY while adj is still cached
@@ -106,6 +128,7 @@ def mis_round_sizes(
                 cnt["n_active"] - cnt["n_removed"],
             )
         )
+        selected.unpersist()
         active = nxt
     adj.unpersist()
     return spark.createDataFrame(
