@@ -99,7 +99,9 @@ def hits_fp(edges: DataFrame, num_iter: int = HITS_ITER) -> DataFrame:
         )
         total = int(raw.agg(F.coalesce(F.sum("raw"), F.lit(0))).first()[0])
         norm = max(total // FP_SCALE, 1)
-        out = verts.join(raw, "id", "left").select(
+        # the persisted |V|-bounded aggregate broadcasts into the merge so
+        # the vertex frame is never re-exchanged (same bar as `side`)
+        out = verts.join(F.broadcast(raw) if small else raw, "id", "left").select(
             "id",
             F.expr(f"coalesce(raw, cast(0 as bigint)) div {norm}").alias(out_col),
         )

@@ -119,6 +119,10 @@ def _iterate(
         )
         # Rank mass sitting on dangling vertices (no out-edges) is
         # redistributed through the teleport vector, keeping sum(rank)=1.
+        # contribs is |V|-bounded: broadcast it into the merge so the
+        # checkpointed state is never re-exchanged (same bar as rank_side)
+        if small:
+            contribs = F.broadcast(contribs)
         new_ranks = (
             ranks.drop("rank")
             .join(contribs, "id", "left")
@@ -246,6 +250,10 @@ def _iterate_fp(
             if tracking
             else ranks.drop("rank")
         )
+        # |V|-bounded message aggregate broadcasts into the merge so the
+        # checkpointed state is never re-exchanged (same bar as rank_side)
+        if small:
+            contribs = F.broadcast(contribs)
         new_ranks = (
             base.join(contribs, "id", "left")
             .select(
