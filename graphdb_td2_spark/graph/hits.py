@@ -10,8 +10,10 @@ the loop is the genuinely iterative piece Catalyst cannot express
 (SURVEY.md §4 custom-work item 1), so it follows the same DataFrame
 power-iteration discipline: persist the edge relation once, broadcast the
 dimension-sized score vector into the message join, truncate lineage every
-iteration, and spend exactly two driver actions per iteration (the two
-1-row normalization totals).
+iteration, and spend exactly ONE driver action per half-step — the 1-row
+normalization total, whose collect doubles as the materialization of the
+previous half-step's lazily-checkpointed score vector (the pagerank
+dangling-mass fold).
 
 Exactness (the whole point of the fixed-point formulation): scores are
 scaled BIGINTs. A plain L1/L2 normalization divides by a data-dependent
@@ -78,6 +80,17 @@ def hits_fp(edges: DataFrame, num_iter: int = HITS_ITER) -> DataFrame:
     verts = verts.persist()
     verts.count()  # materialize the verts persist (edges fills on first half-step)
 
+    # ONE driver action per half-step (the pagerank dangling-mass fold):
+    # the normalization total's collect doubles as the materialization of
+    # the PREVIOUS half-step's lazily-checkpointed score vector, so the
+    # per-half-step action count is 1, not 2. The message aggregate is
+    # persisted across its two uses (1-row total, then the state join);
+    # since the new vector is now checkpointed LAZILY, the persist is
+    # released one half-step LATE (after the next total has materialized
+    # the vector that references it) — live state stays bounded at
+    # edges + vertices + one score vector + two |V|-row aggregates.
+    prev_raw: list[DataFrame] = []
+
     def _half_step(scores: DataFrame, score_col: str, join_on: str,
                    group_on: str, out_col: str) -> DataFrame:
         """One endorsement pass: ship ``score_col`` along edges joined on
@@ -86,11 +99,6 @@ def hits_fp(edges: DataFrame, num_iter: int = HITS_ITER) -> DataFrame:
         side = scores.select(F.col("id").alias(join_on), score_col)
         if small:
             side = F.broadcast(side)
-        # The message aggregate is referenced twice (1-row total, then the
-        # state join), so persist it across the pair of uses; the new
-        # score vector is checkpointed EAGERLY so the persist can be
-        # released immediately — live state stays bounded at
-        # edges + vertices + one score vector regardless of num_iter.
         raw = (
             edges.join(side, join_on)
             .groupBy(F.col(group_on).alias("id"))
@@ -98,6 +106,8 @@ def hits_fp(edges: DataFrame, num_iter: int = HITS_ITER) -> DataFrame:
             .persist()
         )
         total = int(raw.agg(F.coalesce(F.sum("raw"), F.lit(0))).first()[0])
+        if prev_raw:
+            prev_raw.pop().unpersist()
         norm = max(total // FP_SCALE, 1)
         # the persisted |V|-bounded aggregate broadcasts into the merge so
         # the vertex frame is never re-exchanged (same bar as `side`)
@@ -105,9 +115,8 @@ def hits_fp(edges: DataFrame, num_iter: int = HITS_ITER) -> DataFrame:
             "id",
             F.expr(f"coalesce(raw, cast(0 as bigint)) div {norm}").alias(out_col),
         )
-        out = out.transform(truncate_lineage, eager=True)
-        raw.unpersist()
-        return out
+        prev_raw.append(raw)
+        return out.transform(truncate_lineage, eager=False)
 
     hubs = verts.select("id", F.lit(FP_SCALE).cast("long").alias("hub"))
     auths = None
@@ -121,6 +130,7 @@ def hits_fp(edges: DataFrame, num_iter: int = HITS_ITER) -> DataFrame:
     # the iteration-scoped caches — a long session invoking HITS repeatedly
     # must not accumulate pinned edge/vertex blocks in executor storage.
     out = out.transform(truncate_lineage, eager=True)
+    prev_raw.pop().unpersist()
     edges.unpersist()
     verts.unpersist()
     return out
