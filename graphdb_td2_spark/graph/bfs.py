@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .checkpointing import truncate_lineage
+from .checkpointing import state_partitions, truncate_lineage
 
 from .queries import cached_graph
 
@@ -43,7 +43,7 @@ def bfs_distances(
     # state is vertex-sized; a dimension-sized graph should not shuffle at
     # the session's full partition count every round.
     if n_vertices is not None and n_vertices <= 5_000_000:
-        parts = max(1, int(n_vertices // 250_000) + 1)
+        parts = state_partitions(n_vertices, und)
         und = und.repartition(parts, "src")
         vertices = vertices.repartition(parts)
     und = und.persist()

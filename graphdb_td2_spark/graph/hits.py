@@ -45,7 +45,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .checkpointing import truncate_lineage
+from .checkpointing import state_partitions, truncate_lineage
 from .pagerank import FP_SCALE, _BROADCAST_RANKS_MAX
 
 HITS_ITER = 4
@@ -68,12 +68,12 @@ def hits_fp(edges: DataFrame, num_iter: int = HITS_ITER) -> DataFrame:
     n_vertices = verts.count()
     small = n_vertices <= _BROADCAST_RANKS_MAX
     if small:
-        # Same partition budget as pagerank._iterate: iteration state is
-        # vertex-sized — running dimension-sized frames at the session's
-        # full shuffle width burns task-scheduling overhead (measured on
-        # this operator: 66-wide half-steps cost ~12s/iteration at
-        # sf0.01; 1-wide cost well under 1s).
-        parts = max(1, int(n_vertices // 250_000) + 1)
+        # Shared partition budget (graph/checkpointing.py
+        # state_partitions): sized off the state dimension, wide enough
+        # that the per-half-step edge join parallelizes (r12: 1-wide
+        # half-steps were 1.8-2.0 s vs 0.8-1.2 s at ~8-wide on sf0.1),
+        # narrow enough that sf0.01-sized graphs stay at 1 partition.
+        parts = state_partitions(n_vertices, edges)
         edges = edges.repartition(parts, F.col("src"))
         verts = verts.repartition(parts)
     edges = edges.persist()

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .checkpointing import truncate_lineage
+from .checkpointing import state_partitions, truncate_lineage
 
 def _vertices_of(edges: DataFrame, src: str, dst: str) -> DataFrame:
     return (
@@ -52,10 +52,11 @@ def _iterate(
     small = n_vertices is not None and n_vertices <= _BROADCAST_RANKS_MAX
     # Partition budget: iteration state is vertex-sized; running it on the
     # session's full shuffle-partition count burns task overhead when the
-    # graph is dimension-sized. One partition per ~250k vertices, capped by
-    # the session default for big graphs.
+    # graph is dimension-sized; 1 partition serializes the per-round edge
+    # join once the graph clears a few hundred thousand edges. Sizing is
+    # shared across the iterative tier (checkpointing.state_partitions).
     if small:
-        parts = max(1, int(n_vertices // 250_000) + 1)
+        parts = state_partitions(n_vertices, edges)
         vertices = vertices.repartition(parts)
         reset = reset.repartition(parts)
         edges = edges.repartition(parts, F.col(src))
@@ -186,7 +187,7 @@ def _iterate_fp(
     weights are small, so rank·w stays far inside int64."""
     small = n_vertices is not None and n_vertices <= _BROADCAST_RANKS_MAX
     if small:
-        parts = max(1, int(n_vertices // 250_000) + 1)
+        parts = state_partitions(n_vertices, edges)
         vertices = vertices.repartition(parts)
         reset = reset.repartition(parts)
         edges = edges.repartition(parts, F.col(src))

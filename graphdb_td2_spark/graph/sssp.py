@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .checkpointing import truncate_lineage
+from .checkpointing import state_partitions, truncate_lineage
 from .queries import cached_graph
 
 MAX_ROUNDS = 6
@@ -62,7 +62,7 @@ def sssp_distances(
     und = _undirected_min_edges(edges_w)
     small = n_vertices is not None and n_vertices <= 5_000_000
     if small:
-        parts = max(1, int(n_vertices // 250_000) + 1)
+        parts = state_partitions(n_vertices, und)
         und = und.repartition(parts, "src")
         vertices = vertices.repartition(parts)
     bc = F.broadcast if small else (lambda df: df)

@@ -84,4 +84,8 @@ def test_ivfpq_entries_bounded_persist(spark, sf_dir):
     ann_topk_ivfpq(spark, sf_dir).collect()
     ann_topk_ivfpq_refined(spark, sf_dir).collect()
     pq_refine_gain_report(spark, sf_dir).collect()
-    assert _n_persistent(spark) == warm
+    # <= not ==: the ContextCleaner releases earlier tests' superseded
+    # blocks asynchronously, so the session-wide pin count can SHRINK
+    # between snapshots under the full suite (observed r12); the invariant
+    # under test is only that repeated PQ calls add no NEW pins.
+    assert _n_persistent(spark) <= warm
