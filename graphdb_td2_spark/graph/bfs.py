@@ -56,26 +56,42 @@ def bfs_distances(
     # round k shuffles the frontier's edges, not all settled vertices' —
     # identical fixpoint, a fraction of the join volume on later rounds.
     frontier = dist.filter(F.col("distance").isNotNull()).transform(truncate_lineage)
+    # Exchange-free merge (the sssp_distances shape, r12): min-combined
+    # messages out of the frontier are the ONE per-round shuffle; the merge
+    # broadcasts them into a left join against the checkpointed distance
+    # vector — least() skips NULLs, so least(msg, old) IS
+    # min-with-unreached-as-infinity. The old union+groupBy formulation
+    # re-aggregated the full |V|-row vector every hop. ONE driver action
+    # per round (the hits_fp discipline): only the new distance vector
+    # checkpoints eagerly; the frontier checkpoints LAZILY and materializes
+    # inside the NEXT round's action, which still reads this round's
+    # persisted merged frame — released one round late.
+    small = n_vertices is not None and n_vertices <= 5_000_000
+    bc = F.broadcast if small else (lambda df: df)
+    prev_merged: list = []
     for _ in range(max_hops):
-        relaxed = (
-            und.join(frontier, und.src == F.col("id"))
-            .select(
-                F.col("dst").alias("id"), (F.col("distance") + 1).alias("distance")
-            )
-            .union(dist.select("id", "distance"))
+        msgs = (
+            und.join(bc(frontier), und.src == F.col("id"))
+            .select(F.col("dst").alias("id"), (F.col("distance") + 1).alias("msg"))
             .groupBy("id")
-            .agg(F.min("distance").alias("distance"))
+            .agg(F.min("msg").alias("msg"))
+        )
+        merged = dist.join(bc(msgs), "id", "left").persist()
+        relaxed = merged.select(
+            "id", F.least("msg", "distance").alias("distance")
         ).transform(truncate_lineage)
+        if prev_merged:
+            prev_merged.pop().unpersist()
+        # unit weights: a vertex enters the frontier iff it was previously
+        # unreached (a settled distance never improves)
         frontier = (
-            relaxed.alias("new")
-            .join(dist.alias("old"), "id")
-            .filter(
-                F.col("old.distance").isNull()
-                & F.col("new.distance").isNotNull()
-            )
-            .select("id", F.col("new.distance").alias("distance"))
-        ).transform(truncate_lineage)
+            merged.filter(F.col("distance").isNull() & F.col("msg").isNotNull())
+            .select("id", F.col("msg").alias("distance"))
+        ).transform(truncate_lineage, eager=False)
+        prev_merged.append(merged)
         dist = relaxed
+    if prev_merged:
+        prev_merged.pop().unpersist()
     und.unpersist()
     return dist
 

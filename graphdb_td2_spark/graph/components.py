@@ -58,6 +58,13 @@ def connected_components(
     )
     bc = F.broadcast if broadcast_state else (lambda df: df)
     labels = vertices.select("id", F.col("id").alias("component")).transform(truncate_lineage)
+    # ONE driver action per round (the hits_fp discipline): the convergence
+    # probe over the persisted merged frame is the round's only action; the
+    # new label vector checkpoints LAZILY and materializes inside the NEXT
+    # round's probe, which still reads this round's persisted merged — so
+    # the persist is released one round late (live state stays bounded at
+    # und + labels + one merged frame).
+    prev_merged: list = []
     for _ in range(max_iter):
         msgs = (
             und.join(bc(labels), und.src == labels.id)
@@ -69,14 +76,21 @@ def connected_components(
         # least() skips NULLs: isolated vertices (msg NULL) keep their label
         new_labels = merged.select(
             "id", F.least("msg", "component").alias("component")
-        ).transform(truncate_lineage)
+        ).transform(truncate_lineage, eager=False)
         changed = (
             merged.filter(F.col("msg") < F.col("component")).limit(1).count()
         )
-        merged.unpersist()
+        if prev_merged:
+            prev_merged.pop().unpersist()
+        prev_merged.append(merged)
         labels = new_labels
         if changed == 0:
             break
+    # materialize the final (lazily-checkpointed) labels before releasing
+    # the caches they were computed from
+    labels = labels.transform(truncate_lineage, eager=True)
+    if prev_merged:
+        prev_merged.pop().unpersist()
     und.unpersist()
     return labels
 

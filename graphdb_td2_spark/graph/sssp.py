@@ -72,6 +72,12 @@ def sssp_distances(
         F.when(F.col("id") == seed, F.lit(0)).cast("long").alias("distance"),
     ).transform(truncate_lineage)
     frontier = dist.filter(F.col("distance").isNotNull()).transform(truncate_lineage)
+    # ONE driver action per round (the hits_fp discipline): only the new
+    # distance vector checkpoints eagerly; the frontier checkpoints LAZILY
+    # and materializes inside the NEXT round's action, which still reads
+    # this round's persisted `merged` — so the persist is released one
+    # round LATE, keeping live state bounded at und + dist + one merged.
+    prev_merged: list = []
     for _ in range(rounds):
         # min-combined messages out of the frontier (the ONE per-round
         # shuffle), then an exchange-free merge: least() skips NULLs, so
@@ -90,15 +96,19 @@ def sssp_distances(
         relaxed = merged.select(
             "id", F.least("msg", "distance").alias("distance")
         ).transform(truncate_lineage)
+        if prev_merged:
+            prev_merged.pop().unpersist()
         frontier = (
             merged.filter(
                 F.col("msg").isNotNull()
                 & (F.col("distance").isNull() | (F.col("msg") < F.col("distance")))
             )
             .select("id", F.col("msg").alias("distance"))
-        ).transform(truncate_lineage)
-        merged.unpersist()
+        ).transform(truncate_lineage, eager=False)
+        prev_merged.append(merged)
         dist = relaxed
+    if prev_merged:
+        prev_merged.pop().unpersist()
     und.unpersist()
     return dist
 
