@@ -88,6 +88,10 @@ def kcore_round_sizes(
                 .groupBy(F.col("src").alias("id"))
                 .agg(F.count(F.lit(1)).cast("long").alias("lost"))
             )
+            # Lazy checkpoints (the hits_fp one-action-per-round
+            # discipline): the chained removed.count() below materializes
+            # BOTH this frame's checkpoint and removed's — the prior eager
+            # pair spent three driver actions per round on the same work.
             deg = (
                 deg.join(lost, "id", "left")
                 .select(
@@ -96,10 +100,10 @@ def kcore_round_sizes(
                         F.col("deg") - F.coalesce(F.col("lost"), F.lit(0))
                     ).alias("deg"),
                 )
-                .transform(truncate_lineage)
+                .transform(truncate_lineage, eager=False)
             )
         removed = deg.filter(F.col("deg") < k).select("id").transform(
-            truncate_lineage
+            truncate_lineage, eager=False
         )
         n_removed = removed.count()
         deg = deg.filter(F.col("deg") >= k)

@@ -105,11 +105,16 @@ def mis_round_sizes(
             "dst",
             "left_semi",
         ).select(F.col("src").alias("node"))
+        # Lazy checkpoints (the hits_fp one-action-per-round discipline):
+        # the per-round counts action below materializes removed's
+        # checkpoint (its count leg computes it), and the NEXT round's
+        # counts action materializes nxt's — the prior eager pair spent
+        # three driver actions per round on the same work.
         removed = selected.unionByName(nbrs).distinct().transform(
-            truncate_lineage
+            truncate_lineage, eager=False
         )
         nxt = active.join(bc(removed), "node", "left_anti").transform(
-            truncate_lineage
+            truncate_lineage, eager=False
         )
         # collect the three counts EAGERLY while adj is still cached
         # (ADVICE-r9: lazy count plans re-derived the adjacency and all
