@@ -238,11 +238,17 @@ def _hyperball_rounds(
         # SCALE_r9_graph.json) — the extra state⋈maxes exchange costs
         # more than the checkpoint it saves; one wide map-side-combined
         # aggregate stays the cheapest way to merge sketches.
+        # Lazy checkpoints (the hits_fp one-action-per-round discipline):
+        # the round's single driver action is changed.isEmpty() below —
+        # its job computes the changed frame, whose inputs chain through
+        # this frame, and LocalRDDCheckpointData fills any partitions the
+        # probe did not touch at job end, so both checkpoints materialize
+        # off ONE action instead of three.
         new_state = (
             msgs.unionByName(state)
             .groupBy("node")
             .agg(*[F.max(c).alias(c) for c in _REG_COLS])
-            .transform(truncate_lineage)
+            .transform(truncate_lineage, eager=False)
         )
         grew = None
         for c in _REG_COLS:
@@ -253,7 +259,7 @@ def _hyperball_rounds(
             .join(state.alias("o"), "node")
             .filter(grew)
             .select("node")
-            .transform(truncate_lineage)
+            .transform(truncate_lineage, eager=False)
         )
         state = new_state
         yield t, state, changed.isEmpty()
@@ -282,6 +288,10 @@ def hyperball_harmonic(
             )
             continue
         w = HARMONIC_LCM // t
+        # Lazy: every input (est over checkpointed state, previous acc) is
+        # already lineage-truncated, so the accumulator chain stays O(1)
+        # plan-depth and materializes once, in the caller's final action —
+        # four vertex-sized joins, no per-round accumulator job.
         acc = (
             acc.join(est, "node")
             .select(
@@ -291,7 +301,7 @@ def hyperball_harmonic(
                     F.col("h") + (F.col("est") - F.col("prev")) * F.lit(w)
                 ).alias("h"),
             )
-            .transform(truncate_lineage)
+            .transform(truncate_lineage, eager=False)
         )
         if converged:
             # fixed point: every later round's increment is exactly zero
@@ -311,9 +321,10 @@ def harmonic_centrality_approx_top20(
     ball-size estimate in milli-vertices."""
     adj = _round_ready_adjacency(spark, sf_dir)
     harmonic, est = hyperball_harmonic(adj, n_vertices=_lake_n_vertices(spark, sf_dir))
-    # hyperball_harmonic materialized its state eagerly (per-round lineage
-    # truncation), so the returned frames no longer reference the adjacency
-    # and the cache can be released before the final vertex-sized join.
+    # Every per-round state checkpoint materialized inside the round's
+    # convergence probe, so the returned frames reference only checkpointed
+    # vertex-sized frames (the lazy accumulator chain included) — never the
+    # adjacency — and the cache can be released before the final join.
     adj.unpersist()
     return (
         harmonic.join(est, "node")
