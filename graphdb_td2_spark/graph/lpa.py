@@ -61,9 +61,13 @@ def label_propagation(
         truncate_lineage
     )
     top1 = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("lbl"))
+    # Broadcast-state discipline (the sssp/components shape, r12): the
+    # vertex-sized label vector broadcasts into the edge join and the
+    # per-vertex winners broadcast into the merge, so the only per-round
+    # exchanges are the vote count and the top-1 window.
     for _ in range(rounds):
         votes = (
-            und.join(labels, und.src == labels.id)
+            und.join(F.broadcast(labels), und.src == labels.id)
             .select(F.col("dst").alias("id"), "lbl")
             .unionByName(labels.select("id", "lbl"))  # self-vote
         )
@@ -74,7 +78,7 @@ def label_propagation(
             .select("id", F.col("lbl").alias("new_lbl"))
         )
         labels = (
-            labels.join(best, "id", "left")
+            labels.join(F.broadcast(best), "id", "left")
             .select("id", F.coalesce("new_lbl", "lbl").alias("lbl"))
             .transform(truncate_lineage)
         )
