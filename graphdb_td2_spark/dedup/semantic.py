@@ -78,7 +78,9 @@ def semantic_cells(
     corpus = emb.select(
         "vec_id", quantize_embedding(F.col("embedding")).alias("qe")
     )
-    centroids = train_ivf_centroids(spark, corpus, n_cells, n_iter)
+    centroids = train_ivf_centroids(
+        spark, corpus, n_cells, n_iter, cache_key=sf_dir
+    )
     return _assign_cells(corpus, centroids)
 
 

@@ -431,11 +431,19 @@ def pq_refine_gain_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_TRAIN_ITER = 2  # Lloyd steps per subspace (unrolled in the oracle)
 
 
+# Trained-codebook memo - the similarity/ann.py _TRAINED_CENTROID_ROWS
+# policy applied to the PQ trainer: driver-side rows only, keyed by
+# session + corpus key + knobs, same immutable-corpus assumption as
+# _CORPUS_CACHE above.
+_TRAINED_CODEBOOK_ROWS: dict[tuple, list] = {}
+
+
 def train_pq_codebook(
     spark: SparkSession,
     corpus: DataFrame,
     k_sub: int = K_SUB,
     n_iter: int = PQ_TRAIN_ITER,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Deterministic per-subspace k-means codebook ``(m, code_id, sub)``
     — the TRAINED drop-in for the id-codebook (``pq_codebook``), closing
@@ -461,6 +469,19 @@ def train_pq_codebook(
     (M·k_sub rows) round-trips through the driver per iteration, which
     is the classic k-means topology and the lineage truncation that
     keeps iteration plans O(1)."""
+    memo_key = None
+    if cache_key is not None:
+        memo_key = (
+            spark.sparkContext.applicationId,
+            cache_key.rstrip("/"),
+            k_sub,
+            n_iter,
+        )
+        hit = _TRAINED_CODEBOOK_ROWS.get(memo_key)
+        if hit is not None:
+            return spark.createDataFrame(
+                hit, schema="m long, code_id long, sub array<long>"
+            )
     init = (
         _subvectors(
             corpus.withColumn("h", F.md5(F.col("vec_id").cast("string")))
@@ -502,9 +523,10 @@ def train_pq_codebook(
             (int(r["m"]), int(r["code"])): list(r["sub"]) for r in new_rows
         }
         cw = {k_: updated.get(k_, v) for k_, v in cw.items()}
-    return spark.createDataFrame(
-        [(m, c, v) for (m, c), v in sorted(cw.items())], schema=schema
-    )
+    rows = [(m, c, v) for (m, c), v in sorted(cw.items())]
+    if memo_key is not None:
+        _TRAINED_CODEBOOK_ROWS[memo_key] = rows
+    return spark.createDataFrame(rows, schema=schema)
 
 
 def pq_trained_recall_report(
@@ -542,7 +564,9 @@ def pq_trained_recall_report(
     id_topk = _adc_rank(
         _adc_scored(corpus, pq_codebook(corpus, k_sub), n_queries), k
     ).select("query_id", F.col("vec_id").alias("i_vec"))
-    trained_cb = train_pq_codebook(spark, corpus, k_sub, n_iter)
+    trained_cb = train_pq_codebook(
+        spark, corpus, k_sub, n_iter, cache_key=sf_dir
+    )
     tr_topk = _adc_rank(
         _adc_scored(corpus, trained_cb, n_queries), k
     ).select("query_id", F.col("vec_id").alias("r_vec"))
