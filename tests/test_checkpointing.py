@@ -62,3 +62,21 @@ def test_truncate_lineage_cuts_plan_in_both_modes(spark, tmp_path):
             "Scan ExistingRDD" in cut2._jdf.queryExecution().executedPlan().toString()
     finally:
         use_local_checkpoints(spark)
+
+
+def test_state_partitions_budget(spark):
+    """The iteration-state partition budget: 1 partition until the state
+    clears STATE_ROWS_PER_PARTITION, then linear growth capped at the
+    session's default parallelism (the cluster-width ceiling that stops a
+    1B-vertex graph from scheduling tiny-task storms)."""
+    from graphdb_td2_spark.graph.checkpointing import (
+        STATE_ROWS_PER_PARTITION,
+        state_partitions,
+    )
+
+    df = spark.range(1)
+    width = spark.sparkContext.defaultParallelism
+    assert state_partitions(0, df) == 1
+    assert state_partitions(STATE_ROWS_PER_PARTITION - 1, df) == 1
+    assert state_partitions(8 * STATE_ROWS_PER_PARTITION, df) == min(width, 8)
+    assert state_partitions(10**9, df) == width
