@@ -337,6 +337,10 @@ def main() -> None:
         g = cached_graph(spark, sf_dir)
         g.vertices.count()
         g.edges.count()
+        # the undirected twin is the same class of derived lake table
+        from graphdb_td2_spark.graph.queries import cached_und_edges
+
+        cached_und_edges(spark, sf_dir).count()
         cached_doc_shingles(spark, sf_dir).count()
         # The PQ quantized corpus is the same class of artifact (the ANN
         # index build): warm it here so the first PQ query's median stops

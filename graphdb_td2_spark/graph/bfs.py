@@ -31,22 +31,29 @@ def bfs_distances(
     seed: str,
     max_hops: int = MAX_HOPS,
     n_vertices: int | None = None,
+    und: DataFrame | None = None,
 ) -> DataFrame:
     """``(id, distance)`` with distance NULL when the vertex is not
-    reachable within ``max_hops`` undirected hops of ``seed``."""
-    und = (
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-    )
+    reachable within ``max_hops`` undirected hops of ``seed``. ``und``:
+    caller-owned prebuilt undirected relation (the session lake artifact,
+    ``graph.queries.cached_und_edges``); derived call-scoped otherwise."""
+    owns_und = und is None
+    if owns_und:
+        und = (
+            edges.select("src", "dst")
+            .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .distinct()
+        )
     # Partition budget (same rationale as pagerank._iterate_fp): iteration
     # state is vertex-sized; a dimension-sized graph should not shuffle at
     # the session's full partition count every round.
     if n_vertices is not None and n_vertices <= 5_000_000:
         parts = state_partitions(n_vertices, und)
-        und = und.repartition(parts, "src")
+        if owns_und:
+            und = und.repartition(parts, "src")
         vertices = vertices.repartition(parts)
-    und = und.persist()
+    if owns_und:
+        und = und.persist()
     dist = vertices.select(
         "id",
         F.when(F.col("id") == seed, F.lit(0)).cast("long").alias("distance"),
@@ -92,7 +99,8 @@ def bfs_distances(
         dist = relaxed
     if prev_merged:
         prev_merged.pop().unpersist()
-    und.unpersist()
+    if owns_und:
+        und.unpersist()
     return dist
 
 
@@ -101,9 +109,16 @@ def bfs_level_sizes(
 ) -> DataFrame:
     """Level-size histogram of the BFS from one customer seed:
     ``(distance, n_vertices)`` for every reached level, ordered."""
+    from .queries import cached_und_edges
+
     g = cached_graph(spark, sf_dir)
     dist = bfs_distances(
-        g.vertices, g.edges, seed, max_hops, n_vertices=g.vertices.count()
+        g.vertices,
+        g.edges,
+        seed,
+        max_hops,
+        n_vertices=g.vertices.count(),
+        und=cached_und_edges(spark, sf_dir),
     )
     return (
         dist.filter(F.col("distance").isNotNull())

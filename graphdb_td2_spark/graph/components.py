@@ -38,6 +38,7 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = DEFAULT_MAX_ITER,
     broadcast_state: bool = True,
+    und: DataFrame | None = None,
 ) -> DataFrame:
     """``(id, component)`` — component = min vertex id reachable (any total
     order over ids works; string ids use their lexicographic order).
@@ -50,12 +51,17 @@ def connected_components(
     and the convergence probe without recomputation. Pass
     False above broadcast capacity; MIN over ids is order-free, so the
     labels are identical either way."""
-    und = (
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .persist()
-    )
+    # ``und``: a caller-owned prebuilt undirected relation (the session
+    # lake artifact, ``graph.queries.cached_und_edges``) — when absent the
+    # loop derives and owns a call-scoped copy.
+    owns_und = und is None
+    if owns_und:
+        und = (
+            edges.select("src", "dst")
+            .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .distinct()
+            .persist()
+        )
     bc = F.broadcast if broadcast_state else (lambda df: df)
     labels = vertices.select("id", F.col("id").alias("component")).transform(truncate_lineage)
     # ONE driver action per round (the hits_fp discipline): the convergence
@@ -91,15 +97,20 @@ def connected_components(
     labels = labels.transform(truncate_lineage, eager=True)
     if prev_merged:
         prev_merged.pop().unpersist()
-    und.unpersist()
+    if owns_und:
+        und.unpersist()
     return labels
 
 
 def component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Component-size histogram of the full property graph:
     ``(size, n_components)`` ordered by size descending."""
+    from .queries import cached_und_edges
+
     g = cached_graph(spark, sf_dir)
-    cc = connected_components(g.vertices, g.edges)
+    cc = connected_components(
+        g.vertices, g.edges, und=cached_und_edges(spark, sf_dir)
+    )
     return (
         cc.groupBy("component")
         .agg(F.count(F.lit(1)).alias("size"))

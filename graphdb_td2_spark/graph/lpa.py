@@ -40,23 +40,35 @@ def _cached_labels(spark: SparkSession, sf_dir: str, rounds: int) -> DataFrame:
     lp = _LABEL_CACHE.get(key)
     if lp is None:
         g = cached_graph(spark, sf_dir)
-        lp = label_propagation(g.vertices, g.edges, rounds=rounds).persist()
+        from .queries import cached_und_edges
+
+        lp = label_propagation(
+            g.vertices,
+            g.edges,
+            rounds=rounds,
+            und=cached_und_edges(spark, sf_dir),
+        ).persist()
         _LABEL_CACHE[key] = lp
     return lp
 
 
 def label_propagation(
-    vertices: DataFrame, edges: DataFrame, rounds: int = DEFAULT_ROUNDS
+    vertices: DataFrame,
+    edges: DataFrame,
+    rounds: int = DEFAULT_ROUNDS,
+    und: DataFrame | None = None,
 ) -> DataFrame:
     """``(id, lbl)`` after ``rounds`` synchronous LPA rounds (undirected
     edges; most frequent label among neighbors + self, ties to the
     minimum label)."""
-    und = (
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .persist()
-    )
+    owns_und = und is None
+    if owns_und:
+        und = (
+            edges.select("src", "dst")
+            .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .distinct()
+            .persist()
+        )
     labels = vertices.select("id", F.col("id").alias("lbl")).transform(
         truncate_lineage
     )
@@ -82,7 +94,8 @@ def label_propagation(
             .select("id", F.coalesce("new_lbl", "lbl").alias("lbl"))
             .transform(truncate_lineage)
         )
-    und.unpersist()
+    if owns_und:
+        und.unpersist()
     return labels
 
 

@@ -36,6 +36,29 @@ def cached_graph(spark: SparkSession, sf_dir: str) -> GraphFrames:
     return g
 
 
+_UND_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def cached_und_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted distinct UNDIRECTED ``(src, dst)`` relation of the
+    property graph — the derived lake artifact every undirected iterative
+    algorithm (components, BFS, LPA) starts from. Built once per
+    (session, corpus) like ``cached_graph``: each caller used to run the
+    same union+distinct shuffle and pin its own copy per call, which at
+    100 TB is re-deriving a standard lake table on every query."""
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    df = _UND_CACHE.get(key)
+    if df is None:
+        e = cached_graph(spark, sf_dir).edges.select("src", "dst")
+        df = (
+            e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .distinct()
+            .persist()
+        )
+        _UND_CACHE[key] = df
+    return df
+
+
 def graph_vertex_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vertex count per label after the full E2-E9 build."""
     g = cached_graph(spark, sf_dir)
