@@ -54,7 +54,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .centrality import N_SEEDS, ROUNDS, TOP_K
 from .checkpointing import truncate_lineage
-from .walks import copurchase_adjacency
+from .walks import cached_copurchase_adjacency
 
 DELTA_SCALE = 1000  # fixed-point dependency units (milli-dependencies)
 SIGMA_CAP = 1 << 20  # saturating path-count bound (inactive at tested SFs)
@@ -269,13 +269,17 @@ def betweenness_fixed_point(
     n_seeds: int = N_SEEDS,
     rounds: int = ROUNDS,
     k: int = TOP_K,
+    owns_adj: bool = True,
 ) -> DataFrame:
     """Core estimator over a symmetric ``(src, dst)`` adjacency: the
     ``k`` highest fixed-point Brandes dependency totals over the
     ``n_seeds`` lowest-id seeds (ties → lowest node id). Materializes
     the k-row result eagerly so every per-level cache can be released
-    before returning (the hits_fp unpersist discipline)."""
-    adj = adj.persist()
+    before returning (the hits_fp unpersist discipline). Pass
+    ``owns_adj=False`` when ``adj`` is a caller-owned session artifact
+    (``walks.cached_copurchase_adjacency``) that must stay persisted."""
+    if owns_adj:
+        adj = adj.persist()
     acc, pinned = _per_seed_dependencies(adj, n_seeds, rounds)
     out = (
         acc.groupBy("node")
@@ -290,7 +294,8 @@ def betweenness_fixed_point(
     rows = out.collect()
     for df in pinned:
         df.unpersist()
-    adj.unpersist()
+    if owns_adj:
+        adj.unpersist()
     return adj.sparkSession.createDataFrame(rows, out.schema)
 
 
@@ -307,7 +312,11 @@ def betweenness_sample_top20(
     ``n_seeds_reaching`` counts seeds whose ≤``rounds``-hop shortest
     paths reach the node (the estimator's per-node support)."""
     return betweenness_fixed_point(
-        copurchase_adjacency(spark, sf_dir), n_seeds, rounds, k
+        cached_copurchase_adjacency(spark, sf_dir),
+        n_seeds,
+        rounds,
+        k,
+        owns_adj=False,
     )
 
 
@@ -351,7 +360,7 @@ def betweenness_approx_error_report(
             " half/quarter prefix estimators need at least one seed each"
         )
     n_half, n_quarter = ref_seeds // 2, ref_seeds // 4
-    adj = copurchase_adjacency(spark, sf_dir).persist()
+    adj = cached_copurchase_adjacency(spark, sf_dir)
     acc, pinned = _per_seed_dependencies(adj, ref_seeds, rounds)
     seed_ids = [
         r["src"]
@@ -374,7 +383,6 @@ def betweenness_approx_error_report(
     # for the second aggregation in a long session)
     for df in pinned:
         df.unpersist()
-    adj.unpersist()
     top_ref = (
         totals.orderBy(F.desc("ref_fp"), F.asc("node")).limit(k).collect()
     )

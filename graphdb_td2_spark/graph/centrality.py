@@ -27,7 +27,7 @@ import functools
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .walks import copurchase_adjacency
+from .walks import cached_copurchase_adjacency
 
 N_SEEDS = 8
 ROUNDS = 4
@@ -39,7 +39,7 @@ def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: ``(degree_bucket, n_vertices, min_degree,
     max_degree)`` — out-degree histogram of the co-purchase graph in
     power-of-two buckets (floor(log2(degree))), ordered by bucket."""
-    adj = copurchase_adjacency(spark, sf_dir)
+    adj = cached_copurchase_adjacency(spark, sf_dir)
     degrees = adj.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("degree"))
     # floor(log2(d)) via binary-string length — exact integer arithmetic
     # (a float log2 is engine-implementation-dependent near powers of two)
@@ -70,7 +70,7 @@ def harmonic_centrality_top20(
     unreached seeds contribute 0, matching harmonic centrality's
     disconnected-graph convention). Ties → lowest node id."""
     assert rounds == 4, "HARMONIC_LCM is lcm(1..4); adjust both together"
-    adj = copurchase_adjacency(spark, sf_dir).persist()
+    adj = cached_copurchase_adjacency(spark, sf_dir)
     seeds = (
         adj.select("src").distinct().orderBy("src").limit(n_seeds)
         .select(F.col("src").alias("seed"), F.col("src").alias("node"))
@@ -78,6 +78,7 @@ def harmonic_centrality_top20(
     visited = seeds.withColumn("dist", F.lit(0).cast("long")).persist()
     frontier = visited
     layers = [visited]
+    pinned = [visited]
     for r in range(1, rounds + 1):
         nxt = (
             frontier.join(adj, frontier["node"] == adj["src"])
@@ -88,7 +89,9 @@ def harmonic_centrality_top20(
             .persist()
         )
         layers.append(nxt)
+        pinned.append(nxt)
         visited = functools.reduce(DataFrame.unionByName, layers).persist()
+        pinned.append(visited)
         frontier = nxt
     reached = visited.filter(F.col("dist") > 0)
     scored = reached.groupBy("node").agg(
@@ -97,11 +100,18 @@ def harmonic_centrality_top20(
         ).cast("long").alias("harmonic_fp"),
         F.count(F.lit(1)).cast("long").alias("n_reached"),
     )
-    return (
+    out = (
         scored.orderBy(F.desc("harmonic_fp"), F.asc("node"))
         .limit(k)
         .select("node", "harmonic_fp", "n_reached")
     )
+    # materialize the k-row result eagerly, then release every per-call
+    # cache (the betweenness_fixed_point discipline) — each call used to
+    # leave the layer AND per-round union frames pinned for the session
+    rows = out.collect()
+    for frame in pinned:
+        frame.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,7 +131,7 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     two joins on src/dst (the adjacency's own keys — co-partitioned on
     a bucketed lake); the moment rollup is a 1-row partial agg.
     """
-    adj = copurchase_adjacency(spark, sf_dir)
+    adj = cached_copurchase_adjacency(spark, sf_dir)
     deg = adj.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
     x = deg.select(F.col("src"), F.col("d").alias("dx"))
     y = deg.select(F.col("src").alias("dst"), F.col("d").alias("dy"))
@@ -167,7 +177,7 @@ def rich_club_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
     on BOTH edge endpoints (broadcast club id set) and a 1-row count —
     no pair materialization beyond the existing adjacency.
     """
-    adj = copurchase_adjacency(spark, sf_dir)
+    adj = cached_copurchase_adjacency(spark, sf_dir)
     deg = adj.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
     out = None
     for k in RICH_CLUB_KS:

@@ -55,12 +55,11 @@ no per-seed frontier state, no visited anti-joins, output |V| rows.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .centrality import HARMONIC_LCM, N_SEEDS, ROUNDS, TOP_K
 from .checkpointing import truncate_lineage
-from .walks import copurchase_adjacency
+from .walks import cached_copurchase_adjacency
 
 M_REG = 16          # HLL registers (first md5 hex char)
 RHO_W = 33          # suffix width 32 bits → rho ∈ [1, 33]
@@ -163,17 +162,16 @@ def _lake_n_vertices(spark: SparkSession, sf_dir: str) -> int:
 
 
 def _round_ready_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The co-purchase adjacency cached SERIALIZED for the R round scans.
+    """The co-purchase adjacency cached for the R round scans (the
+    session lake artifact, ``walks.cached_copurchase_adjacency``).
 
     Measured A/B at sf10 (PERF_NOTES_r9 §3): pre-partitioning+sorting the
     cache on ``dst`` to elide the per-round join exchange won 1.4× at
     sf0.1 but LOST 1.3× at sf10 — the 370M-row sorted cache build costs
     more than the four exchanges it saves once the relation no longer
-    fits in memory. Plain serialized persist is the measured winner at
+    fits in memory. A plain persisted relation is the measured winner at
     the scale that matters."""
-    return copurchase_adjacency(spark, sf_dir).persist(
-        StorageLevel.MEMORY_AND_DISK  # serialized
-    )
+    return cached_copurchase_adjacency(spark, sf_dir)
 
 
 def _hyperball_rounds(
@@ -325,7 +323,6 @@ def harmonic_centrality_approx_top20(
     # convergence probe, so the returned frames reference only checkpointed
     # vertex-sized frames (the lazy accumulator chain included) — never the
     # adjacency — and the cache can be released before the final join.
-    adj.unpersist()
     return (
         harmonic.join(est, "node")
         .select("node", "harmonic_est_fp", F.col("est").alias("ball_est_milli"))
@@ -387,7 +384,6 @@ def harmonic_approx_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("seed")
     )
     rows = out.collect()
-    adj.unpersist()
     for frame in pinned:
         frame.unpersist()
     return spark.createDataFrame(
@@ -432,7 +428,6 @@ def graph_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         sums.append(
             sums[-1].select(F.lit(t).cast("long").alias("t"), "s")
         )
-    adj.unpersist()
     rounds_df = sums[0]
     for s in sums[1:]:
         rounds_df = rounds_df.unionByName(s)

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .checkpointing import truncate_lineage
-from .walks import copurchase_adjacency
+from .walks import cached_copurchase_adjacency
 
 MIS_ROUNDS = 6
 
@@ -59,7 +59,7 @@ def mis_round_sizes(
     many vertices deactivated in total (selected + their neighbors),
     and how many stay active. Ordered by round."""
     bc = F.broadcast if broadcast_state else (lambda df: df)
-    adj = copurchase_adjacency(spark, sf_dir).persist()
+    adj = cached_copurchase_adjacency(spark, sf_dir)
     active = (
         adj.select(F.col("src").alias("node"))
         .distinct()
@@ -116,9 +116,9 @@ def mis_round_sizes(
         nxt = active.join(bc(removed), "node", "left_anti").transform(
             truncate_lineage, eager=False
         )
-        # collect the three counts EAGERLY while adj is still cached
-        # (ADVICE-r9: lazy count plans re-derived the adjacency and all
-        # per-round semi-joins after adj.unpersist())
+        # collect the three counts EAGERLY while the per-round frames
+        # are still cached (ADVICE-r9: lazy count plans re-derived the
+        # adjacency and all per-round semi-joins after the caches dropped)
         cnt = (
             active.agg(F.count(F.lit(1)).alias("n_active"))
             .crossJoin(selected.agg(F.count(F.lit(1)).alias("n_selected")))
@@ -135,7 +135,6 @@ def mis_round_sizes(
         )
         selected.unpersist()
         active = nxt
-    adj.unpersist()
     return spark.createDataFrame(
         rows, "round long, n_selected long, n_removed long, n_remaining long"
     ).orderBy("round")

@@ -38,6 +38,25 @@ WALKS_PER_START = 2
 WALK_LEN = 4  # hops beyond the start node
 
 
+_COPURCHASE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def cached_copurchase_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-persisted co-purchase adjacency — the derived lake table
+    every copurchase-graph consumer (walks, MIS, HyperBall, Brandes,
+    centrality) starts from, under the ``cached_graph`` /
+    ``cached_und_edges`` policy: built once per (session, corpus) instead
+    of re-running the basket self-join + distinct per call. Also closes a
+    per-call persist leak: ``harmonic_centrality_top20`` pinned a fresh
+    copy per invocation and never released it."""
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    df = _COPURCHASE_CACHE.get(key)
+    if df is None:
+        df = copurchase_adjacency(spark, sf_dir).persist()
+        _COPURCHASE_CACHE[key] = df
+    return df
+
+
 def copurchase_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct directed co-purchase edges ``(src, dst)`` — symmetric by
     construction, so every reachable node has an out-neighbor (walks
@@ -82,7 +101,7 @@ def product_random_walks(
     hash-seeded walks of ``walk_len`` hops from each of the ``n_starts``
     lowest-id products with co-purchase neighbors, one row per visited
     position (step 0 is the start node)."""
-    adj = copurchase_adjacency(spark, sf_dir).persist()
+    adj = cached_copurchase_adjacency(spark, sf_dir)
     starts = (
         adj.select("src").distinct().orderBy("src").limit(n_starts)
     )
