@@ -53,7 +53,7 @@ import functools
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .centrality import N_SEEDS, ROUNDS, TOP_K
-from .checkpointing import truncate_lineage
+from .checkpointing import resolve_broadcast_state, truncate_lineage
 from .walks import cached_copurchase_adjacency
 
 DELTA_SCALE = 1000  # fixed-point dependency units (milli-dependencies)
@@ -65,7 +65,8 @@ def _per_seed_dependencies(
     adj: DataFrame,
     n_seeds: int,
     rounds: int,
-    broadcast_state: bool = True,
+    broadcast_state: bool | None = None,
+    n_vertices: int | None = None,
 ) -> tuple[DataFrame, list[DataFrame]]:
     """Shared Brandes core: the lazy ``(seed, node, delta_fp)`` relation
     over the ``n_seeds`` lowest-id seeds, plus the list of persisted
@@ -74,15 +75,18 @@ def _per_seed_dependencies(
     pass serves every seed-subset estimator built on a prefix of the
     lowest-id seed order (see ``betweenness_approx_error_report``).
 
-    ``broadcast_state`` (default): every per-round frame (frontier,
-    visited set, per-level delta) is ≤ |V| rows, while the adjacency is
-    |E| ≥ degree·|V| rows — so the rounds broadcast the SMALL state side
-    and leave the cached adjacency in place. Without the hint each of
-    the 2·rounds-1 joins re-exchanged the adjacency (Spark cannot know
-    an intermediate aggregate is small at plan time, and the r12 A/B
-    measured the hint at ~2.3x on the sf0.1 entry). For a graph where
-    |V| itself exceeds broadcast capacity pass False to keep every join
-    on the co-partitioned shuffle path — the estimator is identical
+    ``broadcast_state`` (tri-state, ``resolve_broadcast_state``): every
+    per-round frame (frontier, visited set, per-level delta) is ≤ |V|
+    rows, while the adjacency is |E| ≥ degree·|V| rows — so below the
+    vertex bar the rounds broadcast the SMALL state side and leave the
+    cached adjacency in place. Without the hint each of the 2·rounds-1
+    joins re-exchanged the adjacency (Spark cannot know an intermediate
+    aggregate is small at plan time, and the r12 A/B measured the hint
+    at ~2.3x on the sf0.1 entry). The default (None) derives the choice
+    from ``n_vertices`` — above ``BROADCAST_STATE_MAX_VERTICES``, or
+    when no count is supplied, every join stays on the co-partitioned
+    shuffle path (a |V|-scale broadcast hits Spark's 8 GB hard limit on
+    a 100 TB graph; VERDICT r12 finding #1) — the estimator is identical
     either way (integer math, order-independent).
 
     Seed-lane packing (r12, the HyperBall wide-column pattern): state is
@@ -97,7 +101,11 @@ def _per_seed_dependencies(
     ``(seed, node, delta_fp)`` interface with one ``stack`` per level —
     row-for-row identical to the unpacked formulation (lanes are
     independent; integer sums are order-free)."""
-    bc = F.broadcast if broadcast_state else (lambda df: df)
+    bc = (
+        F.broadcast
+        if resolve_broadcast_state(broadcast_state, n_vertices)
+        else (lambda df: df)
+    )
     spark = adj.sparkSession
     seed_ids = [
         r["src"]
@@ -270,6 +278,7 @@ def betweenness_fixed_point(
     rounds: int = ROUNDS,
     k: int = TOP_K,
     owns_adj: bool = True,
+    n_vertices: int | None = None,
 ) -> DataFrame:
     """Core estimator over a symmetric ``(src, dst)`` adjacency: the
     ``k`` highest fixed-point Brandes dependency totals over the
@@ -277,10 +286,15 @@ def betweenness_fixed_point(
     the k-row result eagerly so every per-level cache can be released
     before returning (the hits_fp unpersist discipline). Pass
     ``owns_adj=False`` when ``adj`` is a caller-owned session artifact
-    (``walks.cached_copurchase_adjacency``) that must stay persisted."""
+    (``walks.cached_copurchase_adjacency``) that must stay persisted.
+    ``n_vertices`` drives the broadcast-state dispatch (None = the safe
+    co-partitioned path; the registry entries supply the lake sidecar's
+    free |V|)."""
     if owns_adj:
         adj = adj.persist()
-    acc, pinned = _per_seed_dependencies(adj, n_seeds, rounds)
+    acc, pinned = _per_seed_dependencies(
+        adj, n_seeds, rounds, n_vertices=n_vertices
+    )
     out = (
         acc.groupBy("node")
         .agg(
@@ -311,12 +325,15 @@ def betweenness_sample_top20(
     ``betweenness_fp`` is in ``DELTA_SCALE`` units of dependency;
     ``n_seeds_reaching`` counts seeds whose ≤``rounds``-hop shortest
     paths reach the node (the estimator's per-node support)."""
+    from .mis import _lake_n_vertices
+
     return betweenness_fixed_point(
         cached_copurchase_adjacency(spark, sf_dir),
         n_seeds,
         rounds,
         k,
         owns_adj=False,
+        n_vertices=_lake_n_vertices(spark, sf_dir),
     )
 
 
@@ -360,8 +377,12 @@ def betweenness_approx_error_report(
             " half/quarter prefix estimators need at least one seed each"
         )
     n_half, n_quarter = ref_seeds // 2, ref_seeds // 4
+    from .mis import _lake_n_vertices
+
     adj = cached_copurchase_adjacency(spark, sf_dir)
-    acc, pinned = _per_seed_dependencies(adj, ref_seeds, rounds)
+    acc, pinned = _per_seed_dependencies(
+        adj, ref_seeds, rounds, n_vertices=_lake_n_vertices(spark, sf_dir)
+    )
     seed_ids = [
         r["src"]
         for r in adj.select("src").distinct().orderBy("src")

@@ -18,7 +18,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .checkpointing import state_partitions, truncate_lineage
+from .checkpointing import (
+    resolve_broadcast_state,
+    state_partitions,
+    truncate_lineage,
+)
 
 from .queries import cached_graph
 
@@ -47,7 +51,8 @@ def bfs_distances(
     # Partition budget (same rationale as pagerank._iterate_fp): iteration
     # state is vertex-sized; a dimension-sized graph should not shuffle at
     # the session's full partition count every round.
-    if n_vertices is not None and n_vertices <= 5_000_000:
+    small = resolve_broadcast_state(None, n_vertices)
+    if small:
         parts = state_partitions(n_vertices, und)
         if owns_und:
             und = und.repartition(parts, "src")
@@ -73,7 +78,6 @@ def bfs_distances(
     # checkpoints eagerly; the frontier checkpoints LAZILY and materializes
     # inside the NEXT round's action, which still reads this round's
     # persisted merged frame — released one round late.
-    small = n_vertices is not None and n_vertices <= 5_000_000
     bc = F.broadcast if small else (lambda df: df)
     prev_merged: list = []
     for _ in range(max_hops):

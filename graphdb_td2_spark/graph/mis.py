@@ -37,10 +37,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .checkpointing import truncate_lineage
+from .checkpointing import resolve_broadcast_state, truncate_lineage
 from .walks import cached_copurchase_adjacency
 
 MIS_ROUNDS = 6
+
+
+def _lake_n_vertices(spark: SparkSession, sf_dir: str) -> int:
+    """|V| of the co-purchase graph from the lake stats sidecar — free
+    after the first build (the hyperball dispatch source): the
+    broadcast-state gate must not cost a count job per call."""
+    from ..lake import copurchase_stats
+
+    return copurchase_stats(spark, sf_dir)["n_vertices"]
 
 
 def _priority(node: F.Column) -> F.Column:
@@ -52,13 +61,28 @@ def mis_round_sizes(
     spark: SparkSession,
     sf_dir: str,
     rounds: int = MIS_ROUNDS,
-    broadcast_state: bool = True,
+    broadcast_state: bool | None = None,
+    n_vertices: int | None = None,
 ) -> DataFrame:
     """Registry entry: ``(round, n_selected, n_removed, n_remaining)`` —
     per Luby round: how many vertices joined the independent set, how
     many vertices deactivated in total (selected + their neighbors),
-    and how many stay active. Ordered by round."""
-    bc = F.broadcast if broadcast_state else (lambda df: df)
+    and how many stay active. Ordered by round.
+
+    ``broadcast_state``: tri-state (``resolve_broadcast_state``) — the
+    default derives the dispatch from the lake stats sidecar's |V|, so
+    above ``BROADCAST_STATE_MAX_VERTICES`` the active/selected/removed
+    frames stay on the co-partitioned shuffle path instead of
+    force-broadcasting vertex-scale state (VERDICT r12 finding #1).
+    Identical results either way — every per-round combine is a MIN or a
+    set operation over exact keys."""
+    if broadcast_state is None and n_vertices is None:
+        n_vertices = _lake_n_vertices(spark, sf_dir)
+    bc = (
+        F.broadcast
+        if resolve_broadcast_state(broadcast_state, n_vertices)
+        else (lambda df: df)
+    )
     adj = cached_copurchase_adjacency(spark, sf_dir)
     active = (
         adj.select(F.col("src").alias("node"))

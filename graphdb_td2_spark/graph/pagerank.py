@@ -24,7 +24,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .checkpointing import state_partitions, truncate_lineage
+from .checkpointing import (
+    BROADCAST_STATE_MAX_VERTICES,
+    state_partitions,
+    truncate_lineage,
+)
 
 def _vertices_of(edges: DataFrame, src: str, dst: str) -> DataFrame:
     return (
@@ -34,9 +38,12 @@ def _vertices_of(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
-_BROADCAST_RANKS_MAX = 5_000_000  # vertex count below which the rank
-# vector broadcasts (dimension-sized); above, the shuffle join co-partitions
-# edges and ranks — the GraphX-style scale path.
+# Vertex count below which the rank vector broadcasts (dimension-sized);
+# above, the shuffle join co-partitions edges and ranks — the GraphX-style
+# scale path. Since r13 the bar is the tier-wide constant in
+# ``checkpointing.py`` (this alias keeps the historical name for hits.py
+# and the perf notes).
+_BROADCAST_RANKS_MAX = BROADCAST_STATE_MAX_VERTICES
 
 
 def _iterate(

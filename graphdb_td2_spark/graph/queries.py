@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..caching import evict_stopped
 from ..io import load_tables, read_table
 from .build import GraphFrames, build_graph, event_typed_dedup
 from .pagerank import (
@@ -27,6 +28,7 @@ _GRAPH_CACHE: dict[tuple[str, str], GraphFrames] = {}
 
 
 def cached_graph(spark: SparkSession, sf_dir: str) -> GraphFrames:
+    evict_stopped(_GRAPH_CACHE, lambda g: g.vertices.sparkSession)
     key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     g = _GRAPH_CACHE.get(key)
     if g is None:
@@ -46,6 +48,7 @@ def cached_und_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session, corpus) like ``cached_graph``: each caller used to run the
     same union+distinct shuffle and pin its own copy per call, which at
     100 TB is re-deriving a standard lake table on every query."""
+    evict_stopped(_UND_CACHE, lambda df: df.sparkSession)
     key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     df = _UND_CACHE.get(key)
     if df is None:
@@ -57,6 +60,25 @@ def cached_und_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _UND_CACHE[key] = df
     return df
+
+
+# |V| of the property graph per (session, corpus) — the broadcast-state
+# dispatch input for components/LPA/BFS/SSSP entry points. One count job
+# over the persisted cached_graph vertices on first use, free after
+# (VERDICT-r9 task 6 posture: the dispatch must not re-count per call).
+# Plain ints keyed like _GRAPH_CACHE; stale sessions cost nothing to keep,
+# but prune anyway for symmetry with the frame caches.
+_VERTEX_COUNT_CACHE: dict[tuple[str, str], tuple[SparkSession, int]] = {}
+
+
+def cached_vertex_count(spark: SparkSession, sf_dir: str) -> int:
+    evict_stopped(_VERTEX_COUNT_CACHE, lambda v: v[0])
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    hit = _VERTEX_COUNT_CACHE.get(key)
+    if hit is None:
+        hit = (spark, cached_graph(spark, sf_dir).vertices.count())
+        _VERTEX_COUNT_CACHE[key] = hit
+    return hit[1]
 
 
 def graph_vertex_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -28,7 +28,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .checkpointing import state_partitions, truncate_lineage
+from .checkpointing import (
+    resolve_broadcast_state,
+    state_partitions,
+    truncate_lineage,
+)
 from .queries import cached_graph
 
 MAX_ROUNDS = 6
@@ -60,7 +64,7 @@ def sssp_distances(
     """``(id, distance)`` — minimum edge-weight sum over paths of at most
     ``rounds`` undirected hops from ``seed``; NULL when unreached."""
     und = _undirected_min_edges(edges_w)
-    small = n_vertices is not None and n_vertices <= 5_000_000
+    small = resolve_broadcast_state(None, n_vertices)
     if small:
         parts = state_partitions(n_vertices, und)
         und = und.repartition(parts, "src")

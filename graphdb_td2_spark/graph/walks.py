@@ -49,6 +49,9 @@ def cached_copurchase_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     of re-running the basket self-join + distinct per call. Also closes a
     per-call persist leak: ``harmonic_centrality_top20`` pinned a fresh
     copy per invocation and never released it."""
+    from ..caching import evict_stopped
+
+    evict_stopped(_COPURCHASE_CACHE, lambda df: df.sparkSession)
     key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     df = _COPURCHASE_CACHE.get(key)
     if df is None:

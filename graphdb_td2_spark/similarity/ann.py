@@ -222,10 +222,15 @@ KMEANS_ITER = 4
 # the training knobs, so retraining on every registry call re-ran n_iter
 # full corpus scans for byte-identical output. The memo holds DRIVER-side
 # rows (n_cells x dim longs - plain bytes, no pinned Spark resource),
-# keyed by session + caller-supplied corpus key + knobs; same
-# immutable-corpus-per-session assumption as similarity/pq.py
-# _CORPUS_CACHE, and entries die with the process, not the executors.
-_TRAINED_CENTROID_ROWS: dict[tuple, list] = {}
+# keyed by session + caller-supplied corpus key + the corpus plan's
+# semanticHash + knobs; same immutable-corpus-per-session assumption as
+# similarity/pq.py _CORPUS_CACHE. The semanticHash term (ADVICE r12)
+# makes the key honest about the ACTUAL corpus argument: a caller
+# passing cache_key with a filtered/fixture/re-quantized corpus now gets
+# its own entry instead of silently receiving centroids trained on the
+# canonical corpus. Values carry their session and stopped-session
+# entries are pruned on access (ADVICE r12, the _CORPUS_CACHE pattern).
+_TRAINED_CENTROID_ROWS: dict[tuple, tuple] = {}
 
 
 def train_ivf_centroids(
@@ -256,17 +261,23 @@ def train_ivf_centroids(
     schema = "cent_id long, cent_qe array<long>"
     memo_key = None
     if cache_key is not None:
-        # cache_key names the canonical quantized corpus of one sf_dir -
-        # callers must only pass it for the (vec_id, qe) embeddings frame
+        from ..caching import evict_stopped
+
+        evict_stopped(_TRAINED_CENTROID_ROWS, lambda v: v[0])
+        # cache_key names the quantized corpus of one sf_dir; the plan's
+        # semanticHash ties the entry to the ACTUAL corpus argument, so a
+        # non-canonical corpus (filtered, fixture, re-quantized) can never
+        # be served centroids trained on a different frame
         memo_key = (
             spark.sparkContext.applicationId,
             cache_key.rstrip("/"),
+            corpus.semanticHash(),
             n_cells,
             n_iter,
         )
         hit = _TRAINED_CENTROID_ROWS.get(memo_key)
         if hit is not None:
-            return spark.createDataFrame(hit, schema=schema)
+            return spark.createDataFrame(hit[1], schema=schema)
     dim_row = corpus.select(F.size("qe").alias("d")).first()
     dim = int(dim_row["d"])
     centroids = (
@@ -306,7 +317,7 @@ def train_ivf_centroids(
         cent_rows = {i: updated.get(i, v) for i, v in cent_rows.items()}
     rows = [(i, v) for i, v in sorted(cent_rows.items())]
     if memo_key is not None:
-        _TRAINED_CENTROID_ROWS[memo_key] = rows
+        _TRAINED_CENTROID_ROWS[memo_key] = (spark, rows)
     return spark.createDataFrame(rows, schema=schema)
 
 

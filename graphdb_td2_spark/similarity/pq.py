@@ -183,16 +183,12 @@ def _adc_rank(scored: DataFrame, k: int) -> DataFrame:
 _CORPUS_CACHE: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
 
 
-def _session_stopped(sess: SparkSession) -> bool:
-    try:
-        return sess.sparkContext._jsc is None or sess.sparkContext._jsc.sc().isStopped()
-    except Exception:
-        return True
-
-
 def _cached_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    for k in [k for k, (s, _) in _CORPUS_CACHE.items() if _session_stopped(s)]:
-        del _CORPUS_CACHE[k]
+    # stopped-session pruning hoisted to caching.py in r13 — this cache
+    # introduced the pattern (ADVICE r11) and now shares the definition
+    from ..caching import evict_stopped
+
+    evict_stopped(_CORPUS_CACHE, lambda v: v[0])
     key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     hit = _CORPUS_CACHE.get(key)
     if hit is not None:
@@ -433,9 +429,11 @@ PQ_TRAIN_ITER = 2  # Lloyd steps per subspace (unrolled in the oracle)
 
 # Trained-codebook memo - the similarity/ann.py _TRAINED_CENTROID_ROWS
 # policy applied to the PQ trainer: driver-side rows only, keyed by
-# session + corpus key + knobs, same immutable-corpus assumption as
-# _CORPUS_CACHE above.
-_TRAINED_CODEBOOK_ROWS: dict[tuple, list] = {}
+# session + corpus key + the corpus plan's semanticHash + knobs (the
+# hash term ties the entry to the actual corpus argument, ADVICE r12),
+# same immutable-corpus assumption as _CORPUS_CACHE above; values carry
+# their session and stopped-session entries are pruned on access.
+_TRAINED_CODEBOOK_ROWS: dict[tuple, tuple] = {}
 
 
 def train_pq_codebook(
@@ -471,16 +469,20 @@ def train_pq_codebook(
     keeps iteration plans O(1)."""
     memo_key = None
     if cache_key is not None:
+        from ..caching import evict_stopped
+
+        evict_stopped(_TRAINED_CODEBOOK_ROWS, lambda v: v[0])
         memo_key = (
             spark.sparkContext.applicationId,
             cache_key.rstrip("/"),
+            corpus.semanticHash(),
             k_sub,
             n_iter,
         )
         hit = _TRAINED_CODEBOOK_ROWS.get(memo_key)
         if hit is not None:
             return spark.createDataFrame(
-                hit, schema="m long, code_id long, sub array<long>"
+                hit[1], schema="m long, code_id long, sub array<long>"
             )
     init = (
         _subvectors(
@@ -525,7 +527,7 @@ def train_pq_codebook(
         cw = {k_: updated.get(k_, v) for k_, v in cw.items()}
     rows = [(m, c, v) for (m, c), v in sorted(cw.items())]
     if memo_key is not None:
-        _TRAINED_CODEBOOK_ROWS[memo_key] = rows
+        _TRAINED_CODEBOOK_ROWS[memo_key] = (spark, rows)
     return spark.createDataFrame(rows, schema=schema)
 
 
