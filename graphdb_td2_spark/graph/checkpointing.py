@@ -27,9 +27,41 @@ mode themselves.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 
 _RELIABLE: set[str] = set()  # applicationIds flipped to reliable mode
+
+
+@contextmanager
+def static_planning(spark):
+    """Disable AQE for the duration of an iterative loop (restored on
+    exit).
+
+    WHY (r13, measured on connected_components at sf0.1): a checkpoint
+    taken under AQE loses its ``outputPartitioning`` (the materialized
+    plan is an ``AdaptiveSparkPlan`` whose final partitioning is not
+    exposed to the new ``LogicalRDD``), so every per-round join over the
+    checkpointed state re-exchanges both sides — and ``toRdd`` under AQE
+    materializes query stages EAGERLY, so the loops' "lazy" checkpoints
+    were each running their own jobs. With AQE off, a checkpoint of a
+    frame repartitioned on the join key keeps ``hashpartitioning(key,
+    n)``; rounds that keep state and edges co-partitioned then plan to
+    exactly ONE exchange (the message combine) with zero broadcasts
+    (2.3× on component_sizes: 9.7 → 4.1 s warm). AQE's skew/coalesce
+    value targets scan-shaped stages, not these |V|-bounded state frames
+    whose width the loop already budgets via ``state_partitions``."""
+    conf = spark.conf
+    try:
+        old = conf.get("spark.sql.adaptive.enabled")
+    except Exception:
+        old = "true"
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old)
 
 
 def use_reliable_checkpoints(spark, checkpoint_dir: str) -> None:

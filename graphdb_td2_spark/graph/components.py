@@ -21,7 +21,23 @@ rounds, hash-matches — the executable proof). Round 1 sends from
 everyone; on dense corpora the frontier collapses within 2-3 rounds and
 tail rounds cost frontier-scale, not |V|-scale.
 
-Iterative-loop discipline (same as pagerank): the label frame's lineage
+Physical shape (r13 optimization round, guide §2.4 "remove shuffles
+outright"): the loop runs CO-PARTITIONED with NO broadcasts on either
+path — state (labels/frontier) and the undirected adjacency are both
+hash-partitioned into ``state_partitions(|V|)`` (edges by ``src``, state
+by ``id``) under ``static_planning`` (AQE off inside the loop), so the
+per-round checkpoints preserve ``outputPartitioning`` and every join
+plans as an exchange-free ``ShuffledHashJoin``; the only per-round
+exchange is the message combine (``repartition(nparts, id)`` feeding the
+MIN aggregate). This replaced the r12 broadcast-state fast path: the
+broadcast variant collected the |V|-sized frontier to the driver and
+re-shipped it every round (2 broadcast builds/round — measured SLOWER at
+sf0.1, 9.7 vs 4.1 s, and a hard 8 GB death at 100 TB scale), while the
+co-partitioned shape is identical at every scale, so the vertex-count
+gate became unnecessary here. MIN over ids is order-free, so the labels
+are identical under any physical plan.
+
+Iterative-loop discipline (same as pagerank): the merged frame's lineage
 is truncated EVERY round. The labels enter the next round's plan through
 both the join and the union leg, so without truncation the plan doubles
 per round and Catalyst re-analysis goes exponential. The truncation mode
@@ -37,7 +53,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .checkpointing import resolve_broadcast_state, truncate_lineage
+from .checkpointing import state_partitions, static_planning, truncate_lineage
 
 from .queries import cached_graph
 
@@ -51,7 +67,6 @@ def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
     max_iter: int = DEFAULT_MAX_ITER,
-    broadcast_state: bool | None = None,
     und: DataFrame | None = None,
     n_vertices: int | None = None,
     pointer_jump: bool = False,
@@ -59,100 +74,92 @@ def connected_components(
     """``(id, component)`` — component = min vertex id reachable (any total
     order over ids works; string ids use their lexicographic order).
 
-    ``broadcast_state``: tri-state, resolved by the tier-wide rule
-    (``checkpointing.resolve_broadcast_state``). On the broadcast path the
-    frontier broadcasts into the persisted edge join and the min-combined
-    messages broadcast into the label merge (the betweenness/sssp
-    state-side discipline) — the only per-round shuffle is the message
-    combine. The default (None) derives the choice from ``n_vertices``:
-    above ``BROADCAST_STATE_MAX_VERTICES`` — or when no count is supplied
-    — every join stays on the co-partitioned shuffle path (a broadcast
-    hint is obeyed regardless of size, and a vertex-scale broadcast dies
-    at Spark's 8 GB limit on a 100 TB graph; VERDICT r12 finding #1).
-    MIN over ids is order-free, so the labels are identical either way."""
-    # ``und``: a caller-owned prebuilt undirected relation (the session
-    # lake artifact, ``graph.queries.cached_und_edges``) — when absent the
-    # loop derives and owns a call-scoped copy.
-    owns_und = und is None
-    if owns_und:
-        und = (
-            edges.select("src", "dst")
-            .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-            .distinct()
-            .persist()
-        )
-    bc = (
-        F.broadcast
-        if resolve_broadcast_state(broadcast_state, n_vertices)
-        else (lambda df: df)
-    )
-    labels = vertices.select("id", F.col("id").alias("component")).transform(
-        truncate_lineage
-    )
-    frontier = labels
-    # ONE driver action per round (the hits_fp discipline): the convergence
-    # probe over the persisted merged frame is the round's only action; the
-    # new label vector and frontier checkpoint LAZILY and materialize
-    # inside the NEXT round's probe, which still reads this round's
-    # persisted merged — so the persist is released one round late (live
-    # state stays bounded at und + labels + one merged frame).
-    prev_merged: list = []
-    for _ in range(max_iter):
-        msgs = (
-            und.join(bc(frontier), und.src == frontier.id)
-            .select(F.col("dst").alias("id"), "component")
-            .groupBy("id")
-            .agg(F.min("component").alias("msg"))
-        )
-        merged = labels.join(bc(msgs), "id", "left")
-        if pointer_jump:
-            # label-doubling: after the propagate step, chase the new
-            # label one hop through the label table itself. Labels are
-            # vertex ids, so the lookup side is the propagated table
-            # keyed by id; an unmatched or larger target keeps the
-            # propagated label (labels only ever decrease).
-            step = merged.select(
-                "id",
-                # least() skips NULLs: isolated vertices keep their label
-                F.least("msg", "component").alias("comp1"),
-                F.col("component").alias("old_comp"),
-            )
-            lookup = step.select(
-                F.col("id").alias("jid"), F.col("comp1").alias("jcomp")
-            )
-            merged = (
-                step.join(bc(lookup), step.comp1 == lookup.jid, "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.coalesce("jcomp", "comp1"), F.col("comp1")
-                    ).alias("msg"),
-                    F.col("old_comp").alias("component"),
+    ``und``: a caller-owned prebuilt undirected relation already in loop
+    shape — hash-partitioned by ``src`` into ``state_partitions(|V|)``
+    with truncated lineage (the ``graph.queries.cached_und_edges``
+    session artifact). When absent the loop derives and shapes a
+    call-scoped copy. ``n_vertices`` sizes the state partitioning (when
+    absent it costs one count job over ``vertices``)."""
+    spark = vertices.sparkSession
+    if n_vertices is None:
+        n_vertices = vertices.count()
+    nparts = state_partitions(n_vertices, vertices)
+    with static_planning(spark):
+        if und is None:
+            e = edges.select("src", "dst")
+            und = truncate_lineage(
+                e.union(
+                    e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
                 )
+                .distinct()
+                .repartition(nparts, "src")
             )
-        merged = merged.persist()
-        # least() skips NULLs: isolated vertices (msg NULL) keep their label
-        new_labels = merged.select(
-            "id", F.least("msg", "component").alias("component")
-        ).transform(truncate_lineage, eager=False)
-        improved = merged.filter(F.col("msg") < F.col("component"))
-        frontier = improved.select(
-            "id", F.col("msg").alias("component")
-        ).transform(truncate_lineage, eager=False)
-        changed = improved.limit(1).count()
-        if prev_merged:
-            prev_merged.pop().unpersist()
-        prev_merged.append(merged)
-        labels = new_labels
-        if changed == 0:
-            break
-    # materialize the final (lazily-checkpointed) labels before releasing
-    # the caches they were computed from
-    labels = labels.transform(truncate_lineage, eager=True)
-    if prev_merged:
-        prev_merged.pop().unpersist()
-    if owns_und:
-        und.unpersist()
+        labels = truncate_lineage(
+            vertices.select("id", F.col("id").alias("component")).repartition(
+                nparts, "id"
+            )
+        )
+        frontier = labels
+        # Per round: ONE eager checkpoint of the merged frame (the round's
+        # only substantial job — everything upstream is exchange-free but
+        # the message combine), then a cheap convergence probe over the
+        # checkpointed blocks. labels/frontier re-derive lazily from the
+        # checkpoint (select/filter over a LogicalRDD that KEEPS the id
+        # partitioning), so the next round's joins stay co-partitioned and
+        # the plan depth is O(1). Superseded rounds' blocks are released
+        # by the ContextCleaner when their frames go out of scope.
+        for _ in range(max_iter):
+            msgs = (
+                und.join(frontier.hint("shuffle_hash"), und.src == frontier.id)
+                .select(F.col("dst").alias("id"), "component")
+                .repartition(nparts, "id")
+                .groupBy("id")
+                .agg(F.min("component").alias("msg"))
+            )
+            merged = labels.join(msgs.hint("shuffle_hash"), "id", "left")
+            if pointer_jump:
+                # label-doubling: after the propagate step, chase the new
+                # label one hop through the label table itself. Labels are
+                # vertex ids, so the lookup side is the propagated table
+                # keyed by id; an unmatched or larger target keeps the
+                # propagated label (labels only ever decrease). The jump
+                # join is keyed on the LABEL (comp1), so it costs two
+                # extra exchanges plus the restore of the id partitioning
+                # — worth it only when diameter >> rounds (the path-graph
+                # case); the corpus graphs converge faster without it.
+                step = merged.select(
+                    "id",
+                    # least() skips NULLs: isolated vertices keep their label
+                    F.least("msg", "component").alias("comp1"),
+                    F.col("component").alias("old_comp"),
+                )
+                lookup = step.select(
+                    F.col("id").alias("jid"), F.col("comp1").alias("jcomp")
+                )
+                merged = (
+                    step.join(
+                        lookup.hint("shuffle_hash"),
+                        step.comp1 == lookup.jid,
+                        "left",
+                    )
+                    .select(
+                        "id",
+                        F.least(
+                            F.coalesce("jcomp", "comp1"), F.col("comp1")
+                        ).alias("msg"),
+                        F.col("old_comp").alias("component"),
+                    )
+                    .repartition(nparts, "id")
+                )
+            merged = truncate_lineage(merged)
+            # least() skips NULLs: isolated vertices (msg NULL) keep their label
+            labels = merged.select(
+                "id", F.least("msg", "component").alias("component")
+            )
+            improved = merged.filter(F.col("msg") < F.col("component"))
+            frontier = improved.select("id", F.col("msg").alias("component"))
+            if improved.limit(1).count() == 0:
+                break
     return labels
 
 

@@ -47,17 +47,31 @@ def cached_und_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm (components, BFS, LPA) starts from. Built once per
     (session, corpus) like ``cached_graph``: each caller used to run the
     same union+distinct shuffle and pin its own copy per call, which at
-    100 TB is re-deriving a standard lake table on every query."""
+    100 TB is re-deriving a standard lake table on every query.
+
+    Since r13 the artifact is LOOP-SHAPED: hash-partitioned by ``src``
+    into ``state_partitions(|V|)`` and lineage-truncated under
+    ``static_planning``, so the iterative consumers' per-round joins see
+    a ``LogicalRDD`` leaf that already satisfies their clustering
+    requirement (exchange-free on the edge side, and per-round Catalyst
+    work drops from re-planning the whole parquet→build tree to a
+    constant-depth plan)."""
+    from .checkpointing import state_partitions, static_planning, truncate_lineage
+
     evict_stopped(_UND_CACHE, lambda df: df.sparkSession)
     key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     df = _UND_CACHE.get(key)
     if df is None:
         e = cached_graph(spark, sf_dir).edges.select("src", "dst")
-        df = (
-            e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-            .distinct()
-            .persist()
-        )
+        nparts = state_partitions(cached_vertex_count(spark, sf_dir), e)
+        with static_planning(spark):
+            df = truncate_lineage(
+                e.union(
+                    e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+                )
+                .distinct()
+                .repartition(nparts, "src")
+            )
         _UND_CACHE[key] = df
     return df
 

@@ -77,7 +77,11 @@ def test_components_big_graph_path_never_hints_broadcast(spark, broadcast_spy):
     assert broadcast_spy == []
 
 
-def test_components_small_graph_path_hints_broadcast(spark, broadcast_spy):
+def test_components_never_hints_broadcast_even_below_bar(spark, broadcast_spy):
+    """r13: components runs CO-PARTITIONED at every scale — the broadcast
+    fast path was removed outright after the co-partitioned shape
+    measured 2.3× faster at sf0.1 (no per-round driver collect), so no
+    vertex count, large or small, may produce a broadcast hint."""
     from graphdb_td2_spark.graph.components import connected_components
 
     vertices, edges = _two_islands(spark)
@@ -86,7 +90,43 @@ def test_components_small_graph_path_hints_broadcast(spark, broadcast_spy):
         for r in connected_components(vertices, edges, n_vertices=6).collect()
     }
     assert cc == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
-    assert broadcast_spy != []
+    assert broadcast_spy == []
+
+
+def test_components_single_round_plan_is_one_exchange(spark):
+    """Pin the r13 co-partitioned round shape: with the und relation and
+    the label vector both checkpointed pre-partitioned under
+    static_planning, one propagation round plans to ShuffledHashJoins
+    with NO BroadcastExchange and exactly ONE exchange (the message
+    combine's repartition)."""
+    from graphdb_td2_spark.graph.checkpointing import (
+        static_planning,
+        truncate_lineage,
+    )
+
+    vertices, edges = _two_islands(spark)
+    with static_planning(spark):
+        e = edges.select("src", "dst")
+        und = truncate_lineage(
+            e.union(e.selectExpr("dst as src", "src as dst"))
+            .distinct()
+            .repartition(2, "src")
+        )
+        labels = truncate_lineage(
+            vertices.selectExpr("id", "id as component").repartition(2, "id")
+        )
+        msgs = (
+            und.join(labels.hint("shuffle_hash"), und.src == labels.id)
+            .select(F.col("dst").alias("id"), "component")
+            .repartition(2, "id")
+            .groupBy("id")
+            .agg(F.min("component").alias("msg"))
+        )
+        merged = labels.join(msgs.hint("shuffle_hash"), "id", "left")
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan
+    assert "ShuffledHashJoin" in plan
+    assert plan.count("Exchange") == 1, plan
 
 
 def test_lpa_big_graph_path_never_hints_broadcast(spark, broadcast_spy):
@@ -126,17 +166,15 @@ def test_mis_big_graph_path_never_hints_broadcast(spark, sf_dir, broadcast_spy):
 
 
 def test_components_dispatch_invariant_results(spark):
-    """MIN over ids is order-free: both dispatches produce identical
-    labels (the gate is plan-only)."""
+    """MIN over ids is order-free: the labels don't depend on the
+    partition-count dispatch (supplied vertex count vs derived)."""
     from graphdb_td2_spark.graph.components import connected_components
 
     vertices, edges = _two_islands(spark)
     a = sorted(
-        map(tuple, connected_components(vertices, edges, broadcast_state=True).collect())
+        map(tuple, connected_components(vertices, edges, n_vertices=6).collect())
     )
-    b = sorted(
-        map(tuple, connected_components(vertices, edges, broadcast_state=False).collect())
-    )
+    b = sorted(map(tuple, connected_components(vertices, edges).collect()))
     assert a == b
 
 
