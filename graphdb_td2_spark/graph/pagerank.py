@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, functions as F
 from .checkpointing import (
     BROADCAST_STATE_MAX_VERTICES,
     state_partitions,
+    static_planning,
     truncate_lineage,
 )
 
@@ -173,34 +174,40 @@ FP_DNUM = 85  # damping numerator
 FP_DDEN = 100  # damping denominator
 
 
-def _iterate_fp(
-    edges: DataFrame,
-    vertices: DataFrame,
-    reset: DataFrame,  # id, reset (scaled BIGINT teleport weights)
-    num_iter: int,
-    src: str,
-    dst: str,
-    n_vertices: int | None = None,
-    weight: str | None = None,
-    track_deltas: list | None = None,
-) -> DataFrame:
-    """Integer power iteration; same loop discipline as ``_iterate``
-    (broadcast rank vector while dimension-sized, localCheckpoint every
-    iteration, exactly one driver action per iteration).
+class PreparedFPGraph:
+    """Loop-shaped static frames for the integer power iteration — a
+    derived lake artifact (cacheable per session/corpus, see
+    ``queries.cached_fp_graph``): the distinct vertex set partitioned by
+    ``id``, the edges carrying their static out-degree partitioned by
+    ``src``, both lineage-truncated under ``static_planning`` so every
+    iteration plans over LogicalRDD leaves that already satisfy the
+    joins' clustering requirements."""
 
-    ``weight``: optional positive integer edge-weight column — each edge
-    then carries ``rank·w div W(u)`` (W = total outgoing weight) instead
-    of ``rank div out_degree``. Still exact: rank ≤ FP_SCALE and corpus
-    weights are small, so rank·w stays far inside int64."""
-    small = n_vertices is not None and n_vertices <= _BROADCAST_RANKS_MAX
-    if small:
-        parts = state_partitions(n_vertices, edges)
-        vertices = vertices.repartition(parts)
-        reset = reset.repartition(parts)
-        edges = edges.repartition(parts, F.col(src))
+    __slots__ = ("vertices", "n_vertices", "parts", "edges_w")
+
+    def __init__(self, vertices, n_vertices, parts, edges_w):
+        self.vertices = vertices  # (id), hash(id, parts)
+        self.n_vertices = n_vertices
+        self.parts = parts
+        self.edges_w = edges_w  # (src, dst, w, out_degree), hash(src, parts)
+
+
+def prepare_fp_graph(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> PreparedFPGraph:
+    """Shape ``edges`` for ``_iterate_fp`` (one-time per graph): derive
+    the vertex set, fold the static out-degree onto the edges, partition
+    both on their loop join keys and truncate lineage. The fold removes a
+    per-iteration join; the partitioning removes every per-iteration
+    exchange except the message combine."""
+    spark = edges.sparkSession
     if weight is None:
         edges = edges.select(
-            F.col(src).alias("src"), F.col(dst).alias("dst"), F.lit(1).cast("long").alias("w")
+            F.col(src).alias("src"), F.col(dst).alias("dst"),
+            F.lit(1).cast("long").alias("w"),
         )
     else:
         edges = edges.select(
@@ -208,90 +215,126 @@ def _iterate_fp(
             F.col(dst).alias("dst"),
             F.col(weight).cast("long").alias("w"),
         )
-    out_deg = edges.groupBy("src").agg(F.sum("w").alias("out_degree"))
-    edges = edges.persist()
-    out_deg = out_deg.persist()
+    vertices_raw = _vertices_of(edges, "src", "dst")
+    with static_planning(spark):
+        n_vertices = vertices_raw.count()
+        parts = state_partitions(n_vertices, edges)
+        vertices = truncate_lineage(vertices_raw.repartition(parts, "id"))
+        e0 = truncate_lineage(edges.repartition(parts, "src"))
+        out_deg = e0.groupBy("src").agg(F.sum("w").alias("out_degree"))
+        edges_w = truncate_lineage(e0.join(out_deg.hint("shuffle_hash"), "src"))
+    return PreparedFPGraph(vertices, n_vertices, parts, edges_w)
 
-    state = (
-        vertices.join(out_deg.select(F.col("src").alias("id"), "out_degree"), "id", "left")
-        .join(reset, "id", "left")
-        .select(
-            "id",
-            F.coalesce(F.col("reset"), F.lit(0)).cast("long").alias("reset"),
-            F.col("out_degree").isNull().alias("is_dangling"),
-        )
-        .withColumn("rank", F.col("reset"))
-        .transform(truncate_lineage, eager=True)
-    )
 
-    def dangling_mass(df: DataFrame) -> int:
-        row = df.agg(
-            F.coalesce(
-                F.sum(F.when(F.col("is_dangling"), F.col("rank"))), F.lit(0)
-            ).cast("long")
-        ).first()
-        return int(row[0])
+def _iterate_fp(
+    prepared: PreparedFPGraph,
+    reset: DataFrame,  # id, reset (scaled BIGINT teleport weights)
+    num_iter: int,
+    track_deltas: list | None = None,
+) -> DataFrame:
+    """Integer power iteration, CO-PARTITIONED (r13): edges carry their
+    out-degree as a static column and are hash-partitioned by ``src``
+    into ``state_partitions(|V|)``; the rank vector is partitioned by
+    ``id`` and every checkpoint preserves that partitioning (AQE off for
+    the loop via ``static_planning``), so each iteration plans to
+    exactly ONE exchange (the message combine) with zero broadcasts —
+    the same shape at every scale, replacing the old small-graph
+    broadcast dispatch (which collected the |V|-sized rank vector to the
+    driver twice per iteration and measured slower at sf0.1). Still
+    localCheckpoint every iteration and exactly one driver action per
+    iteration (the dangling-mass aggregate — with AQE off the lazy
+    checkpoint is genuinely lazy again). ``reset`` must derive from
+    ``prepared.vertices`` (so it is already partitioned by ``id``)."""
+    spark = prepared.edges_w.sparkSession
+    parts = prepared.parts
+    edges_w = prepared.edges_w
 
-    ranks = state
-    dangling = dangling_mass(ranks)
-    for _ in range(num_iter):
-        rank_side = ranks.select(F.col("id").alias("src"), "rank")
-        if small:
-            rank_side = F.broadcast(rank_side)
-        contribs = (
-            edges.join(rank_side, "src")
-            .join(out_deg, "src")
-            .select(
-                F.col("dst").alias("id"),
-                F.expr("(rank * w) div out_degree").alias("contrib"),
+    with static_planning(spark):
+        # per-vertex out-edge existence, exchange-free over the
+        # src-partitioned edges (dangling = never a source)
+        srcs = edges_w.select("src").distinct()
+        state = truncate_lineage(
+            prepared.vertices.join(
+                srcs.select(F.col("src").alias("id"))
+                .withColumn("has_out", F.lit(True))
+                .hint("shuffle_hash"),
+                "id",
+                "left",
             )
-            .groupBy("id")
-            .agg(F.sum("contrib").alias("msg"))
-        )
-        # with delta tracking the OLD rank rides along as __prev so the
-        # convergence sum folds into the SAME 1-row action as the dangling
-        # mass — tracking adds zero extra joins/actions per iteration;
-        # without tracking the code path (and its pinned plan) is unchanged
-        tracking = track_deltas is not None
-        base = (
-            ranks.withColumnRenamed("rank", "__prev")
-            if tracking
-            else ranks.drop("rank")
-        )
-        # |V|-bounded message aggregate broadcasts into the merge so the
-        # checkpointed state is never re-exchanged (same bar as rank_side)
-        if small:
-            contribs = F.broadcast(contribs)
-        new_ranks = (
-            base.join(contribs, "id", "left")
+            .join(reset.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
-                "reset",
-                "is_dangling",
-                *(["__prev"] if tracking else []),
-                F.expr(
-                    f"(({FP_DDEN - FP_DNUM} * reset) div {FP_DDEN})"
-                    f" + (({FP_DNUM} * (coalesce(msg, cast(0 as bigint))"
-                    f" + (({dangling} * reset) div {FP_SCALE}))) div {FP_DDEN})"
-                ).alias("rank"),
+                F.coalesce(F.col("reset"), F.lit(0)).cast("long").alias("reset"),
+                F.col("has_out").isNull().alias("is_dangling"),
             )
+            .withColumn("rank", F.col("reset"))
         )
-        new_ranks = new_ranks.transform(truncate_lineage, eager=False)
-        if tracking:
-            row = new_ranks.agg(
+
+        def dangling_mass(df: DataFrame) -> int:
+            row = df.agg(
                 F.coalesce(
                     F.sum(F.when(F.col("is_dangling"), F.col("rank"))), F.lit(0)
-                ).cast("long"),
-                F.coalesce(
-                    F.sum(F.abs(F.col("rank") - F.col("__prev"))), F.lit(0)
-                ).cast("long"),
+                ).cast("long")
             ).first()
-            dangling = int(row[0])
-            track_deltas.append(int(row[1]))
-            new_ranks = new_ranks.drop("__prev")
-        else:
-            dangling = dangling_mass(new_ranks)
-        ranks = new_ranks
+            return int(row[0])
+
+        ranks = state
+        dangling = dangling_mass(ranks)
+        for _ in range(num_iter):
+            rank_side = ranks.select(F.col("id").alias("src"), "rank")
+            contribs = (
+                edges_w.join(rank_side.hint("shuffle_hash"), "src")
+                .select(
+                    F.col("dst").alias("id"),
+                    F.expr("(rank * w) div out_degree").alias("contrib"),
+                )
+                .repartition(parts, "id")
+                .groupBy("id")
+                .agg(F.sum("contrib").alias("msg"))
+            )
+            # with delta tracking the OLD rank rides along as __prev so the
+            # convergence sum folds into the SAME 1-row action as the
+            # dangling mass — tracking adds zero extra joins/actions per
+            # iteration; without tracking the code path (and its pinned
+            # plan) is unchanged
+            tracking = track_deltas is not None
+            base = (
+                ranks.withColumnRenamed("rank", "__prev")
+                if tracking
+                else ranks.drop("rank")
+            )
+            # |V|-bounded message aggregate merges shuffle-hash into the
+            # id-partitioned state — co-partitioned, so no exchange either
+            new_ranks = (
+                base.join(contribs.hint("shuffle_hash"), "id", "left")
+                .select(
+                    "id",
+                    "reset",
+                    "is_dangling",
+                    *(["__prev"] if tracking else []),
+                    F.expr(
+                        f"(({FP_DDEN - FP_DNUM} * reset) div {FP_DDEN})"
+                        f" + (({FP_DNUM} * (coalesce(msg, cast(0 as bigint))"
+                        f" + (({dangling} * reset) div {FP_SCALE}))) div {FP_DDEN})"
+                    ).alias("rank"),
+                )
+            )
+            new_ranks = new_ranks.transform(truncate_lineage, eager=False)
+            if tracking:
+                row = new_ranks.agg(
+                    F.coalesce(
+                        F.sum(F.when(F.col("is_dangling"), F.col("rank"))), F.lit(0)
+                    ).cast("long"),
+                    F.coalesce(
+                        F.sum(F.abs(F.col("rank") - F.col("__prev"))), F.lit(0)
+                    ).cast("long"),
+                ).first()
+                dangling = int(row[0])
+                track_deltas.append(int(row[1]))
+                new_ranks = new_ranks.drop("__prev")
+            else:
+                dangling = dangling_mass(new_ranks)
+            ranks = new_ranks
     return ranks.select("id", F.col("rank").alias("rank_fp"))
 
 
@@ -302,19 +345,21 @@ def pagerank_fp(
     dst: str = "dst",
     weight: str | None = None,
     track_deltas: list | None = None,
+    prepared: PreparedFPGraph | None = None,
 ) -> DataFrame:
     """Uniform-teleport integer PageRank → ``(id, rank_fp)`` with
     ``rank_fp ~ rank * FP_SCALE`` (exactly reproducible cross-engine).
     With ``weight``, mass flows proportionally to edge weights.
     ``track_deltas``: optional list that receives the per-iteration L1
-    rank movement Σ|Δrank| (the convergence curve)."""
-    vertices = _vertices_of(edges, src, dst).persist()
-    n = vertices.count()
-    reset = vertices.withColumn("reset", F.lit(FP_SCALE // n).cast("long"))
-    return _iterate_fp(
-        edges, vertices, reset, num_iter, src, dst, n_vertices=n, weight=weight,
-        track_deltas=track_deltas,
+    rank movement Σ|Δrank| (the convergence curve). ``prepared``: a
+    pre-shaped ``PreparedFPGraph`` of the SAME edge relation (the
+    session-cached lake artifact) — skips the per-call shaping."""
+    if prepared is None:
+        prepared = prepare_fp_graph(edges, src, dst, weight)
+    reset = prepared.vertices.withColumn(
+        "reset", F.lit(FP_SCALE // prepared.n_vertices).cast("long")
     )
+    return _iterate_fp(prepared, reset, num_iter, track_deltas=track_deltas)
 
 
 def personalized_pagerank_fp(
@@ -323,16 +368,17 @@ def personalized_pagerank_fp(
     num_iter: int = 10,
     src: str = "src",
     dst: str = "dst",
+    prepared: PreparedFPGraph | None = None,
 ) -> DataFrame:
     """Integer PPR: teleport mass split uniformly across ``seeds``."""
-    vertices = _vertices_of(edges, src, dst).persist()
-    n = vertices.count()
+    if prepared is None:
+        prepared = prepare_fp_graph(edges, src, dst)
     w = FP_SCALE // len(seeds)
-    reset = vertices.withColumn(
+    reset = prepared.vertices.withColumn(
         "reset",
         F.when(F.col("id").isin(*seeds), F.lit(w)).otherwise(F.lit(0)).cast("long"),
     )
-    return _iterate_fp(edges, vertices, reset, num_iter, src, dst, n_vertices=n)
+    return _iterate_fp(prepared, reset, num_iter)
 
 
 def pagerank(
