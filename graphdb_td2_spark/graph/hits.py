@@ -8,12 +8,19 @@ companion ranking for a bipartite-ish commerce graph: orders/customers that
 many strong hubs are authorities. Like PageRank (``graph/pagerank.py``),
 the loop is the genuinely iterative piece Catalyst cannot express
 (SURVEY.md §4 custom-work item 1), so it follows the same DataFrame
-power-iteration discipline: persist the edge relation once, broadcast the
-dimension-sized score vector into the message join, truncate lineage every
-iteration, and spend exactly ONE driver action per half-step — the 1-row
-normalization total, whose collect doubles as the materialization of the
-previous half-step's lazily-checkpointed score vector (the pagerank
-dangling-mass fold).
+power-iteration discipline — and, since r13, the same CO-PARTITIONED
+physical shape: the score vector is hash-partitioned by ``id`` into
+``state_partitions(|V|)`` and the edge relation is checkpointed TWICE,
+once partitioned by ``src`` and once by ``dst`` (the half-steps alternate
+join keys), under ``static_planning`` (AQE off inside the loop) so every
+checkpoint keeps its partitioning. Each half-step then plans to exactly
+ONE exchange (the message combine) with zero broadcasts — the same shape
+at every scale, replacing the old dimension-sized broadcast dispatch
+(which collected the |V|-sized vector to the driver per half-step and
+measured slower at sf0.1). Exactly ONE driver action per half-step — the
+1-row normalization total, whose collect doubles as the materialization
+of the previous half-step's lazily-checkpointed score vector (the
+pagerank dangling-mass fold).
 
 Exactness (the whole point of the fixed-point formulation): scores are
 scaled BIGINTs. A plain L1/L2 normalization divides by a data-dependent
@@ -30,77 +37,108 @@ tier gets a full value-hash check, not a rows-only one. The div-based
 rescale keeps the vector's L1 mass at ~FP_SCALE so products never leave
 int64: raw ≤ in_degree·FP_SCALE ≤ |E|·FP_SCALE, and nothing is ever
 multiplied back up.
-
-Scale notes (100 TB posture): per half-step ONE shuffle (groupBy on the
-receiving endpoint) over the persisted edge relation; the score vector is
-vertex-dimension-sized and broadcasts below ``_BROADCAST_RANKS_MAX``
-(above it the join co-partitions edges and scores — same switch as
-PageRank). The normalization total is a 1-row aggregate. Lineage is
-truncated every iteration via the session checkpoint mode
-(``graph/checkpointing.py``) so the logical plan stays O(1) across
-iterations.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .checkpointing import state_partitions, truncate_lineage
-from .pagerank import FP_SCALE, _BROADCAST_RANKS_MAX
+from .checkpointing import state_partitions, static_planning, truncate_lineage
+from .pagerank import FP_SCALE
 
 HITS_ITER = 4
 
 
-def hits_fp(edges: DataFrame, num_iter: int = HITS_ITER) -> DataFrame:
-    """Integer fixed-point HITS over ``edges(src, dst)``.
+class PreparedHITSGraph:
+    """Loop-shaped static frames for ``hits_fp`` (cacheable per
+    session/corpus): the distinct vertex set partitioned by ``id`` and
+    the edge relation checkpointed under both half-step partitionings."""
 
-    Returns ``(id, auth_fp, hub_fp)`` for every vertex appearing as an
-    endpoint. ``num_iter`` full (auth then hub) rounds from an all-ones
-    hub vector scaled to FP_SCALE.
-    """
-    assert num_iter >= 1, "HITS needs at least one full round"
+    __slots__ = ("verts", "n_vertices", "parts", "e_src", "e_dst")
+
+    def __init__(self, verts, n_vertices, parts, e_src, e_dst):
+        self.verts = verts          # (id), hash(id, parts)
+        self.n_vertices = n_vertices
+        self.parts = parts
+        self.e_src = e_src          # (src, dst), hash(src, parts)
+        self.e_dst = e_dst          # (src, dst), hash(dst, parts)
+
+
+def prepare_hits_graph(edges: DataFrame) -> PreparedHITSGraph:
     edges = edges.select("src", "dst")
-    verts = (
+    spark = edges.sparkSession
+    verts_raw = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    n_vertices = verts.count()
-    small = n_vertices <= _BROADCAST_RANKS_MAX
-    if small:
-        # Shared partition budget (graph/checkpointing.py
-        # state_partitions): sized off the state dimension, wide enough
-        # that the per-half-step edge join parallelizes (r12: 1-wide
-        # half-steps were 1.8-2.0 s vs 0.8-1.2 s at ~8-wide on sf0.1),
-        # narrow enough that sf0.01-sized graphs stay at 1 partition.
+    with static_planning(spark):
+        n_vertices = verts_raw.count()
         parts = state_partitions(n_vertices, edges)
-        edges = edges.repartition(parts, F.col("src"))
-        verts = verts.repartition(parts)
-    edges = edges.persist()
-    verts = verts.persist()
-    verts.count()  # materialize the verts persist (edges fills on first half-step)
+        verts = truncate_lineage(verts_raw.repartition(parts, "id"))
+        e_src = truncate_lineage(edges.repartition(parts, "src"))
+        e_dst = truncate_lineage(e_src.repartition(parts, "dst"))
+    return PreparedHITSGraph(verts, n_vertices, parts, e_src, e_dst)
+
+
+_HITS_CACHE: dict = {}
+
+
+def cached_hits_graph(spark: SparkSession, sf_dir: str) -> PreparedHITSGraph:
+    """Session-cached loop shape of the full property graph (the
+    ``cached_und_edges`` policy)."""
+    from ..caching import evict_stopped
+    from .queries import cached_graph
+
+    evict_stopped(_HITS_CACHE, lambda p: p.verts.sparkSession)
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    prepared = _HITS_CACHE.get(key)
+    if prepared is None:
+        g = cached_graph(spark, sf_dir)
+        prepared = prepare_hits_graph(g.edges.select("src", "dst"))
+        _HITS_CACHE[key] = prepared
+    return prepared
+
+
+def hits_fp(
+    edges: DataFrame,
+    num_iter: int = HITS_ITER,
+    prepared: PreparedHITSGraph | None = None,
+) -> DataFrame:
+    """Integer fixed-point HITS over ``edges(src, dst)``.
+
+    Returns ``(id, auth_fp, hub_fp)`` for every vertex appearing as an
+    endpoint. ``num_iter`` full (auth then hub) rounds from an all-ones
+    hub vector scaled to FP_SCALE. ``prepared``: pre-shaped frames of the
+    SAME edge relation (skips the per-call shaping)."""
+    assert num_iter >= 1, "HITS needs at least one full round"
+    if prepared is None:
+        prepared = prepare_hits_graph(edges)
+    spark = prepared.verts.sparkSession
+    verts, parts = prepared.verts, prepared.parts
+    by_key = {"src": prepared.e_src, "dst": prepared.e_dst}
 
     # ONE driver action per half-step (the pagerank dangling-mass fold):
     # the normalization total's collect doubles as the materialization of
-    # the PREVIOUS half-step's lazily-checkpointed score vector, so the
-    # per-half-step action count is 1, not 2. The message aggregate is
-    # persisted across its two uses (1-row total, then the state join);
-    # since the new vector is now checkpointed LAZILY, the persist is
-    # released one half-step LATE (after the next total has materialized
-    # the vector that references it) — live state stays bounded at
-    # edges + vertices + one score vector + two |V|-row aggregates.
+    # the PREVIOUS half-step's lazily-checkpointed score vector. The
+    # message aggregate is persisted across its two uses (1-row total,
+    # then the state join); since the new vector is checkpointed LAZILY,
+    # the persist is released one half-step LATE — live state stays
+    # bounded at 2×edges + vertices + one score vector + two |V|-row
+    # aggregates.
     prev_raw: list[DataFrame] = []
 
     def _half_step(scores: DataFrame, score_col: str, join_on: str,
                    group_on: str, out_col: str) -> DataFrame:
         """One endorsement pass: ship ``score_col`` along edges joined on
         ``join_on``, aggregate by ``group_on``, renormalize to ~FP_SCALE
-        mass with an exact integer div."""
+        mass with an exact integer div. Both joins are co-partitioned
+        (scores arrive partitioned by id → aliased to the join key), so
+        the only exchange is the message combine."""
         side = scores.select(F.col("id").alias(join_on), score_col)
-        if small:
-            side = F.broadcast(side)
         raw = (
-            edges.join(side, join_on)
+            by_key[join_on].join(side.hint("shuffle_hash"), join_on)
+            .repartition(parts, group_on)
             .groupBy(F.col(group_on).alias("id"))
             .agg(F.sum(score_col).alias("raw"))
             .persist()
@@ -109,30 +147,27 @@ def hits_fp(edges: DataFrame, num_iter: int = HITS_ITER) -> DataFrame:
         if prev_raw:
             prev_raw.pop().unpersist()
         norm = max(total // FP_SCALE, 1)
-        # the persisted |V|-bounded aggregate broadcasts into the merge so
-        # the vertex frame is never re-exchanged (same bar as `side`)
-        out = verts.join(F.broadcast(raw) if small else raw, "id", "left").select(
+        out = verts.join(raw.hint("shuffle_hash"), "id", "left").select(
             "id",
             F.expr(f"coalesce(raw, cast(0 as bigint)) div {norm}").alias(out_col),
         )
         prev_raw.append(raw)
         return out.transform(truncate_lineage, eager=False)
 
-    hubs = verts.select("id", F.lit(FP_SCALE).cast("long").alias("hub"))
-    auths = None
-    for _ in range(num_iter):
-        auths = _half_step(hubs, "hub", "src", "dst", "auth")
-        hubs = _half_step(auths, "auth", "dst", "src", "hub")
-    out = auths.join(hubs, "id").select(
-        "id", F.col("auth").alias("auth_fp"), F.col("hub").alias("hub_fp")
-    )
-    # Materialize the final vector (truncate_lineage is eager), then release
-    # the iteration-scoped caches — a long session invoking HITS repeatedly
-    # must not accumulate pinned edge/vertex blocks in executor storage.
-    out = out.transform(truncate_lineage, eager=True)
+    with static_planning(spark):
+        hubs = verts.select("id", F.lit(FP_SCALE).cast("long").alias("hub"))
+        auths = None
+        for _ in range(num_iter):
+            auths = _half_step(hubs, "hub", "src", "dst", "auth")
+            hubs = _half_step(auths, "auth", "dst", "src", "hub")
+        out = auths.join(hubs.hint("shuffle_hash"), "id").select(
+            "id", F.col("auth").alias("auth_fp"), F.col("hub").alias("hub_fp")
+        )
+        # Materialize the final vector (truncate_lineage is eager), then
+        # release the iteration-scoped aggregate cache — the prepared
+        # frames are caller-owned (session artifacts) and stay.
+        out = out.transform(truncate_lineage, eager=True)
     prev_raw.pop().unpersist()
-    edges.unpersist()
-    verts.unpersist()
     return out
 
 
@@ -144,7 +179,11 @@ def hits_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries import cached_graph
 
     g = cached_graph(spark, sf_dir)
-    r = hits_fp(g.edges.select("src", "dst"), num_iter=HITS_ITER)
+    r = hits_fp(
+        g.edges.select("src", "dst"),
+        num_iter=HITS_ITER,
+        prepared=cached_hits_graph(spark, sf_dir),
+    )
     return (
         r.select(
             "id",
