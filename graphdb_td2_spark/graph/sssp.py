@@ -13,27 +13,29 @@ chained-CTE DuckDB twin matches bit-exactly. Distances are exact BIGINTs
 Scale notes: messages are emitted only from the *improved* frontier of
 the previous round (for weighted relaxation a settled vertex can improve
 again, so the frontier is "distance changed", not "newly reached" —
-still a fraction of the vertex set after the first rounds). On graphs
-under the broadcast bar the per-round plan is exchange-free on the big
-relations: the frontier broadcasts into the persisted edge join and the
-min-combined messages broadcast into the distance merge (the
-betweenness/pagerank state-side discipline — the only shuffle left per
-round is the message combine, bounded by edges-out-of-frontier). Above
-the bar every join falls back to the co-partitioned path with identical
-results (MIN over BIGINTs is order-free). ``localCheckpoint`` per round
-keeps Catalyst re-analysis linear (see graph/pagerank.py).
+still a fraction of the vertex set after the first rounds). Physical
+shape (r13): CO-PARTITIONED rounds at every scale — the symmetrized
+min-weight adjacency is hash-partitioned by ``src`` into
+``state_partitions(|V|)`` and checkpointed once per session (the
+``cached_und_edges`` policy), the distance vector is partitioned by
+``id`` and every per-round checkpoint preserves that partitioning under
+``static_planning`` (AQE off inside the loop), so each round plans to
+exactly ONE exchange (the message combine) with zero broadcasts — the
+old sub-5M-vertex broadcast dispatch collected the frontier and the
+message aggregate to the driver every round and measured slower at
+sf0.1. MIN over BIGINTs is order-free, so distances are identical under
+any physical plan. ``localCheckpoint`` per round keeps Catalyst
+re-analysis linear (see graph/pagerank.py); one driver action per round
+(the eager checkpoint of the merged frame — relaxed distances and the
+frontier re-derive lazily from it).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .checkpointing import (
-    resolve_broadcast_state,
-    state_partitions,
-    truncate_lineage,
-)
-from .queries import cached_graph
+from .checkpointing import state_partitions, static_planning, truncate_lineage
+from .queries import cached_graph, cached_vertex_count
 
 MAX_ROUNDS = 6
 SSSP_TOPK = 20
@@ -54,66 +56,89 @@ def _undirected_min_edges(edges_w: DataFrame) -> DataFrame:
     )
 
 
+_WUND_CACHE: dict = {}
+
+
+def cached_weighted_und_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached loop-shaped symmetrized min-weight adjacency of the
+    property graph — partitioned by ``src`` into ``state_partitions(|V|)``
+    with truncated lineage (the ``cached_und_edges`` policy applied to
+    the weighted twin every ``sssp_top20`` call used to re-derive)."""
+    from ..caching import evict_stopped
+
+    evict_stopped(_WUND_CACHE, lambda df: df.sparkSession)
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    df = _WUND_CACHE.get(key)
+    if df is None:
+        g = cached_graph(spark, sf_dir)
+        edges_w = g.edges.select(
+            "src",
+            "dst",
+            F.floor(F.coalesce(F.col("quantity"), F.lit(1.0)))
+            .cast("long")
+            .alias("w"),
+        )
+        parts = state_partitions(cached_vertex_count(spark, sf_dir), edges_w)
+        with static_planning(spark):
+            df = truncate_lineage(
+                _undirected_min_edges(edges_w).repartition(parts, "src")
+            )
+        _WUND_CACHE[key] = df
+    return df
+
+
 def sssp_distances(
     vertices: DataFrame,
     edges_w: DataFrame,
     seed: str,
     rounds: int = MAX_ROUNDS,
     n_vertices: int | None = None,
+    und: DataFrame | None = None,
 ) -> DataFrame:
     """``(id, distance)`` — minimum edge-weight sum over paths of at most
-    ``rounds`` undirected hops from ``seed``; NULL when unreached."""
-    und = _undirected_min_edges(edges_w)
-    small = resolve_broadcast_state(None, n_vertices)
-    if small:
-        parts = state_partitions(n_vertices, und)
-        und = und.repartition(parts, "src")
-        vertices = vertices.repartition(parts)
-    bc = F.broadcast if small else (lambda df: df)
-    und = und.persist()
-    dist = vertices.select(
-        "id",
-        F.when(F.col("id") == seed, F.lit(0)).cast("long").alias("distance"),
-    ).transform(truncate_lineage)
-    frontier = dist.filter(F.col("distance").isNotNull()).transform(truncate_lineage)
-    # ONE driver action per round (the hits_fp discipline): only the new
-    # distance vector checkpoints eagerly; the frontier checkpoints LAZILY
-    # and materializes inside the NEXT round's action, which still reads
-    # this round's persisted `merged` — so the persist is released one
-    # round LATE, keeping live state bounded at und + dist + one merged.
-    prev_merged: list = []
-    for _ in range(rounds):
-        # min-combined messages out of the frontier (the ONE per-round
-        # shuffle), then an exchange-free merge: least() skips NULLs, so
-        # least(msg, old) IS min-with-unreached-as-infinity — exactly the
-        # relaxation the union+groupBy formulation computed
-        msgs = (
-            und.join(bc(frontier), und.src == F.col("id"))
-            .select(
-                F.col("dst").alias("id"),
-                (F.col("distance") + F.col("w")).alias("msg"),
+    ``rounds`` undirected hops from ``seed``; NULL when unreached.
+
+    ``und``: caller-owned pre-shaped symmetrized adjacency
+    (``cached_weighted_und_edges``); derived call-scoped when absent."""
+    spark = vertices.sparkSession
+    if n_vertices is None:
+        n_vertices = vertices.count()
+    parts = state_partitions(n_vertices, vertices)
+    with static_planning(spark):
+        if und is None:
+            und = truncate_lineage(
+                _undirected_min_edges(edges_w).repartition(parts, "src")
             )
-            .groupBy("id")
-            .agg(F.min("msg").alias("msg"))
+        dist = truncate_lineage(
+            vertices.select(
+                "id",
+                F.when(F.col("id") == seed, F.lit(0)).cast("long").alias("distance"),
+            ).repartition(parts, "id")
         )
-        merged = dist.join(bc(msgs), "id", "left").persist()
-        relaxed = merged.select(
-            "id", F.least("msg", "distance").alias("distance")
-        ).transform(truncate_lineage)
-        if prev_merged:
-            prev_merged.pop().unpersist()
-        frontier = (
-            merged.filter(
+        frontier = dist.filter(F.col("distance").isNotNull())
+        for _ in range(rounds):
+            # min-combined messages out of the frontier (the ONE per-round
+            # exchange), then a co-partitioned merge: least() skips NULLs,
+            # so least(msg, old) IS min-with-unreached-as-infinity —
+            # exactly the relaxation the union+groupBy formulation computed
+            msgs = (
+                und.join(frontier.hint("shuffle_hash"), und.src == F.col("id"))
+                .select(
+                    F.col("dst").alias("id"),
+                    (F.col("distance") + F.col("w")).alias("msg"),
+                )
+                .repartition(parts, "id")
+                .groupBy("id")
+                .agg(F.min("msg").alias("msg"))
+            )
+            merged = truncate_lineage(
+                dist.join(msgs.hint("shuffle_hash"), "id", "left")
+            )
+            dist = merged.select("id", F.least("msg", "distance").alias("distance"))
+            frontier = merged.filter(
                 F.col("msg").isNotNull()
                 & (F.col("distance").isNull() | (F.col("msg") < F.col("distance")))
-            )
-            .select("id", F.col("msg").alias("distance"))
-        ).transform(truncate_lineage, eager=False)
-        prev_merged.append(merged)
-        dist = relaxed
-    if prev_merged:
-        prev_merged.pop().unpersist()
-    und.unpersist()
+            ).select("id", F.col("msg").alias("distance"))
     return dist
 
 
@@ -129,7 +154,12 @@ def sssp_top20(
         F.floor(F.coalesce(F.col("quantity"), F.lit(1.0))).cast("long").alias("w"),
     )
     dist = sssp_distances(
-        g.vertices, edges_w, seed, rounds, n_vertices=g.vertices.count()
+        g.vertices,
+        edges_w,
+        seed,
+        rounds,
+        n_vertices=cached_vertex_count(spark, sf_dir),
+        und=cached_weighted_und_edges(spark, sf_dir),
     )
     return (
         dist.filter(F.col("distance").isNotNull())
