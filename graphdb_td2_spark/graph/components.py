@@ -53,7 +53,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .checkpointing import state_partitions, static_planning, truncate_lineage
+from .checkpointing import graph_partitions, static_planning, truncate_lineage
 
 from .queries import cached_graph
 
@@ -70,29 +70,35 @@ def connected_components(
     und: DataFrame | None = None,
     n_vertices: int | None = None,
     pointer_jump: bool = False,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """``(id, component)`` — component = min vertex id reachable (any total
     order over ids works; string ids use their lexicographic order).
 
     ``und``: a caller-owned prebuilt undirected relation already in loop
-    shape — hash-partitioned by ``src`` into ``state_partitions(|V|)``
-    with truncated lineage (the ``graph.queries.cached_und_edges``
-    session artifact). When absent the loop derives and shapes a
-    call-scoped copy. ``n_vertices`` sizes the state partitioning (when
-    absent it costs one count job over ``vertices``)."""
+    shape — hash-partitioned by ``src`` into ``n_parts`` (the
+    ``graph.queries.cached_und_edges`` session artifact; pass its budget,
+    ``queries.property_graph_parts``, as ``n_parts`` so the loop state
+    co-partitions with it). When absent the loop derives and shapes a
+    call-scoped copy, sizing the budget from |V| and |E| (one count job
+    each when ``n_vertices``/``n_parts`` are not supplied)."""
     spark = vertices.sparkSession
     if n_vertices is None:
         n_vertices = vertices.count()
-    nparts = state_partitions(n_vertices, vertices)
+    if n_parts is None:
+        n_parts = graph_partitions(n_vertices, 2 * edges.count(), vertices)
+    nparts = n_parts
+    owns_und = und is None
     with static_planning(spark):
         if und is None:
             e = edges.select("src", "dst")
-            und = truncate_lineage(
+            und = (
                 e.union(
                     e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
                 )
                 .distinct()
                 .repartition(nparts, "src")
+                .persist()
             )
         labels = truncate_lineage(
             vertices.select("id", F.col("id").alias("component")).repartition(
@@ -160,13 +166,21 @@ def connected_components(
             frontier = improved.select("id", F.col("msg").alias("component"))
             if improved.limit(1).count() == 0:
                 break
+    if owns_und:
+        # the final labels are a select over the last round's CHECKPOINT —
+        # independent of the call-scoped adjacency cache
+        und.unpersist()
     return labels
 
 
 def component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Component-size histogram of the full property graph:
     ``(size, n_components)`` ordered by size descending."""
-    from .queries import cached_und_edges, cached_vertex_count
+    from .queries import (
+        cached_und_edges,
+        cached_vertex_count,
+        property_graph_parts,
+    )
 
     g = cached_graph(spark, sf_dir)
     cc = connected_components(
@@ -174,6 +188,7 @@ def component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.edges,
         und=cached_und_edges(spark, sf_dir),
         n_vertices=cached_vertex_count(spark, sf_dir),
+        n_parts=property_graph_parts(spark, sf_dir),
     )
     return (
         cc.groupBy("component")

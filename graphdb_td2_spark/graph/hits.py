@@ -43,7 +43,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .checkpointing import state_partitions, static_planning, truncate_lineage
+from .checkpointing import graph_partitions, static_planning, truncate_lineage
 from .pagerank import FP_SCALE
 
 HITS_ITER = 4
@@ -74,10 +74,14 @@ def prepare_hits_graph(edges: DataFrame) -> PreparedHITSGraph:
     )
     with static_planning(spark):
         n_vertices = verts_raw.count()
-        parts = state_partitions(n_vertices, edges)
-        verts = truncate_lineage(verts_raw.repartition(parts, "id"))
-        e_src = truncate_lineage(edges.repartition(parts, "src"))
-        e_dst = truncate_lineage(e_src.repartition(parts, "dst"))
+        n_edges = edges.count()
+        parts = graph_partitions(n_vertices, n_edges, edges)
+        # repartition-then-PERSIST (not checkpoint): cached columnar
+        # relations keep their outputPartitioning and scan far faster
+        # than serialized checkpoint blocks (8 scans per hits_fp call)
+        verts = verts_raw.repartition(parts, "id").persist()
+        e_src = edges.repartition(parts, "src").persist()
+        e_dst = e_src.repartition(parts, "dst").persist()
     return PreparedHITSGraph(verts, n_vertices, parts, e_src, e_dst)
 
 

@@ -20,24 +20,33 @@ absorbed, and the oracle unrolls the identical fixed number of rounds.
 Luby's analysis removes a constant fraction of EDGES per round in
 expectation; on every tested corpus the active set hits zero within 4.
 
-Scale notes: per round — one semi-join restricting the cached adjacency
-to active endpoints, one (src → min neighbor priority) hash agg
-(map-side combined, |V| output), one anti-join to deactivate.
-State is one |V|-bounded frame, lineage-truncated per round; every
-state side (active / selected / removed, all |V|-bounded) broadcasts
-into its join so the cached adjacency is never re-exchanged (the
-betweenness/sssp discipline — pass ``broadcast_state=False`` above
-broadcast capacity for the co-partitioned fallback, identical results).
-``selected`` is persisted for its three per-round uses (neighbor
-expansion, removal union, count) so the min-priority aggregate runs
-once per round, not three times.
+Physical shape (r13, the components/pagerank co-partitioned discipline —
+this replaced the broadcast-state dispatch): the co-purchase adjacency
+is SYMMETRIC, so every per-round relation is derivable with src-keyed
+joins only —
+
+    min_nb(v) = min p(u) over active neighbors u
+              = groupBy dst of p(src) over (adj ⋈ active priorities ON src)
+
+(by symmetry the dst-grouped min over active srcs IS the neighbor-min;
+inactive dst rows fall out of the left join from the active state), and
+neighbors-of-selected is the dst set of (adj ⋈ selected ON src). With
+the adjacency src-partitioned (the cached lake artifact) and the active
+state id-partitioned under ``static_planning``, a round plans to TWO
+exchanges (the min-neighbor combine and the neighbor-set distinct — both
+message-scale) with zero broadcasts, one lazily-checkpointed state frame,
+and ONE driver action (the two-sum flag aggregate, which doubles as the
+checkpoint materialization and yields n_selected/n_removed; n_active is
+tracked arithmetically from the stats sidecar's |V|). Results are
+identical to the explicit semi/anti formulation: every combine is a MIN
+or a set membership over exact keys.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .checkpointing import resolve_broadcast_state, truncate_lineage
+from .checkpointing import graph_partitions, static_planning, truncate_lineage
 from .walks import cached_copurchase_adjacency
 
 MIS_ROUNDS = 6
@@ -45,11 +54,21 @@ MIS_ROUNDS = 6
 
 def _lake_n_vertices(spark: SparkSession, sf_dir: str) -> int:
     """|V| of the co-purchase graph from the lake stats sidecar — free
-    after the first build (the hyperball dispatch source): the
-    broadcast-state gate must not cost a count job per call."""
+    after the first build (the hyperball dispatch source): partition
+    sizing must not cost a count job per call."""
     from ..lake import copurchase_stats
 
     return copurchase_stats(spark, sf_dir)["n_vertices"]
+
+
+def _copurchase_parts(spark: SparkSession, sf_dir: str, df: DataFrame) -> int:
+    """The SAME partition budget ``cached_copurchase_adjacency`` was
+    shaped with (both read the free stats sidecar), so the loop's state
+    frames co-partition with the adjacency exchange-free."""
+    from ..lake import copurchase_stats
+
+    stats = copurchase_stats(spark, sf_dir)
+    return graph_partitions(stats["n_vertices"], stats["n_edges"], df)
 
 
 def _priority(node: F.Column) -> F.Column:
@@ -61,104 +80,72 @@ def mis_round_sizes(
     spark: SparkSession,
     sf_dir: str,
     rounds: int = MIS_ROUNDS,
-    broadcast_state: bool | None = None,
-    n_vertices: int | None = None,
 ) -> DataFrame:
     """Registry entry: ``(round, n_selected, n_removed, n_remaining)`` —
     per Luby round: how many vertices joined the independent set, how
     many vertices deactivated in total (selected + their neighbors),
-    and how many stay active. Ordered by round.
-
-    ``broadcast_state``: tri-state (``resolve_broadcast_state``) — the
-    default derives the dispatch from the lake stats sidecar's |V|, so
-    above ``BROADCAST_STATE_MAX_VERTICES`` the active/selected/removed
-    frames stay on the co-partitioned shuffle path instead of
-    force-broadcasting vertex-scale state (VERDICT r12 finding #1).
-    Identical results either way — every per-round combine is a MIN or a
-    set operation over exact keys."""
-    if broadcast_state is None and n_vertices is None:
-        n_vertices = _lake_n_vertices(spark, sf_dir)
-    bc = (
-        F.broadcast
-        if resolve_broadcast_state(broadcast_state, n_vertices)
-        else (lambda df: df)
-    )
+    and how many stay active. Ordered by round."""
     adj = cached_copurchase_adjacency(spark, sf_dir)
-    active = (
-        adj.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", _priority(F.col("node")).alias("p"))
-        .transform(truncate_lineage)
-    )
+    parts = _copurchase_parts(spark, sf_dir, adj)
     rows = []
-    for r in range(1, rounds + 1):
-        adj_act = (
-            adj.join(
-                bc(active.select(F.col("node").alias("src"))),
-                "src",
-                "left_semi",
+    with static_planning(spark):
+        active = truncate_lineage(
+            adj.select(F.col("src").alias("node"))
+            .distinct()
+            .select("node", _priority(F.col("node")).alias("p"))
+            .repartition(parts, "node")
+        )
+        for r in range(1, rounds + 1):
+            a_src = active.select(F.col("node").alias("src"), F.col("p").alias("ps"))
+            min_nb = (
+                adj.join(a_src.hint("shuffle_hash"), "src")
+                .repartition(parts, "dst")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("ps").alias("min_nb"))
             )
-            .join(
-                bc(active.select(F.col("node").alias("dst"))),
-                "dst",
-                "left_semi",
+            cand = active.join(min_nb.hint("shuffle_hash"), "node", "left").select(
+                "node",
+                "p",
+                (
+                    F.col("min_nb").isNull() | (F.col("p") < F.col("min_nb"))
+                ).alias("sel"),
             )
-        )
-        min_nb = (
-            adj_act.join(
-                bc(
-                    active.select(
-                        F.col("node").alias("dst"), F.col("p").alias("pd")
-                    )
-                ),
-                "dst",
+            sel_src = cand.filter("sel").select(F.col("node").alias("src"))
+            nbr = (
+                adj.join(sel_src.hint("shuffle_hash"), "src", "left_semi")
+                .select(F.col("dst").alias("node"))
+                .repartition(parts, "node")
+                .distinct()
+                .withColumn("nb", F.lit(True))
             )
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.min("pd").alias("min_nb"))
-        )
-        cand = active.join(bc(min_nb), "node", "left")
-        selected = (
-            cand.filter(
-                F.col("min_nb").isNull() | (F.col("p") < F.col("min_nb"))
+            state = truncate_lineage(
+                cand.join(nbr.hint("shuffle_hash"), "node", "left"),
+                eager=False,
             )
-            .select("node")
-            .persist()
-        )
-        nbrs = adj_act.join(
-            bc(selected.select(F.col("node").alias("dst"))),
-            "dst",
-            "left_semi",
-        ).select(F.col("src").alias("node"))
-        # Lazy checkpoints (the hits_fp one-action-per-round discipline):
-        # the per-round counts action below materializes removed's
-        # checkpoint (its count leg computes it), and the NEXT round's
-        # counts action materializes nxt's — the prior eager pair spent
-        # three driver actions per round on the same work.
-        removed = selected.unionByName(nbrs).distinct().transform(
-            truncate_lineage, eager=False
-        )
-        nxt = active.join(bc(removed), "node", "left_anti").transform(
-            truncate_lineage, eager=False
-        )
-        # collect the three counts EAGERLY while the per-round frames
-        # are still cached (ADVICE-r9: lazy count plans re-derived the
-        # adjacency and all per-round semi-joins after the caches dropped)
-        cnt = (
-            active.agg(F.count(F.lit(1)).alias("n_active"))
-            .crossJoin(selected.agg(F.count(F.lit(1)).alias("n_selected")))
-            .crossJoin(removed.agg(F.count(F.lit(1)).alias("n_removed")))
-            .first()
-        )
-        rows.append(
-            (
-                r,
-                cnt["n_selected"],
-                cnt["n_removed"],
-                cnt["n_active"] - cnt["n_removed"],
+            # ONE action: n_active rides along as the row count, so the
+            # remaining-count needs no separate job and no caller-supplied
+            # total (state rows ARE this round's active set)
+            cnt = state.agg(
+                F.count(F.lit(1)).cast("long").alias("n_active"),
+                F.coalesce(
+                    F.sum(F.when(F.col("sel"), 1)), F.lit(0)
+                ).cast("long").alias("n_selected"),
+                F.coalesce(
+                    F.sum(F.when(F.col("sel") | F.col("nb").isNotNull(), 1)),
+                    F.lit(0),
+                ).cast("long").alias("n_removed"),
+            ).first()
+            rows.append(
+                (
+                    r,
+                    cnt["n_selected"],
+                    cnt["n_removed"],
+                    cnt["n_active"] - cnt["n_removed"],
+                )
             )
-        )
-        selected.unpersist()
-        active = nxt
+            active = state.filter(
+                ~(F.col("sel") | F.col("nb").isNotNull())
+            ).select("node", "p")
     return spark.createDataFrame(
         rows, "round long, n_selected long, n_removed long, n_remaining long"
     ).orderBy("round")

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .checkpointing import (
     BROADCAST_STATE_MAX_VERTICES,
+    graph_partitions,
     state_partitions,
     static_planning,
     truncate_lineage,
@@ -218,11 +219,16 @@ def prepare_fp_graph(
     vertices_raw = _vertices_of(edges, "src", "dst")
     with static_planning(spark):
         n_vertices = vertices_raw.count()
-        parts = state_partitions(n_vertices, edges)
-        vertices = truncate_lineage(vertices_raw.repartition(parts, "id"))
-        e0 = truncate_lineage(edges.repartition(parts, "src"))
+        n_edges = edges.count()
+        parts = graph_partitions(n_vertices, n_edges, edges)
+        # repartition-then-PERSIST (not checkpoint): the cached columnar
+        # relation keeps its outputPartitioning (cached plans are exempt
+        # from AQE re-planning) and scans far faster than serialized
+        # checkpoint blocks — the loop reads edges_w once per iteration
+        vertices = vertices_raw.repartition(parts, "id").persist()
+        e0 = edges.repartition(parts, "src")
         out_deg = e0.groupBy("src").agg(F.sum("w").alias("out_degree"))
-        edges_w = truncate_lineage(e0.join(out_deg.hint("shuffle_hash"), "src"))
+        edges_w = e0.join(out_deg.hint("shuffle_hash"), "src").persist()
     return PreparedFPGraph(vertices, n_vertices, parts, edges_w)
 
 

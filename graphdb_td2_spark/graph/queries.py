@@ -50,28 +50,20 @@ def cached_und_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB is re-deriving a standard lake table on every query.
 
     Since r13 the artifact is LOOP-SHAPED: hash-partitioned by ``src``
-    into ``state_partitions(|V|)`` and lineage-truncated under
-    ``static_planning``, so the iterative consumers' per-round joins see
-    a ``LogicalRDD`` leaf that already satisfies their clustering
-    requirement (exchange-free on the edge side, and per-round Catalyst
-    work drops from re-planning the whole parquet→build tree to a
-    constant-depth plan)."""
-    from .checkpointing import state_partitions, static_planning, truncate_lineage
-
+    into the shared ``graph_partitions`` budget BEFORE the persist, so
+    the cached columnar relation's outputPartitioning satisfies the
+    iterative consumers' src-keyed joins exchange-free (cached plans are
+    exempt from AQE output-partitioning re-planning) while scans stay on
+    the fast InMemoryRelation path."""
     evict_stopped(_UND_CACHE, lambda df: df.sparkSession)
     key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     df = _UND_CACHE.get(key)
     if df is None:
         e = cached_graph(spark, sf_dir).edges.select("src", "dst")
-        nparts = state_partitions(cached_vertex_count(spark, sf_dir), e)
-        with static_planning(spark):
-            df = truncate_lineage(
-                e.union(
-                    e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-                )
-                .distinct()
-                .repartition(nparts, "src")
-            )
+        und = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        df = und.repartition(property_graph_parts(spark, sf_dir), "src").persist()
         _UND_CACHE[key] = df
     return df
 
@@ -93,6 +85,38 @@ def cached_vertex_count(spark: SparkSession, sf_dir: str) -> int:
         hit = (spark, cached_graph(spark, sf_dir).vertices.count())
         _VERTEX_COUNT_CACHE[key] = hit
     return hit[1]
+
+
+_EDGE_COUNT_CACHE: dict[tuple[str, str], tuple[SparkSession, int]] = {}
+
+
+def cached_edge_count(spark: SparkSession, sf_dir: str) -> int:
+    """|E| of the property graph per (session, corpus) — with |V| it
+    sizes the shared co-partitioned loop budget (one count job over the
+    persisted edges on first use, free after)."""
+    evict_stopped(_EDGE_COUNT_CACHE, lambda v: v[0])
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    hit = _EDGE_COUNT_CACHE.get(key)
+    if hit is None:
+        hit = (spark, cached_graph(spark, sf_dir).edges.count())
+        _EDGE_COUNT_CACHE[key] = hit
+    return hit[1]
+
+
+def property_graph_parts(spark: SparkSession, sf_dir: str) -> int:
+    """THE partition budget for co-partitioned iterative loops over the
+    property graph — shared by the loop-shaped lake artifacts
+    (``cached_und_edges``, ``sssp.cached_weighted_und_edges``) and the
+    loops' state frames, so their joins stay exchange-free (equal
+    numPartitions is part of the co-partitioning contract)."""
+    from .checkpointing import graph_partitions
+
+    g = cached_graph(spark, sf_dir)
+    return graph_partitions(
+        cached_vertex_count(spark, sf_dir),
+        2 * cached_edge_count(spark, sf_dir),
+        g.edges,
+    )
 
 
 def graph_vertex_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -34,8 +34,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .checkpointing import state_partitions, static_planning, truncate_lineage
-from .queries import cached_graph, cached_vertex_count
+from .checkpointing import static_planning, truncate_lineage
+from .queries import cached_graph, cached_vertex_count, property_graph_parts
 
 MAX_ROUNDS = 6
 SSSP_TOPK = 20
@@ -78,11 +78,11 @@ def cached_weighted_und_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("w"),
         )
-        parts = state_partitions(cached_vertex_count(spark, sf_dir), edges_w)
-        with static_planning(spark):
-            df = truncate_lineage(
-                _undirected_min_edges(edges_w).repartition(parts, "src")
-            )
+        df = (
+            _undirected_min_edges(edges_w)
+            .repartition(property_graph_parts(spark, sf_dir), "src")
+            .persist()
+        )
         _WUND_CACHE[key] = df
     return df
 
@@ -94,20 +94,29 @@ def sssp_distances(
     rounds: int = MAX_ROUNDS,
     n_vertices: int | None = None,
     und: DataFrame | None = None,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """``(id, distance)`` — minimum edge-weight sum over paths of at most
     ``rounds`` undirected hops from ``seed``; NULL when unreached.
 
     ``und``: caller-owned pre-shaped symmetrized adjacency
-    (``cached_weighted_und_edges``); derived call-scoped when absent."""
+    (``cached_weighted_und_edges``; pass its budget as ``n_parts`` so the
+    state co-partitions with it); derived call-scoped when absent."""
+    from .checkpointing import graph_partitions
+
     spark = vertices.sparkSession
     if n_vertices is None:
         n_vertices = vertices.count()
-    parts = state_partitions(n_vertices, vertices)
+    owns_und = und is None
+    if n_parts is None:
+        n_parts = graph_partitions(n_vertices, 2 * edges_w.count(), vertices)
+    parts = n_parts
     with static_planning(spark):
         if und is None:
-            und = truncate_lineage(
-                _undirected_min_edges(edges_w).repartition(parts, "src")
+            und = (
+                _undirected_min_edges(edges_w)
+                .repartition(parts, "src")
+                .persist()
             )
         dist = truncate_lineage(
             vertices.select(
@@ -139,6 +148,10 @@ def sssp_distances(
                 F.col("msg").isNotNull()
                 & (F.col("distance").isNull() | (F.col("msg") < F.col("distance")))
             ).select("id", F.col("msg").alias("distance"))
+    if owns_und:
+        # final distances derive from the last round's CHECKPOINT —
+        # independent of the call-scoped adjacency cache
+        und.unpersist()
     return dist
 
 
@@ -160,6 +173,7 @@ def sssp_top20(
         rounds,
         n_vertices=cached_vertex_count(spark, sf_dir),
         und=cached_weighted_und_edges(spark, sf_dir),
+        n_parts=property_graph_parts(spark, sf_dir),
     )
     return (
         dist.filter(F.col("distance").isNotNull())

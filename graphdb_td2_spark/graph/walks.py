@@ -55,7 +55,22 @@ def cached_copurchase_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     df = _COPURCHASE_CACHE.get(key)
     if df is None:
-        df = copurchase_adjacency(spark, sf_dir).persist()
+        # Loop-shaped since r13: hash-partitioned by src into the shared
+        # graph_partitions budget BEFORE the persist, so the cached
+        # columnar relation's outputPartitioning satisfies the iterative
+        # consumers' src-keyed joins exchange-free (cached plans are
+        # exempt from AQE output-partitioning re-planning, so the
+        # partitioning survives) while scans stay on the fast
+        # InMemoryRelation path — a lineage-truncating checkpoint here
+        # measured 3.5× SLOWER on betweenness (serialized RDD blocks
+        # deserialize on every one of its ~15 adjacency scans).
+        from ..lake import copurchase_stats
+        from .checkpointing import graph_partitions
+
+        raw = copurchase_adjacency(spark, sf_dir)
+        stats = copurchase_stats(spark, sf_dir)
+        parts = graph_partitions(stats["n_vertices"], stats["n_edges"], raw)
+        df = raw.repartition(parts, "src").persist()
         _COPURCHASE_CACHE[key] = df
     return df
 

@@ -155,13 +155,13 @@ def test_betweenness_big_graph_path_never_hints_broadcast(spark, broadcast_spy):
     assert broadcast_spy == []
 
 
-def test_mis_big_graph_path_never_hints_broadcast(spark, sf_dir, broadcast_spy):
+def test_mis_never_hints_broadcast(spark, sf_dir, broadcast_spy):
+    """r13: MIS runs co-partitioned at every scale (symmetry-rewritten
+    src-keyed joins) — no broadcast hint exists in the module anymore."""
     from graphdb_td2_spark.graph.mis import mis_round_sizes
 
-    rows = mis_round_sizes(
-        spark, sf_dir, rounds=2, n_vertices=ABOVE_BAR
-    ).collect()
-    assert rows  # runs end-to-end on the shuffle path
+    rows = mis_round_sizes(spark, sf_dir, rounds=2).collect()
+    assert rows  # runs end-to-end on the co-partitioned path
     assert broadcast_spy == []
 
 
