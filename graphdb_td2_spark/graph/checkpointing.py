@@ -35,9 +35,18 @@ _RELIABLE: set[str] = set()  # applicationIds flipped to reliable mode
 
 
 @contextmanager
-def static_planning(spark):
+def static_planning(spark, shuffle_partitions: int | None = None):
     """Disable AQE for the duration of an iterative loop (restored on
-    exit).
+    exit), optionally pinning the session shuffle width to the loop's
+    partition budget.
+
+    ``shuffle_partitions``: when set, ``spark.sql.shuffle.partitions`` is
+    pinned to it for the block — the loops' per-round aggregates then
+    exchange STRAIGHT into the co-partitioned width with map-side partial
+    aggregation intact. (The first r13 draft repartition()ed before each
+    groupBy to force the width; that shipped every RAW message through
+    the exchange — a REPARTITION_BY_NUM node below an aggregate defeats
+    the partial-aggregation split, measured ~1.8× on MIS round 1.)
 
     WHY (r13, measured on connected_components at sf0.1): a checkpoint
     taken under AQE loses its ``outputPartitioning`` (the materialized
@@ -57,11 +66,20 @@ def static_planning(spark):
         old = conf.get("spark.sql.adaptive.enabled")
     except Exception:
         old = "true"
+    old_width = None
     conf.set("spark.sql.adaptive.enabled", "false")
+    if shuffle_partitions is not None:
+        try:
+            old_width = conf.get("spark.sql.shuffle.partitions")
+        except Exception:
+            old_width = None
+        conf.set("spark.sql.shuffle.partitions", str(int(shuffle_partitions)))
     try:
         yield
     finally:
         conf.set("spark.sql.adaptive.enabled", old)
+        if old_width is not None:
+            conf.set("spark.sql.shuffle.partitions", old_width)
 
 
 def use_reliable_checkpoints(spark, checkpoint_dir: str) -> None:
@@ -164,8 +182,13 @@ def state_partitions(n_vertices: int, df: DataFrame) -> int:
 # to 1-2 partitions and serializes the message combine (measured r13:
 # MIS 6.1 → 11.5 s when the adjacency landed on 1 partition). The loop
 # width is the MAX of the state- and edge-driven budgets, still capped
-# at the session width.
-EDGE_ROWS_PER_PARTITION = 50_000
+# at the session width. 300k chosen by a quiet-box sweep at sf0.1
+# (50k→32 parts / 150k→15 / 300k→7 / 600k→3: the scan-heavy loops pay
+# per-task overhead ∝ parts × rounds, and 7 parts won on betweenness
+# 7.4 s, MIS 3.6-4.0 s, harmonic ~5.6 s vs 32-part 10.4/5.8/6.8); on a
+# real cluster any 100 TB graph clears width·300k edges, so the cap IS
+# the cluster width there.
+EDGE_ROWS_PER_PARTITION = 300_000
 
 
 def graph_partitions(n_vertices: int, n_edges: int, df: DataFrame) -> int:

@@ -89,7 +89,7 @@ def connected_components(
         n_parts = graph_partitions(n_vertices, 2 * edges.count(), vertices)
     nparts = n_parts
     owns_und = und is None
-    with static_planning(spark):
+    with static_planning(spark, shuffle_partitions=nparts):
         if und is None:
             e = edges.select("src", "dst")
             und = (
@@ -115,10 +115,12 @@ def connected_components(
         # the plan depth is O(1). Superseded rounds' blocks are released
         # by the ContextCleaner when their frames go out of scope.
         for _ in range(max_iter):
+            # groupBy exchanges straight into the pinned loop width with
+            # map-side partial MIN intact (no repartition — see
+            # static_planning)
             msgs = (
                 und.join(frontier.hint("shuffle_hash"), und.src == frontier.id)
                 .select(F.col("dst").alias("id"), "component")
-                .repartition(nparts, "id")
                 .groupBy("id")
                 .agg(F.min("component").alias("msg"))
             )

@@ -142,7 +142,6 @@ def hits_fp(
         side = scores.select(F.col("id").alias(join_on), score_col)
         raw = (
             by_key[join_on].join(side.hint("shuffle_hash"), join_on)
-            .repartition(parts, group_on)
             .groupBy(F.col(group_on).alias("id"))
             .agg(F.sum(score_col).alias("raw"))
             .persist()
@@ -158,7 +157,7 @@ def hits_fp(
         prev_raw.append(raw)
         return out.transform(truncate_lineage, eager=False)
 
-    with static_planning(spark):
+    with static_planning(spark, shuffle_partitions=parts):
         hubs = verts.select("id", F.lit(FP_SCALE).cast("long").alias("hub"))
         auths = None
         for _ in range(num_iter):

@@ -53,20 +53,30 @@ _BROADCAST_REMOVED_MAX = 5_000_000
 
 
 def kcore_round_sizes(
-    edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+    edges: DataFrame,
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+    und: DataFrame | None = None,
 ) -> DataFrame:
     """``(round, n_vertices)`` after each of ``rounds`` peeling steps over
-    the undirected multigraph-collapsed edge set."""
+    the undirected multigraph-collapsed edge set. ``und``: caller-owned
+    prebuilt undirected relation (the session lake artifact,
+    ``graph.queries.cached_und_edges``) — saves the per-call |E| distinct
+    shuffle + checkpoint; derived call-scoped otherwise."""
     spark = edges.sparkSession
-    # The local checkpoint IS the cache: its serialized blocks are re-read
-    # by every round's delta scan (an extra .persist() here stores a second
-    # DESERIALIZED copy and OOMed the sf10 rehearsal's hash aggregates).
-    und = (
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .transform(truncate_lineage)
-    )
+    if und is None:
+        # The local checkpoint IS the cache: its serialized blocks are
+        # re-read by every round's delta scan (an extra .persist() here
+        # stores a second DESERIALIZED copy and OOMed the sf10 rehearsal's
+        # hash aggregates).
+        und = (
+            edges.select("src", "dst")
+            .union(
+                edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .distinct()
+            .transform(truncate_lineage)
+        )
     deg = (
         und.groupBy(F.col("src").alias("id"))
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
@@ -116,5 +126,9 @@ def kcore_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: per-round surviving-vertex counts of 2-core peeling
     over the full property graph (fixed 6 rounds, oracle-exact — the
     DuckDB twin unrolls the same rounds as chained CTEs)."""
+    from .queries import cached_und_edges
+
     g = cached_graph(spark, sf_dir)
-    return kcore_round_sizes(g.edges.select("src", "dst")).orderBy("round")
+    return kcore_round_sizes(
+        g.edges.select("src", "dst"), und=cached_und_edges(spark, sf_dir)
+    ).orderBy("round")

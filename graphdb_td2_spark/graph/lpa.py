@@ -155,15 +155,11 @@ def community_modularity(
     looking d_c² folds over the per-community degree aggregate, never
     over pairs.
     """
+    from .queries import cached_und_edges
+
     g = cached_graph(spark, sf_dir)
     lp = _cached_labels(spark, sf_dir, rounds)
-    und = (
-        g.edges.select("src", "dst")
-        .union(
-            g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-    )
+    und = cached_und_edges(spark, sf_dir)
     lbl_src = lp.select(F.col("id").alias("src"), F.col("lbl").alias("l_src"))
     lbl_dst = lp.select(F.col("id").alias("dst"), F.col("lbl").alias("l_dst"))
     labeled = und.join(lbl_src, "src").join(lbl_dst, "dst")

@@ -88,7 +88,7 @@ def mis_round_sizes(
     adj = cached_copurchase_adjacency(spark, sf_dir)
     parts = _copurchase_parts(spark, sf_dir, adj)
     rows = []
-    with static_planning(spark):
+    with static_planning(spark, shuffle_partitions=parts):
         active = truncate_lineage(
             adj.select(F.col("src").alias("node"))
             .distinct()
@@ -99,7 +99,6 @@ def mis_round_sizes(
             a_src = active.select(F.col("node").alias("src"), F.col("p").alias("ps"))
             min_nb = (
                 adj.join(a_src.hint("shuffle_hash"), "src")
-                .repartition(parts, "dst")
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.min("ps").alias("min_nb"))
             )
@@ -114,7 +113,6 @@ def mis_round_sizes(
             nbr = (
                 adj.join(sel_src.hint("shuffle_hash"), "src", "left_semi")
                 .select(F.col("dst").alias("node"))
-                .repartition(parts, "node")
                 .distinct()
                 .withColumn("nb", F.lit(True))
             )

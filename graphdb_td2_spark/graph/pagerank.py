@@ -255,7 +255,7 @@ def _iterate_fp(
     parts = prepared.parts
     edges_w = prepared.edges_w
 
-    with static_planning(spark):
+    with static_planning(spark, shuffle_partitions=parts):
         # per-vertex out-edge existence, exchange-free over the
         # src-partitioned edges (dangling = never a source)
         srcs = edges_w.select("src").distinct()
@@ -294,7 +294,6 @@ def _iterate_fp(
                     F.col("dst").alias("id"),
                     F.expr("(rank * w) div out_degree").alias("contrib"),
                 )
-                .repartition(parts, "id")
                 .groupBy("id")
                 .agg(F.sum("contrib").alias("msg"))
             )

@@ -111,7 +111,7 @@ def sssp_distances(
     if n_parts is None:
         n_parts = graph_partitions(n_vertices, 2 * edges_w.count(), vertices)
     parts = n_parts
-    with static_planning(spark):
+    with static_planning(spark, shuffle_partitions=parts):
         if und is None:
             und = (
                 _undirected_min_edges(edges_w)
@@ -136,7 +136,6 @@ def sssp_distances(
                     F.col("dst").alias("id"),
                     (F.col("distance") + F.col("w")).alias("msg"),
                 )
-                .repartition(parts, "id")
                 .groupBy("id")
                 .agg(F.min("msg").alias("msg"))
             )

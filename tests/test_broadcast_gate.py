@@ -105,7 +105,7 @@ def test_components_single_round_plan_is_one_exchange(spark):
     )
 
     vertices, edges = _two_islands(spark)
-    with static_planning(spark):
+    with static_planning(spark, shuffle_partitions=2):
         e = edges.select("src", "dst")
         und = truncate_lineage(
             e.union(e.selectExpr("dst as src", "src as dst"))
@@ -118,7 +118,6 @@ def test_components_single_round_plan_is_one_exchange(spark):
         msgs = (
             und.join(labels.hint("shuffle_hash"), und.src == labels.id)
             .select(F.col("dst").alias("id"), "component")
-            .repartition(2, "id")
             .groupBy("id")
             .agg(F.min("component").alias("msg"))
         )
@@ -127,6 +126,8 @@ def test_components_single_round_plan_is_one_exchange(spark):
     assert "BroadcastExchange" not in plan
     assert "ShuffledHashJoin" in plan
     assert plan.count("Exchange") == 1, plan
+    # map-side combine intact: the partial aggregate sits BELOW the exchange
+    assert plan.index("partial_min") > plan.index("Exchange"), plan
 
 
 def test_lpa_big_graph_path_never_hints_broadcast(spark, broadcast_spy):
