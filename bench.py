@@ -341,6 +341,19 @@ def main() -> None:
         from graphdb_td2_spark.graph.queries import cached_und_edges
 
         cached_und_edges(spark, sf_dir).count()
+        # r13: the other loop-shaped graph artifacts (the Neo4j-adjacency
+        # analogue, same class as the und twin) — co-purchase adjacency,
+        # weighted undirected twin, and the pagerank/HITS prepared frames,
+        # so serving medians measure serving
+        from graphdb_td2_spark.graph.hits import cached_hits_graph
+        from graphdb_td2_spark.graph.queries import cached_fp_graph
+        from graphdb_td2_spark.graph.sssp import cached_weighted_und_edges
+        from graphdb_td2_spark.graph.walks import cached_copurchase_adjacency
+
+        cached_copurchase_adjacency(spark, sf_dir).count()
+        cached_weighted_und_edges(spark, sf_dir).count()
+        cached_fp_graph(spark, sf_dir).edges_w.count()
+        cached_hits_graph(spark, sf_dir).e_dst.count()
         cached_doc_shingles(spark, sf_dir).count()
         # The PQ quantized corpus is the same class of artifact (the ANN
         # index build): warm it here so the first PQ query's median stops
