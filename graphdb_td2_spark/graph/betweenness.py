@@ -53,7 +53,11 @@ import functools
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .centrality import N_SEEDS, ROUNDS, TOP_K
-from .checkpointing import resolve_broadcast_state, truncate_lineage
+from .checkpointing import (
+    resolve_broadcast_state,
+    static_planning,
+    truncate_lineage,
+)
 from .walks import cached_copurchase_adjacency
 
 DELTA_SCALE = 1000  # fixed-point dependency units (milli-dependencies)
@@ -279,6 +283,7 @@ def betweenness_fixed_point(
     k: int = TOP_K,
     owns_adj: bool = True,
     n_vertices: int | None = None,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Core estimator over a symmetric ``(src, dst)`` adjacency: the
     ``k`` highest fixed-point Brandes dependency totals over the
@@ -289,23 +294,28 @@ def betweenness_fixed_point(
     (``walks.cached_copurchase_adjacency``) that must stay persisted.
     ``n_vertices`` drives the broadcast-state dispatch (None = the safe
     co-partitioned path; the registry entries supply the lake sidecar's
-    free |V|)."""
+    free |V|). The whole pass runs under ``static_planning`` (r13):
+    the per-round lazy checkpoints stay genuinely lazy (under AQE they
+    materialized eagerly, one extra job chain per round) and, with
+    ``n_parts`` pinned, every level/delta aggregate exchanges at the
+    adjacency's width with map-side partial sums intact."""
     if owns_adj:
         adj = adj.persist()
-    acc, pinned = _per_seed_dependencies(
-        adj, n_seeds, rounds, n_vertices=n_vertices
-    )
-    out = (
-        acc.groupBy("node")
-        .agg(
-            F.sum("delta_fp").cast("long").alias("betweenness_fp"),
-            F.count(F.lit(1)).cast("long").alias("n_seeds_reaching"),
+    with static_planning(adj.sparkSession, shuffle_partitions=n_parts):
+        acc, pinned = _per_seed_dependencies(
+            adj, n_seeds, rounds, n_vertices=n_vertices
         )
-        .orderBy(F.desc("betweenness_fp"), F.asc("node"))
-        .limit(k)
-        .select("node", "betweenness_fp", "n_seeds_reaching")
-    )
-    rows = out.collect()
+        out = (
+            acc.groupBy("node")
+            .agg(
+                F.sum("delta_fp").cast("long").alias("betweenness_fp"),
+                F.count(F.lit(1)).cast("long").alias("n_seeds_reaching"),
+            )
+            .orderBy(F.desc("betweenness_fp"), F.asc("node"))
+            .limit(k)
+            .select("node", "betweenness_fp", "n_seeds_reaching")
+        )
+        rows = out.collect()
     for df in pinned:
         df.unpersist()
     if owns_adj:
@@ -325,15 +335,17 @@ def betweenness_sample_top20(
     ``betweenness_fp`` is in ``DELTA_SCALE`` units of dependency;
     ``n_seeds_reaching`` counts seeds whose ≤``rounds``-hop shortest
     paths reach the node (the estimator's per-node support)."""
-    from .mis import _lake_n_vertices
+    from .mis import _copurchase_parts, _lake_n_vertices
 
+    adj = cached_copurchase_adjacency(spark, sf_dir)
     return betweenness_fixed_point(
-        cached_copurchase_adjacency(spark, sf_dir),
+        adj,
         n_seeds,
         rounds,
         k,
         owns_adj=False,
         n_vertices=_lake_n_vertices(spark, sf_dir),
+        n_parts=_copurchase_parts(spark, sf_dir, adj),
     )
 
 
@@ -377,27 +389,30 @@ def betweenness_approx_error_report(
             " half/quarter prefix estimators need at least one seed each"
         )
     n_half, n_quarter = ref_seeds // 2, ref_seeds // 4
-    from .mis import _lake_n_vertices
+    from .mis import _copurchase_parts, _lake_n_vertices
 
     adj = cached_copurchase_adjacency(spark, sf_dir)
-    acc, pinned = _per_seed_dependencies(
-        adj, ref_seeds, rounds, n_vertices=_lake_n_vertices(spark, sf_dir)
-    )
-    seed_ids = [
-        r["src"]
-        for r in adj.select("src").distinct().orderBy("src")
-        .limit(ref_seeds).collect()
-    ]
-    s8, s4 = set(seed_ids[:n_half]), set(seed_ids[:n_quarter])
-    totals = acc.groupBy("node").agg(
-        F.sum("delta_fp").cast("long").alias("ref_fp"),
-        F.sum(F.when(F.col("seed").isin(*s8), F.col("delta_fp")).otherwise(0))
-        .cast("long")
-        .alias("fp8"),
-        F.sum(F.when(F.col("seed").isin(*s4), F.col("delta_fp")).otherwise(0))
-        .cast("long")
-        .alias("fp4"),
-    ).transform(truncate_lineage)
+    with static_planning(
+        spark, shuffle_partitions=_copurchase_parts(spark, sf_dir, adj)
+    ):
+        acc, pinned = _per_seed_dependencies(
+            adj, ref_seeds, rounds, n_vertices=_lake_n_vertices(spark, sf_dir)
+        )
+        seed_ids = [
+            r["src"]
+            for r in adj.select("src").distinct().orderBy("src")
+            .limit(ref_seeds).collect()
+        ]
+        s8, s4 = set(seed_ids[:n_half]), set(seed_ids[:n_quarter])
+        totals = acc.groupBy("node").agg(
+            F.sum("delta_fp").cast("long").alias("ref_fp"),
+            F.sum(F.when(F.col("seed").isin(*s8), F.col("delta_fp")).otherwise(0))
+            .cast("long")
+            .alias("fp8"),
+            F.sum(F.when(F.col("seed").isin(*s4), F.col("delta_fp")).otherwise(0))
+            .cast("long")
+            .alias("fp4"),
+        ).transform(truncate_lineage)
     # the eager checkpoint cut totals loose from the 4-level×16-delta
     # plan tree, so every per-level cache releases BEFORE the two top-k
     # scans (the r10 sweep OOM'd building the un-truncated plan string

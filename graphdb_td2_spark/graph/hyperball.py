@@ -267,7 +267,10 @@ def _hyperball_rounds(
 
 
 def hyperball_harmonic(
-    adj: DataFrame, rounds: int = ROUNDS, n_vertices: int | None = None
+    adj: DataFrame,
+    rounds: int = ROUNDS,
+    n_vertices: int | None = None,
+    n_parts: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run ``rounds`` HyperBall iterations over the (symmetric) adjacency.
 
@@ -279,34 +282,41 @@ def hyperball_harmonic(
     assert rounds <= 4, "HARMONIC_LCM is lcm(1..4); adjust both together"
     acc: DataFrame | None = None
     est: DataFrame | None = None
-    for t, state, converged in _hyperball_rounds(adj, rounds, n_vertices):
-        est = _estimates(state)
-        if t == 0:
-            acc = est.select(
-                "node",
-                F.col("est").alias("prev"),
-                F.lit(0).cast("long").alias("h"),
+    # static_planning (r13): the per-round lazy checkpoints stay genuinely
+    # lazy (under AQE, toRdd materialized each one eagerly — one extra job
+    # chain per round) and the union+MAX sketch merge exchanges at the
+    # adjacency's width instead of the session default.
+    from .checkpointing import static_planning
+
+    with static_planning(adj.sparkSession, shuffle_partitions=n_parts):
+        for t, state, converged in _hyperball_rounds(adj, rounds, n_vertices):
+            est = _estimates(state)
+            if t == 0:
+                acc = est.select(
+                    "node",
+                    F.col("est").alias("prev"),
+                    F.lit(0).cast("long").alias("h"),
+                )
+                continue
+            w = HARMONIC_LCM // t
+            # Lazy: every input (est over checkpointed state, previous acc)
+            # is already lineage-truncated, so the accumulator chain stays
+            # O(1) plan-depth and materializes once, in the caller's final
+            # action — four vertex-sized joins, no per-round accumulator job.
+            acc = (
+                acc.join(est, "node")
+                .select(
+                    "node",
+                    F.col("est").alias("prev"),
+                    (
+                        F.col("h") + (F.col("est") - F.col("prev")) * F.lit(w)
+                    ).alias("h"),
+                )
+                .transform(truncate_lineage, eager=False)
             )
-            continue
-        w = HARMONIC_LCM // t
-        # Lazy: every input (est over checkpointed state, previous acc) is
-        # already lineage-truncated, so the accumulator chain stays O(1)
-        # plan-depth and materializes once, in the caller's final action —
-        # four vertex-sized joins, no per-round accumulator job.
-        acc = (
-            acc.join(est, "node")
-            .select(
-                "node",
-                F.col("est").alias("prev"),
-                (
-                    F.col("h") + (F.col("est") - F.col("prev")) * F.lit(w)
-                ).alias("h"),
-            )
-            .transform(truncate_lineage, eager=False)
-        )
-        if converged:
-            # fixed point: every later round's increment is exactly zero
-            break
+            if converged:
+                # fixed point: every later round's increment is exactly zero
+                break
     harmonic = acc.select("node", F.col("h").alias("harmonic_est_fp"))
     return harmonic, est
 
@@ -321,7 +331,13 @@ def harmonic_centrality_approx_top20(
     milli-vertices × lcm(1..4) units; ``ball_est_milli`` is the round-4
     ball-size estimate in milli-vertices."""
     adj = _round_ready_adjacency(spark, sf_dir)
-    harmonic, est = hyperball_harmonic(adj, n_vertices=_lake_n_vertices(spark, sf_dir))
+    from .mis import _copurchase_parts
+
+    harmonic, est = hyperball_harmonic(
+        adj,
+        n_vertices=_lake_n_vertices(spark, sf_dir),
+        n_parts=_copurchase_parts(spark, sf_dir, adj),
+    )
     # Every per-round state checkpoint materialized inside the round's
     # convergence probe, so the returned frames reference only checkpointed
     # vertex-sized frames (the lazy accumulator chain included) — never the

@@ -377,16 +377,21 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("vec_id").alias("t_vec")
     )
     approx = ann_topk_ivf(spark, sf_dir).select(
-        "query_id", F.col("vec_id").alias("a_vec")
+        "query_id", F.col("vec_id").alias("t_vec"), F.lit(1).alias("hit")
     )
-    hits = truth.join(
-        approx,
-        (truth["query_id"] == approx["query_id"])
-        & (truth["t_vec"] == approx["a_vec"]),
+    # ONE action (r13): the old 3 counts each re-executed the brute-force
+    # truth chain; the hit flag rides along as a left join and every
+    # count folds into a single aggregate over one truth evaluation.
+    row = (
+        truth.join(approx, ["query_id", "t_vec"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_truth"),
+            F.countDistinct("query_id").cast("long").alias("nq"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .first()
     )
-    nq = truth.select("query_id").distinct().count()
-    n_truth = truth.count()
-    n_hits = hits.count()
+    nq, n_truth, n_hits = row["nq"], row["n_truth"], row["n_hits"]
     k = n_truth // max(nq, 1)
     return spark.createDataFrame(
         # n_truth == 0 (empty embeddings table): NULL recall row, not
@@ -595,30 +600,75 @@ def ann_nprobe_tradeoff_report(
         .persist()
     )
     try:
-        truth = ann_topk_bruteforce(spark, sf_dir, k, n_queries).select(
-            "query_id", F.col("vec_id").alias("t_vec")
+        # persisted: n_truth and the hits join would otherwise each
+        # re-execute the brute-force chain (queries × corpus + window)
+        truth = (
+            ann_topk_bruteforce(spark, sf_dir, k, n_queries)
+            .select("query_id", F.col("vec_id").alias("t_vec"))
+            .persist()
         )
         n_truth = truth.count()
-        rows = []
-        for p in sorted(probes):
-            sub = cand.filter(F.col("cent_rank") <= p)
-            n_cand = sub.count()
-            topk = _topk(sub.select("query_id", "vec_id", "cosine"), k)
-            n_hits = truth.join(
-                topk,
-                (truth["query_id"] == topk["query_id"])
-                & (truth["t_vec"] == topk["vec_id"]),
-            ).count()
-            rows.append(
-                (
-                    p,
-                    n_cand,
-                    n_hits,
-                    float(n_hits) / float(n_truth) if n_truth else None,
-                )
+        # ONE action for every curve point (r13, guide §1 job-count
+        # discipline — the per-p loop spent ~3 driver actions × |probes|):
+        # candidate counts fold into a single conditional-sum aggregate,
+        # and the per-p top-k ranks compute in one window pass over the
+        # union of the prefix candidate sets (each tagged with its nprobe
+        # — same _topk ordering per (nprobe, query) group, so the hit
+        # sets are identical row-for-row to the per-p loop's).
+        n_cand_row = cand.agg(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("cent_rank") <= p, 1)), F.lit(0)
+                ).cast("long").alias(f"c{p}")
+                for p in sorted(probes)
+            ]
+        ).first()
+        n_cands = {p: n_cand_row[f"c{p}"] for p in sorted(probes)}
+        import functools
+
+        from pyspark.sql import DataFrame as _DF
+
+        tagged = functools.reduce(
+            _DF.unionByName,
+            [
+                cand.filter(F.col("cent_rank") <= p)
+                .select("query_id", "vec_id", "cosine")
+                .withColumn("nprobe", F.lit(p).cast("long"))
+                for p in sorted(probes)
+            ],
+        )
+        wp = Window.partitionBy("nprobe", "query_id").orderBy(
+            F.desc("cosine"), F.asc("vec_id")
+        )
+        topk_all = tagged.withColumn("rank", F.row_number().over(wp)).filter(
+            F.col("rank") <= k
+        )
+        hit_rows = (
+            truth.join(
+                topk_all,
+                (truth["query_id"] == topk_all["query_id"])
+                & (truth["t_vec"] == topk_all["vec_id"]),
             )
+            .groupBy("nprobe")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+            .collect()
+        )
+        hits = {r["nprobe"]: r["n_hits"] for r in hit_rows}
+        rows = [
+            (
+                p,
+                n_cands[p],
+                hits.get(p, 0),
+                float(hits.get(p, 0)) / float(n_truth) if n_truth else None,
+            )
+            for p in sorted(probes)
+        ]
     finally:
         cand.unpersist()
+        try:
+            truth.unpersist()
+        except NameError:
+            pass
     return spark.createDataFrame(
         rows, "nprobe long, n_candidates long, n_hits long, recall double"
     ).orderBy("nprobe")

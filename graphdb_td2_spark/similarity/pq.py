@@ -363,16 +363,20 @@ def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("vec_id").alias("t_vec")
     )
     approx = ann_topk_ivfpq(spark, sf_dir).select(
-        "query_id", F.col("vec_id").alias("a_vec")
+        "query_id", F.col("vec_id").alias("t_vec"), F.lit(1).alias("hit")
     )
-    hits = truth.join(
-        approx,
-        (truth["query_id"] == approx["query_id"])
-        & (truth["t_vec"] == approx["a_vec"]),
+    # ONE action (r13): the old 3 counts each re-executed the brute-force
+    # truth chain; fold every count into a single aggregate.
+    row = (
+        truth.join(approx, ["query_id", "t_vec"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_truth"),
+            F.countDistinct("query_id").cast("long").alias("nq"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .first()
     )
-    nq = truth.select("query_id").distinct().count()
-    n_truth = truth.count()
-    n_hits = hits.count()
+    nq, n_truth, n_hits = row["nq"], row["n_truth"], row["n_hits"]
     k = n_truth // max(nq, 1)
     return spark.createDataFrame(
         # n_truth == 0 (empty embeddings table): NULL recall row, not
@@ -398,22 +402,26 @@ def pq_refine_gain_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("vec_id").alias("t_vec")
     )
     adc = ann_topk_ivfpq(spark, sf_dir).select(
-        "query_id", F.col("vec_id").alias("a_vec")
+        "query_id", F.col("vec_id").alias("t_vec"), F.lit(1).alias("a_hit")
     )
     refined = ann_topk_ivfpq_refined(spark, sf_dir).select(
-        "query_id", F.col("vec_id").alias("r_vec")
+        "query_id", F.col("vec_id").alias("t_vec"), F.lit(1).alias("r_hit")
     )
-    nq = truth.select("query_id").distinct().count()
-    n_truth = truth.count()
-    n_adc = truth.join(
-        adc,
-        (truth["query_id"] == adc["query_id"]) & (truth["t_vec"] == adc["a_vec"]),
-    ).count()
-    n_ref = truth.join(
-        refined,
-        (truth["query_id"] == refined["query_id"])
-        & (truth["t_vec"] == refined["r_vec"]),
-    ).count()
+    # ONE action (r13): the old 4 counts each re-executed the brute-force
+    # truth chain; both hit flags ride along as left joins.
+    row = (
+        truth.join(adc, ["query_id", "t_vec"], "left")
+        .join(refined, ["query_id", "t_vec"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_truth"),
+            F.countDistinct("query_id").cast("long").alias("nq"),
+            F.coalesce(F.sum("a_hit"), F.lit(0)).cast("long").alias("n_adc"),
+            F.coalesce(F.sum("r_hit"), F.lit(0)).cast("long").alias("n_ref"),
+        )
+        .first()
+    )
+    nq, n_truth = row["nq"], row["n_truth"]
+    n_adc, n_ref = row["n_adc"], row["n_ref"]
     k = n_truth // max(nq, 1)
     return spark.createDataFrame(
         [(nq, k, n_adc, n_ref,
@@ -573,18 +581,30 @@ def pq_trained_recall_report(
         _adc_scored(corpus, trained_cb, n_queries), k
     ).select("query_id", F.col("vec_id").alias("r_vec"))
 
-    nq = truth.select("query_id").distinct().count()
-    n_truth = truth.count()
-    n_id = truth.join(
-        id_topk,
-        (truth["query_id"] == id_topk["query_id"])
-        & (truth["t_vec"] == id_topk["i_vec"]),
-    ).count()
-    n_tr = truth.join(
-        tr_topk,
-        (truth["query_id"] == tr_topk["query_id"])
-        & (truth["t_vec"] == tr_topk["r_vec"]),
-    ).count()
+    # ONE action for the whole report (r13, guide §1 job-count
+    # discipline): the old 4 separate counts each re-executed the
+    # brute-force truth chain (queries × corpus cosines + window). Both
+    # hit flags ride along as left joins and every count folds into a
+    # single aggregate over one truth evaluation.
+    id_f = id_topk.select(
+        "query_id", F.col("i_vec").alias("t_vec"), F.lit(1).alias("id_hit")
+    )
+    tr_f = tr_topk.select(
+        "query_id", F.col("r_vec").alias("t_vec"), F.lit(1).alias("tr_hit")
+    )
+    row = (
+        truth.join(id_f, ["query_id", "t_vec"], "left")
+        .join(tr_f, ["query_id", "t_vec"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_truth"),
+            F.countDistinct("query_id").cast("long").alias("nq"),
+            F.coalesce(F.sum("id_hit"), F.lit(0)).cast("long").alias("n_id"),
+            F.coalesce(F.sum("tr_hit"), F.lit(0)).cast("long").alias("n_tr"),
+        )
+        .first()
+    )
+    nq, n_truth = row["nq"], row["n_truth"]
+    n_id, n_tr = row["n_id"], row["n_tr"]
     k_eff = n_truth // max(nq, 1)
     r_id = float(n_id) / float(n_truth) if n_truth else None
     r_tr = float(n_tr) / float(n_truth) if n_truth else None
