@@ -83,23 +83,33 @@ def connected_components(
     call-scoped copy, sizing the budget from |V| and |E| (one count job
     each when ``n_vertices``/``n_parts`` are not supplied)."""
     spark = vertices.sparkSession
-    if n_vertices is None:
-        n_vertices = vertices.count()
-    if n_parts is None:
+    owns_und = und is None
+    und0 = None
+    if owns_und:
+        # Ad-hoc graph (e.g. the dedup pair pipeline): persist the
+        # derived relation BEFORE any count so the caller's lazy edge
+        # pipeline executes exactly once — the budget then derives from
+        # the persisted frame's row count (an upper bound on |V| too:
+        # every non-isolated vertex appears as a src).
+        e = edges.select("src", "dst")
+        und0 = (
+            e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .distinct()
+            .persist()
+        )
+        n_und = und0.count()
+        if n_vertices is None:
+            n_vertices = n_und
+        if n_parts is None:
+            n_parts = graph_partitions(n_vertices, n_und, vertices)
+    elif n_parts is None:
+        if n_vertices is None:
+            n_vertices = vertices.count()
         n_parts = graph_partitions(n_vertices, 2 * edges.count(), vertices)
     nparts = n_parts
-    owns_und = und is None
     with static_planning(spark, shuffle_partitions=nparts):
-        if und is None:
-            e = edges.select("src", "dst")
-            und = (
-                e.union(
-                    e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-                )
-                .distinct()
-                .repartition(nparts, "src")
-                .persist()
-            )
+        if owns_und:
+            und = und0.repartition(nparts, "src").persist()
         labels = truncate_lineage(
             vertices.select("id", F.col("id").alias("component")).repartition(
                 nparts, "id"
@@ -170,8 +180,9 @@ def connected_components(
                 break
     if owns_und:
         # the final labels are a select over the last round's CHECKPOINT —
-        # independent of the call-scoped adjacency cache
+        # independent of the call-scoped adjacency caches
         und.unpersist()
+        und0.unpersist()
     return labels
 
 

@@ -105,19 +105,26 @@ def sssp_distances(
     from .checkpointing import graph_partitions
 
     spark = vertices.sparkSession
-    if n_vertices is None:
-        n_vertices = vertices.count()
     owns_und = und is None
-    if n_parts is None:
+    und0 = None
+    if owns_und:
+        # persist BEFORE any count so the caller's lazy edge pipeline
+        # executes exactly once; the budget derives from the persisted
+        # relation's row count (also an upper bound on |V|)
+        und0 = _undirected_min_edges(edges_w).persist()
+        n_und = und0.count()
+        if n_vertices is None:
+            n_vertices = n_und
+        if n_parts is None:
+            n_parts = graph_partitions(n_vertices, n_und, vertices)
+    elif n_parts is None:
+        if n_vertices is None:
+            n_vertices = vertices.count()
         n_parts = graph_partitions(n_vertices, 2 * edges_w.count(), vertices)
     parts = n_parts
     with static_planning(spark, shuffle_partitions=parts):
-        if und is None:
-            und = (
-                _undirected_min_edges(edges_w)
-                .repartition(parts, "src")
-                .persist()
-            )
+        if owns_und:
+            und = und0.repartition(parts, "src").persist()
         dist = truncate_lineage(
             vertices.select(
                 "id",
@@ -149,8 +156,9 @@ def sssp_distances(
             ).select("id", F.col("msg").alias("distance"))
     if owns_und:
         # final distances derive from the last round's CHECKPOINT —
-        # independent of the call-scoped adjacency cache
+        # independent of the call-scoped adjacency caches
         und.unpersist()
+        und0.unpersist()
     return dist
 
 
