@@ -321,62 +321,17 @@ def main() -> None:
     # serving path against them; the build cost is reported separately.
     t0 = time.time()
     try:
-        from graphdb_td2_spark.lake import build_lake
+        from graphdb_td2_spark.lake import build_lake, warm_serving_artifacts
 
         build_lake(spark, sf_dir)
-        # The ETL phase also materializes the session model artifacts the
-        # reference's ETL builds (its Neo4j adjacency): the property graph
-        # and the shingle table. With the cross-process lake manifest a
-        # reuse session skips the lake WRITE jobs, which used to warm the
-        # shingle cache as a side effect — without this explicit step the
-        # one-time tokenize cost lands on whichever serving query touches
-        # shingles first and the serving numbers stop measuring serving.
-        from graphdb_td2_spark.dedup.shingles import cached_doc_shingles
-        from graphdb_td2_spark.graph.queries import cached_graph
-
-        g = cached_graph(spark, sf_dir)
-        g.vertices.count()
-        g.edges.count()
-        # the undirected twin is the same class of derived lake table
-        from graphdb_td2_spark.graph.queries import cached_und_edges
-
-        cached_und_edges(spark, sf_dir).count()
-        # r13: the other loop-shaped graph artifacts (the Neo4j-adjacency
-        # analogue, same class as the und twin) — co-purchase adjacency,
-        # weighted undirected twin, and the pagerank/HITS prepared frames,
-        # so serving medians measure serving
-        from graphdb_td2_spark.graph.hits import cached_hits_graph
-        from graphdb_td2_spark.graph.queries import cached_fp_graph
-        from graphdb_td2_spark.graph.sssp import cached_weighted_und_edges
-        from graphdb_td2_spark.graph.walks import cached_copurchase_adjacency
-
-        cached_copurchase_adjacency(spark, sf_dir).count()
-        cached_weighted_und_edges(spark, sf_dir).count()
-        cached_fp_graph(spark, sf_dir).edges_w.count()
-        cached_hits_graph(spark, sf_dir).e_dst.count()
-        cached_doc_shingles(spark, sf_dir).count()
-        # The PQ quantized corpus is the same class of artifact (the ANN
-        # index build): warm it here so the first PQ query's median stops
-        # eating the session's one-time quantization (VERDICT r11 task 2
-        # — the r11 ann_search tier number was ~half this accounting).
-        from graphdb_td2_spark.similarity.pq import _cached_corpus
-
-        _cached_corpus(spark, sf_dir).count()
-        # Trained index artifacts (IVF centroids, PQ codebooks) are the
-        # same class of lake-build work: deterministic pure functions of
-        # the corpus, memoized per session (similarity/ann.py
-        # _TRAINED_CENTROID_ROWS). Train them here so serving medians
-        # measure serving; the cost shows in lake_build_sec.
-        from graphdb_td2_spark.similarity.ann import (
-            DEFAULT_N_QUERIES,
-            _queries_and_corpus,
-            train_ivf_centroids,
-        )
-        from graphdb_td2_spark.similarity.pq import train_pq_codebook
-
-        _, _corpus = _queries_and_corpus(spark, sf_dir, DEFAULT_N_QUERIES)
-        train_ivf_centroids(spark, _corpus, cache_key=sf_dir)
-        train_pq_codebook(spark, _cached_corpus(spark, sf_dir), cache_key=sf_dir)
+        # The ETL phase also materializes the session serving artifacts
+        # the reference's ETL builds (its Neo4j adjacency): the property
+        # graph, its derived adjacencies, the shingle/quantized-corpus
+        # caches, and the trained index constants — so serving medians
+        # measure serving and the one-time costs show in lake_build_sec.
+        # Since r13 the builds overlap on a small driver thread pool
+        # (graphdb_td2_spark.lake.warm_serving_artifacts, guide §2.6).
+        warm_serving_artifacts(spark, sf_dir)
         lake_build = round(time.time() - t0, 3)
     except Exception as exc:  # never lose the bench to a lake failure
         lake_build = None
